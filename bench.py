@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver-run per round; also the local feedback loop).
+
+Measures, at $SPARK_GRAFT_SF_DIR scale (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  * index-build throughput over the deterministic synthetic transcripts
+    corpus sized to the scale factor (FIXTURES.md: bench >= 10^5
+    conversations at sf0.1) — the north-star metric (turns/sec);
+  * BM25 top-k latency over the reference query set (p50/p95, warm);
+  * a few headline relational/contract queries at the sf dir.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = REPO / ".cache"
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(n_conv: int) -> str:
+    CACHE.mkdir(exist_ok=True)
+    p = CACHE / f"transcripts_n{n_conv}_s42.parquet"
+    if not p.exists():
+        from bitcoin_ledger_2es_spark.sources.synth import write_transcripts_parquet
+
+        write_transcripts_parquet(str(p), n_conv, seed=42)
+    return str(p)
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    n_conv = max(200, int(1_000_000 * sf))
+
+    t_gen0 = time.monotonic()
+    tpath = corpus_path(n_conv)
+    t_gen = time.monotonic() - t_gen0
+
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+    from bitcoin_ledger_2es_spark.contract import QUERIES
+    from bitcoin_ledger_2es_spark.session import get_spark
+    from bitcoin_ledger_2es_spark.sources.synth import gen_query_set
+    from bitcoin_ledger_2es_spark.sources.transcripts import read_transcripts
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(32, 2 * CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    transcripts = read_transcripts(spark, tpath)
+    n_turns = transcripts.count()
+
+    # shards sized so the build/query fan out to ~2x cores at this corpus size
+    docs_total_est = int(n_turns * 1.25)
+    dps = max(4096, 1 << (docs_total_est // (2 * CPUS)).bit_length())
+    cfg = DEFAULT.with_(docs_per_shard=dps)
+
+    t0 = time.monotonic()
+    ix = build_index(transcripts, cfg)
+    ix.postings.count()  # force materialization (persisted)
+    t_build = time.monotonic() - t0
+    queries["index_build"] = round(t_build, 3)
+    turns_per_sec = n_turns / t_build
+
+    searcher = BM25Searcher(ix)
+    qset = gen_query_set()
+    lat: list[float] = []
+    # warm-up pass (JVM/Arrow spin-up), then the measured pass
+    for q in qset.head(6).itertuples(index=False):
+        searcher.top_k(q.query_text, k=int(q.k), mode=q.mode).collect()
+    for q in qset.itertuples(index=False):
+        t0 = time.monotonic()
+        searcher.top_k(q.query_text, k=int(q.k), mode=q.mode).collect()
+        dt = time.monotonic() - t0
+        lat.append(dt)
+        queries[f"bm25_q{int(q.query_id):02d}"] = round(dt, 4)
+    lat_sorted = sorted(lat)
+    p50 = lat_sorted[len(lat) // 2]
+    p95 = lat_sorted[min(len(lat) - 1, int(len(lat) * 0.95))]
+
+    for name in ("stats_agg", "join_revenue", "bm25_topk", "window_lag"):
+        t0 = time.monotonic()
+        QUERIES[name](spark, SF_DIR).collect()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = sum(queries.values())
+    out = {
+        "metric": "index_build_plus_query_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_conv": n_conv,
+        "n_turns": int(n_turns),
+        "n_docs_indexed": ix.n_docs,
+        "build_turns_per_sec": round(turns_per_sec, 1),
+        "query_p50_sec": round(p50, 4),
+        "query_p95_sec": round(p95, 4),
+        "cpus": CPUS,
+        "gen_sec": round(t_gen, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

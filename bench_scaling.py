@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+A real N- vs 4N-executor cluster is unavailable in this sandbox, so per
+the task instructions we run the SAME job at two parallelism levels
+(local[8] vs local[32]) on the SAME input via subprocesses (a Spark
+master is fixed per JVM), and report throughput at both plus
+
+    scaling efficiency = throughput(32) / (4 * throughput(8))
+                       = T8 / (4 * T32)            (fixed work)
+
+Target >= 0.8. Results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+
+    t_lo = r_lo["queries"]["index_build"]
+    t_hi = r_hi["queries"]["index_build"]
+    thr_lo = r_lo["build_turns_per_sec"]
+    thr_hi = r_hi["build_turns_per_sec"]
+    eff = thr_hi / ((hi / lo) * thr_lo)
+
+    md = f"""# BENCH/BASELINE.md — measured engine numbers
+
+Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} on this host
+(32 cores, single JVM; cluster-size scaling evidenced at two parallelism
+levels per task instructions — no real multi-node cluster in sandbox).
+
+Corpus: deterministic synthetic transcripts (FIXTURES.md §1), seed 42,
+n_conv={r_hi["n_conv"]:,} -> {r_hi["n_turns"]:,} turns
+({r_hi["n_docs_indexed"]:,} indexed docs incl. conversation rollups), sf={r_hi["sf"]}.
+
+| parallelism | index build (s) | build throughput (turns/s) | query p50 (s) | query p95 (s) |
+| --- | --- | --- | --- | --- |
+| local[{lo}]  (N)  | {t_lo:.2f} | {thr_lo:,.0f} | {r_lo["query_p50_sec"]:.3f} | {r_lo["query_p95_sec"]:.3f} |
+| local[{hi}] (4N) | {t_hi:.2f} | {thr_hi:,.0f} | {r_hi["query_p50_sec"]:.3f} | {r_hi["query_p95_sec"]:.3f} |
+
+**Scaling efficiency N -> 4N = throughput(4N) / (4 x throughput(N)) =
+{eff:.3f}** (target >= 0.8 per BASELINE.json).
+
+Full bench JSON (local[{hi}]):
+
+```json
+{json.dumps(r_hi, indent=2)}
+```
+
+Full bench JSON (local[{lo}]):
+
+```json
+{json.dumps(r_lo, indent=2)}
+```
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(json.dumps({"efficiency": round(eff, 3), "t8": t_lo, "t32": t_hi}))
+
+
+if __name__ == "__main__":
+    main()

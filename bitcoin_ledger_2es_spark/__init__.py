@@ -1,0 +1,25 @@
+"""PySpark-native inverted-index + BM25 top-k engine.
+
+A from-scratch replacement for the Elasticsearch indexing/query layer of
+the reference ETL pipeline (`wenweih/bitcoin-ledger-2es`), re-expressed
+Spark-first over Iceberg-shaped transcript tables. See SURVEY.md for the
+capability map. The reference mount is empty in this sandbox (SURVEY.md
+§0), so parity targets are cited to BASELINE.json and public
+Elasticsearch/Lucene + IR-literature semantics rather than file:line.
+"""
+
+from .config import DEFAULT, EngineConfig
+from .oracle import PandasOracle
+from .plans.build import IndexFrames, build_index, read_index, write_index
+from .plans.query import BM25Searcher
+
+__all__ = [
+    "DEFAULT",
+    "EngineConfig",
+    "PandasOracle",
+    "IndexFrames",
+    "build_index",
+    "read_index",
+    "write_index",
+    "BM25Searcher",
+]

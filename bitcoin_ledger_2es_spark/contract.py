@@ -1,0 +1,517 @@
+"""Driver-contract query catalog: Spark queries + DuckDB oracle SQL.
+
+One entry per implemented operator from SURVEY.md §2 (the ES/Lucene query
+surface B*, the reference-ETL analogues A*, the engine's text/IR layer, and
+the training-data pipeline ops). Every SQL-expressible entry has a DuckDB
+oracle returning the SAME column names and (rounded) values, so the
+driver's row-count + schema + order-insensitive value-hash check passes;
+genuinely non-SQL ops (the indexed BM25 engine itself, approx dedup/ANN)
+are exported without an oracle and get the rows-only check.
+
+Parity rules used throughout:
+  * every computed column aliased identically in Spark and SQL;
+  * floats rounded to 6 (or 5) decimals on BOTH sides;
+  * any LIMIT/top-k goes through an explicit total order (unique
+    tie-break) so both engines select the same rows;
+  * timestamps emitted as formatted strings (engine-neutral hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+TOK = r"\w+"
+BM25_QUERY = ["spark", "table", "join", "scan"]
+BM25_K = 20
+AND_TERMS = ["spark", "join"]
+STOPWORDS = ["the", "a", "of", "to", "and", "in"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "simple": ["data", "row", "table"],
+    "tech": ["spark", "query", "join"],
+}
+FP_MOD = 1_000_000_007
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _toks(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOK), 0)
+
+
+# DuckDB-side tokenizer expression (same \w+ semantics)
+SQL_TOKS = "regexp_extract_all(lower({col}), '\\w+')"
+
+
+# ---------------------------------------------------------------------------
+# B*: ES/Lucene query-DSL analogues over the driver tables
+
+def q_range_query(spark, sf_dir):  # B6
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= "2024-01-03")
+            & (F.col("ts") < "2024-01-06")
+            & (F.col("value") > 50.0)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+SQL_RANGE_QUERY = """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-06' AND value > 50.0
+GROUP BY event_type
+"""
+
+
+def q_sort_topk(spark, sf_dir):  # B8
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price"))
+    )
+
+
+SQL_SORT_TOPK = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_pagination(spark, sf_dir):  # B9: from/size = rows 21..40 of the ranking
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .select("rn", "o_orderkey", F.round("o_totalprice", 6).alias("price"))
+    )
+
+
+SQL_PAGINATION = """
+SELECT rn, o_orderkey, price FROM (
+  SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         o_orderkey, round(o_totalprice, 6) AS price
+  FROM orders
+) WHERE rn > 20 AND rn <= 40
+"""
+
+
+def q_terms_agg(spark, sf_dir):  # B10: top buckets by doc count
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("lang"))
+        .limit(3)
+    )
+
+
+SQL_TERMS_AGG = """
+SELECT lang, count(*) AS doc_count FROM documents
+GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 3
+"""
+
+
+def q_date_histogram(spark, sf_dir):  # B11
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+SQL_DATE_HISTOGRAM = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_stats_agg(spark, sf_dir):  # B12 (TPC-H Q1 shape)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_cardinality(spark, sf_dir):  # B13 (exact; HLL++ variant is rows-only q_hll)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("unique_users"))
+    )
+
+
+SQL_CARDINALITY = """
+SELECT event_type, count(DISTINCT user_id) AS unique_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_percentiles(spark, sf_dir):  # B14
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        )
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_composite_agg(spark, sf_dir):  # B15
+    df = _t(spark, sf_dir, "documents")
+    df.createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+        FROM documents_v GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+SQL_COMPOSITE_AGG = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+"""
+
+
+def q_top_hits(spark, sf_dir):  # B16: top-2 docs per lang bucket
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("lang", "rn", "doc_id", "n_chars")
+    )
+
+
+SQL_TOP_HITS = """
+SELECT lang, rn, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A*: reference-ETL relational analogues
+
+def q_join_revenue(spark, sf_dir):  # A4: equi-join chain + agg
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+SQL_JOIN_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_balance_rollup(spark, sf_dir):  # A5: per-key balance = sum of amounts
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("balance"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("balance"), F.asc("o_custkey"))
+        .limit(50)
+    )
+    return top
+
+
+SQL_BALANCE_ROLLUP = """
+SELECT o_custkey, round(sum(o_totalprice), 6) AS balance, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY balance DESC, o_custkey ASC LIMIT 50
+"""
+
+
+def q_anti_join(spark, sf_dir):  # A7 reorg-delete analogue: keys absent downstream
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_nationkey, count(*) AS n_customers_without_orders
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(s, n["n_nationkey"] == s["s_nationkey"], "left_semi").select("n_nationkey", "n_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_json_extract(spark, sf_dir):  # events.props JSON -> typed field + agg
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 6).alias("avg_k"), F.max("k").alias("max_k"))
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, round(avg(k), 6) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, cast(json_extract(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_window_lag(spark, sf_dir):  # analytic window: per-user increase count
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("value") > F.col("prev")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_increases"))
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT user_id, count(*) AS n_increases FROM (
+  SELECT user_id, value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+) WHERE prev IS NOT NULL AND value > prev
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# B1-B4: analyzer + BM25 over the `documents` corpus, fully relational
+# (the indexed engine path is exercised by entry() and the pytest oracle
+# gate; this SQL-expressible replica proves scoring parity against DuckDB)
+
+def _doc_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", _toks(F.col("text")).alias("toks"))
+    return d.withColumn("dl", F.size("toks"))
+
+
+def _bm25_relational(spark, sf_dir, terms: list[str], mode: str, k: int):
+    """BM25 (k1=1.2, b=0.75) via pure DataFrame ops; rank by rounded score."""
+    d = _doc_tokens(spark, sf_dir).cache()
+    n_docs_avgdl = d.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    n_docs, avgdl = int(n_docs_avgdl["n"]), float(n_docs_avgdl["a"])
+    tok = d.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(terms)
+    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("idf", F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (1.2 + 1.0))
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score"), F.count("*").alias("n_terms")
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_terms") == len(set(terms)))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _sql_bm25(terms: list[str], mode: str, k: int) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    and_filter = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.tok AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '\\w+')) AS u(tok)
+),
+dls AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+  WHERE t.term IN ({term_list}) GROUP BY t.doc_id, t.term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+  FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+),
+agg AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score, count(*) AS n_terms
+  FROM scored GROUP BY doc_id {and_filter}
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_topk(spark, sf_dir):  # B3 match query, OR, top-k
+    return _bm25_relational(spark, sf_dir, BM25_QUERY, "or", BM25_K)
+
+
+SQL_BM25_TOPK = _sql_bm25(BM25_QUERY, "or", BM25_K)
+
+
+def q_term_query(spark, sf_dir):  # B2 single exact term
+    return _bm25_relational(spark, sf_dir, ["window"], "or", 10)
+
+
+SQL_TERM_QUERY = _sql_bm25(["window"], "or", 10)
+
+
+def q_bool_and_query(spark, sf_dir):  # B4 bool must
+    return _bm25_relational(spark, sf_dir, AND_TERMS, "and", 10)
+
+
+SQL_BOOL_AND_QUERY = _sql_bm25(AND_TERMS, "and", 10)
+
+
+def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(30)
+    )
+
+
+SQL_TOKENIZE_TERM_COUNTS = """
+SELECT u.tok AS term, count(*) AS n
+FROM documents, unnest(regexp_extract_all(lower(text), '\\w+')) AS u(tok)
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry (training-data pipeline ops live in contract_pipeline.py)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "range_query": q_range_query,
+    "sort_topk": q_sort_topk,
+    "pagination": q_pagination,
+    "terms_agg": q_terms_agg,
+    "date_histogram": q_date_histogram,
+    "stats_agg": q_stats_agg,
+    "cardinality": q_cardinality,
+    "percentiles": q_percentiles,
+    "composite_agg": q_composite_agg,
+    "top_hits": q_top_hits,
+    "join_revenue": q_join_revenue,
+    "balance_rollup": q_balance_rollup,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "json_extract": q_json_extract,
+    "window_lag": q_window_lag,
+    "bm25_topk": q_bm25_topk,
+    "term_query": q_term_query,
+    "bool_and_query": q_bool_and_query,
+    "tokenize_term_counts": q_tokenize_term_counts,
+}
+
+ORACLE: dict[str, str] = {
+    "range_query": SQL_RANGE_QUERY,
+    "sort_topk": SQL_SORT_TOPK,
+    "pagination": SQL_PAGINATION,
+    "terms_agg": SQL_TERMS_AGG,
+    "date_histogram": SQL_DATE_HISTOGRAM,
+    "stats_agg": SQL_STATS_AGG,
+    "cardinality": SQL_CARDINALITY,
+    "percentiles": SQL_PERCENTILES,
+    "composite_agg": SQL_COMPOSITE_AGG,
+    "top_hits": SQL_TOP_HITS,
+    "join_revenue": SQL_JOIN_REVENUE,
+    "balance_rollup": SQL_BALANCE_ROLLUP,
+    "anti_join": SQL_ANTI_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "json_extract": SQL_JSON_EXTRACT,
+    "window_lag": SQL_WINDOW_LAG,
+    "bm25_topk": SQL_BM25_TOPK,
+    "term_query": SQL_TERM_QUERY,
+    "bool_and_query": SQL_BOOL_AND_QUERY,
+    "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,
+}

@@ -1,0 +1,270 @@
+"""Per-shard top-k scoring: block-max WAND + vectorized exact scorer (C7-C9).
+
+Sharding mirrors Elasticsearch's architecture: every shard holds the full
+posting data for its contiguous doc_id range, so top-k within a shard is
+exact and shards are embarrassingly parallel; the coordinator (driver)
+merges per-shard heaps rank-stably (SURVEY.md §3.2/§3.4, B20).
+
+Two rank-identical scorers:
+
+  * ``score_shard_bmw`` — document-at-a-time WAND with per-block max-score
+    skipping (Ding & Suel, SIGIR 2011): blocks whose upper bound cannot
+    beat the running threshold theta are never decoded. Wins when posting
+    lists are long (head terms at 100 TB scale).
+  * ``score_shard_exact`` — decode all candidate blocks, one fused numpy
+    pass over a dense per-shard score array. Wins when the candidate set
+    is small; also the oracle-shaped reference for the BMW path.
+
+Both honor the determinism contract (functions/bm25.py): f64 accumulation
+in ascending term_id order, f32 emission, ties (score desc, doc_id asc).
+Safety of pruning under f32 quantization: stored block maxes are rounded
+UP one ulp and upper-bound sums are inflated by 1e-6 relative before the
+strict ``> theta`` comparison, so a pruned document provably cannot enter
+the heap; evaluation of survivors is exact.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+from ..functions.bm25 import contrib
+from ..functions.codec import decode_doc_gaps, decode_tfs
+
+_INF = np.int64(2**62)
+_UB_SLACK = 1.0 + 1e-6
+
+
+class _TermList:
+    """Cursor over one term's posting blocks within a shard (lazy decode)."""
+
+    __slots__ = (
+        "term_id", "idf", "weight", "firsts", "lasts", "ns", "maxs",
+        "deltas", "tfbufs", "bi", "docs", "tfs", "ii", "cur", "sigma",
+    )
+
+    def __init__(self, term_id, t_idf, weight, blocks: pd.DataFrame):
+        b = blocks.sort_values("block_id")
+        self.term_id = term_id
+        self.idf = float(t_idf)
+        self.weight = float(weight)
+        self.firsts = b["first_doc_id"].to_numpy(np.int64)
+        self.lasts = b["last_doc_id"].to_numpy(np.int64)
+        self.ns = b["n_docs"].to_numpy(np.int64)
+        self.maxs = b["block_max_score"].to_numpy(np.float64)
+        self.deltas = b["doc_id_deltas"].tolist()
+        self.tfbufs = b["tfs"].tolist()
+        self.bi = -1
+        self.docs = self.tfs = None
+        self.ii = 0
+        self.cur = _INF
+        self.sigma = self.weight * float(self.maxs.max())  # shard-local list bound
+        self._load(0)
+
+    def _load(self, bi: int):
+        if bi >= len(self.firsts):
+            self.bi = len(self.firsts)
+            self.cur = _INF
+            return
+        self.bi = bi
+        self.docs = decode_doc_gaps(self.deltas[bi], int(self.firsts[bi]), int(self.ns[bi]))
+        self.tfs = decode_tfs(self.tfbufs[bi])
+        self.ii = 0
+        self.cur = self.docs[0]
+
+    def block_max(self) -> float:
+        """Upper bound (weighted) for any doc at/after cur in current block."""
+        if self.bi >= len(self.firsts):
+            return 0.0
+        return self.weight * self.maxs[self.bi]
+
+    def next(self):
+        """Advance one posting."""
+        self.ii += 1
+        if self.docs is not None and self.ii < len(self.docs):
+            self.cur = self.docs[self.ii]
+        else:
+            self._load(self.bi + 1)
+
+    def seek(self, target: np.int64):
+        """Advance to first doc >= target, skipping whole blocks undecoded."""
+        if self.cur >= target:
+            return
+        bi = self.bi
+        # skip blocks whose last doc < target WITHOUT decoding
+        if self.lasts[bi] < target:
+            bi = int(np.searchsorted(self.lasts, target, side="left"))
+            if bi >= len(self.firsts):
+                self.bi = bi
+                self.cur = _INF
+                return
+            self._load(bi)
+        j = int(np.searchsorted(self.docs, target, side="left"))
+        if j < len(self.docs):
+            self.ii = j
+            self.cur = self.docs[j]
+        else:
+            self._load(self.bi + 1)
+
+    def tf_at_cur(self) -> int:
+        return int(self.tfs[self.ii])
+
+
+def _push(heap, k, score32: np.float32, doc_id: int) -> float:
+    """Maintain min-heap of (score_f32, -doc_id); return new theta."""
+    item = (float(score32), -int(doc_id))
+    if len(heap) < k:
+        heapq.heappush(heap, item)
+    elif item > heap[0]:
+        heapq.heapreplace(heap, item)
+    return heap[0][0] if len(heap) == k else -np.inf
+
+
+def _score_doc(lists_at_doc: list[_TermList], dl: float, avgdl: float, k1: float, b: float) -> np.float32:
+    """Exact doc score: f64 accumulation in ascending term_id order."""
+    s = 0.0
+    for tl in sorted(lists_at_doc, key=lambda t: t.term_id):
+        s += tl.weight * float(contrib(np.float64(tl.tf_at_cur()), np.float64(dl), tl.idf, avgdl, k1, b))
+    return np.float32(s)
+
+
+def _emit(heap) -> pd.DataFrame:
+    items = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([-d for _, d in items], dtype=np.int64),
+            "score": np.array([s for s, _ in items], dtype=np.float32),
+        }
+    )
+
+
+def score_shard_bmw(
+    term_lists: list[_TermList],
+    dl_lookup,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Exact top-k via block-max WAND (OR / weak-AND semantics)."""
+    heap: list[tuple[float, int]] = []
+    theta = -np.inf
+    lists = [t for t in term_lists if t.cur < _INF]
+    while lists:
+        lists.sort(key=lambda t: t.cur)
+        # pivot: first prefix whose sigma-sum could beat theta
+        acc, pivot = 0.0, -1
+        for i, tl in enumerate(lists):
+            acc += tl.sigma
+            if acc * _UB_SLACK > theta:
+                pivot = i
+                break
+        if pivot == -1:
+            break  # no prefix can beat theta -> done
+        pivot_doc = lists[pivot].cur
+        if pivot_doc >= _INF:
+            break
+        if lists[0].cur == pivot_doc:
+            # aligned: lists[0..m] sit on pivot_doc; BMW refinement check
+            at_doc = [tl for tl in lists if tl.cur == pivot_doc]
+            ub = sum(tl.block_max() for tl in at_doc)
+            if len(heap) < k or ub * _UB_SLACK > theta:
+                s32 = _score_doc(at_doc, dl_lookup(int(pivot_doc)), avgdl, k1, b)
+                theta = _push(heap, k, s32, int(pivot_doc))
+            for tl in at_doc:
+                tl.next()
+        else:
+            # not aligned: seek the lagging list up to the pivot doc
+            lists[0].seek(pivot_doc)
+        lists = [t for t in lists if t.cur < _INF]
+    return _emit(heap)
+
+
+def score_shard_conjunction(
+    term_lists: list[_TermList],
+    dl_lookup,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Exact top-k for bool-must (AND): lead with the rarest list, block-skip
+    seek the others; score docs present in every list."""
+    heap: list[tuple[float, int]] = []
+    if not term_lists or any(t.cur >= _INF for t in term_lists):
+        return _emit(heap)
+    lead = min(term_lists, key=lambda t: len(t.firsts))
+    others = [t for t in term_lists if t is not lead]
+    while lead.cur < _INF:
+        target = lead.cur
+        ok = True
+        for tl in others:
+            tl.seek(target)
+            if tl.cur != target:
+                ok = False
+                if tl.cur >= _INF:
+                    return _emit(heap)
+                lead.seek(tl.cur)
+                break
+        if ok:
+            s32 = _score_doc(term_lists, dl_lookup(int(target)), avgdl, k1, b)
+            _push(heap, k, s32, int(target))
+            lead.next()
+    return _emit(heap)
+
+
+def score_shard_exact(
+    term_meta: list[tuple[int, float, float, pd.DataFrame]],
+    shard_base: int,
+    dl: np.ndarray,
+    allowed: np.ndarray | None,
+    k: int,
+    mode: str,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Vectorized exact scorer over a dense per-shard array.
+
+    ``term_meta``: [(term_id, idf, weight, blocks_pdf)] sorted by term_id.
+    ``dl``: doc_len array indexed by (doc_id - shard_base).
+    ``allowed``: optional boolean mask (non-scoring filter context, B4/B6).
+    """
+    span = len(dl)
+    scores = np.zeros(span, dtype=np.float64)
+    seen = np.zeros(span, dtype=np.int32)
+    for term_id, t_idf, weight, blocks in sorted(term_meta, key=lambda m: m[0]):
+        docs_parts, tf_parts = [], []
+        for r in blocks.itertuples(index=False):
+            docs_parts.append(decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)))
+            tf_parts.append(decode_tfs(r.tfs))
+        if not docs_parts:
+            continue
+        docs = np.concatenate(docs_parts) - shard_base
+        tfs = np.concatenate(tf_parts)
+        c = weight * contrib(tfs, dl[docs], t_idf, avgdl, k1, b)
+        scores[docs] += c
+        seen[docs] += 1
+    mask = seen == len(term_meta) if mode == "and" else seen > 0
+    if allowed is not None:
+        mask &= allowed
+    cand = np.flatnonzero(mask)
+    if cand.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float32)})
+    s32 = scores[cand].astype(np.float32)
+    if cand.size > k:
+        # partial-select a tie-safe superset, then exact ordering within it
+        kth = np.partition(-s32, k - 1)[k - 1]
+        sup = np.flatnonzero(-s32 <= kth)
+        order = sup[np.lexsort((cand[sup], -s32[sup].astype(np.float64)))][:k]
+    else:
+        order = np.lexsort((cand, -s32.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (cand[order] + shard_base).astype(np.int64),
+            "score": s32[order],
+        }
+    )

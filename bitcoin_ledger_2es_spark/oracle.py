@@ -1,0 +1,96 @@
+"""Brute-force pandas/numpy BM25 oracle (SURVEY.md §5.3).
+
+Scores EVERY document for a query — no index, no pruning — and sorts by
+(score_f32 desc, doc_id asc). The engine's indexed/BMW path must return
+rank-identical (doc_id, score_f32) sequences. Golden outputs are produced
+by this oracle, never hand-written (FIXTURES.md §2).
+
+Scoring rules shared with the engine (functions/bm25.py):
+  * contributions accumulated in float64 in ascending term_id order
+    (term_id = rank of term in sorted vocab), quantized to float32 at the
+    end;
+  * duplicate query terms are occurrence-weighted (ES sums one clause per
+    occurrence);
+  * mode="and" requires every distinct in-vocabulary query term to occur —
+    and an out-of-vocabulary required term matches nothing (empty result),
+    mirroring an ES bool.must of a non-matching TermQuery.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from .config import DEFAULT, EngineConfig
+from .functions.analyze import analyze_query, tokenize_series
+from .functions.bm25 import contrib, idf
+
+
+class PandasOracle:
+    def __init__(self, docs: pd.DataFrame, cfg: EngineConfig = DEFAULT):
+        """docs: DataFrame with columns (doc_id int64, text str)."""
+        self.cfg = cfg
+        d = docs.sort_values("doc_id").reset_index(drop=True)
+        toks = tokenize_series(d["text"], cfg)
+        self.doc_ids = d["doc_id"].to_numpy(dtype=np.int64)
+        self.doc_len = toks.str.len().to_numpy(dtype=np.int64)
+        self.n_docs = len(d)
+        self.avgdl = float(self.doc_len.mean()) if self.n_docs else 0.0
+        # postings: term -> (row indices, tfs)
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        by_term: dict[str, dict[int, int]] = {}
+        for row, ts in enumerate(toks):
+            for t, c in Counter(ts).items():
+                by_term.setdefault(t, {})[row] = c
+        for t, m in by_term.items():
+            rows = np.fromiter(m.keys(), dtype=np.int64)
+            tfs = np.fromiter(m.values(), dtype=np.int64)
+            order = np.argsort(rows)
+            self.postings[t] = (rows[order], tfs[order])
+        # term_id = rank in sorted vocabulary (matches engine dictionary)
+        self.term_id = {t: i for i, t in enumerate(sorted(by_term))}
+
+    def top_k(self, query_text: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
+        """Returns (rank, doc_id, score) with score float32, rank 1-based."""
+        cfg = self.cfg
+        terms = analyze_query(query_text, cfg)
+        weights = Counter(terms)
+        in_vocab = [t for t in weights if t in self.postings]
+        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32)})
+        if not terms:
+            return empty
+        if mode == "and" and (len(in_vocab) < len(weights)):
+            return empty  # a required term matches nothing
+        if not in_vocab:
+            return empty
+
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        seen_count = np.zeros(self.n_docs, dtype=np.int64)
+        # accumulate in ascending term_id order (determinism contract)
+        for t in sorted(in_vocab, key=lambda t: self.term_id[t]):
+            rows, tfs = self.postings[t]
+            t_idf = idf(float(len(rows)), self.n_docs)
+            c = contrib(tfs, self.doc_len[rows], t_idf, self.avgdl, cfg.k1, cfg.b)
+            scores[rows] += weights[t] * c
+            seen_count[rows] += 1
+        if mode == "and":
+            mask = seen_count == len(in_vocab)
+        else:
+            mask = seen_count > 0
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return empty
+        s32 = scores[cand].astype(np.float32)
+        order = np.lexsort((self.doc_ids[cand], -s32.astype(np.float64)))
+        top = order[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+                "doc_id": self.doc_ids[cand][top],
+                "score": s32[top],
+            }
+        )

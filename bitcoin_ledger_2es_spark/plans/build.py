@@ -1,0 +1,164 @@
+"""Index build plan (SURVEY.md §3.3): transcripts -> inverted index.
+
+Pipeline (two wide shuffles total for the heavy table, everything else is
+small or rides existing partitioning):
+
+    read transcripts
+      -> conversation_offsets (agg + tiny prefix-sum)          [shuffle: conv]
+      -> assign_doc_ids (join + bounded window, same shuffle)
+      -> (+ rollup docs)                                        [agg on conv]
+      -> tokenize (Arrow pandas UDF) + doc stats
+      -> SPIMI triples groupBy(term, doc) w/ partial agg       [shuffle: term,doc]
+      -> dictionary (agg + prefix-rank)
+      -> join term_id/df back, shard by doc range
+      -> block build per shard (applyInPandas)                 [shuffle: shard]
+      -> postings/dictionary/docmap/corpus_stats (+ lineage)
+
+All content is a pure function of the input (stable ids, fixed config), so
+builds are byte-identical across parallelism and across resume.
+
+``build_index`` returns in-memory DataFrames; ``write_index`` persists them
+partitioned for query-time pruning. The resumable, lineage-checkpointed
+variant lives in plans/lineage.py / plans/resume.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.analyze import tokenize_col
+from ..operators.ids import assign_doc_ids, conversation_offsets
+from ..operators.postings import (
+    build_dictionary,
+    build_postings,
+    build_triples,
+    with_shard,
+)
+from ..operators.rollup import rollup_docs
+
+
+@dataclass
+class IndexFrames:
+    docmap: DataFrame
+    corpus_stats: DataFrame
+    dictionary: DataFrame
+    postings: DataFrame
+    n_docs: int
+    avgdl: float
+    cfg: EngineConfig
+
+
+def tokenized_documents(transcripts: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
+    """-> (docs, offsets): docs = (doc_id, conv_id, turn_idx, is_rollup,
+    toks, doc_len) for turns and (optionally) conversation rollups."""
+    offsets = conversation_offsets(transcripts)
+    turns = assign_doc_ids(transcripts, offsets).select(
+        "doc_id", "conv_id", "turn_idx", "text", F.lit(False).alias("is_rollup")
+    )
+    docs = turns
+    if cfg.index_rollups:
+        n_turns = offsets.agg(F.sum("n_turns")).collect()[0][0] or 0
+        docs = docs.unionByName(
+            rollup_docs(transcripts, offsets, int(n_turns)).select(
+                "doc_id", "conv_id", "turn_idx", "text", "is_rollup"
+            )
+        )
+    docs = docs.withColumn("toks", tokenize_col(F.col("text"), cfg)).withColumn(
+        "doc_len", F.size("toks").cast("int")
+    )
+    return docs.drop("text"), offsets
+
+
+def build_index(
+    transcripts: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    cache: bool = True,
+) -> IndexFrames:
+    docs, _ = tokenized_documents(transcripts, cfg)
+    if cache:
+        docs = docs.persist()
+
+    docmap = with_shard(
+        docs.select("doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"), cfg
+    )
+    if cache:
+        docmap = docmap.persist()
+    n_docs, avgdl = docmap.agg(
+        F.count("*"), F.avg("doc_len")
+    ).collect()[0]
+    n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+
+    triples = build_triples(docs.select("doc_id", "doc_len", "toks"))
+    dictionary = build_dictionary(triples)  # already persisted by prefix-rank
+
+    enriched = with_shard(
+        triples.join(dictionary.select("term", "term_id", "df"), "term").drop("term"),
+        cfg,
+    )
+    postings = build_postings(enriched, n_docs, avgdl, cfg)
+    if cache:
+        postings = postings.persist()
+
+    # dictionary max_score = max over the term's blocks (WAND list bound)
+    dict_full = dictionary.join(
+        postings.groupBy("term_id").agg(F.max("block_max_score").alias("max_score")),
+        "term_id",
+        "left",
+    ).select("term", "term_id", "df", "cf", "max_score")
+    if cache:
+        # materialize once: repeated queries must not re-derive the
+        # dictionary (postings scan + join) or docmap per query
+        dict_full = dict_full.persist()
+        dict_full.count()
+        postings.count()
+
+    spark = transcripts.sparkSession
+    stats = spark.createDataFrame(
+        [(n_docs, avgdl, cfg.k1, cfg.b)], "n_docs long, avgdl double, k1 double, b double"
+    )
+    return IndexFrames(docmap, stats, dict_full, postings, n_docs, avgdl, cfg)
+
+
+def write_index(ix: IndexFrames, path: str, mode: str = "overwrite") -> None:
+    """Persist the index, laid out for query-time pruning:
+
+    * postings partitioned by shard_id (per-shard files -> the query's
+      cogroup reads only its shard) and sorted by (term_id, block_id) within
+      files so parquet row-group min/max stats prune non-query terms;
+    * docmap partitioned by shard for the same reason;
+    * dictionary sorted by term (binary-search-friendly, predicate pushdown
+      on term string at query time).
+    """
+    (
+        ix.docmap.repartition("shard_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(f"{path}/docmap")
+    )
+    (
+        ix.postings.repartition("shard_id")
+        .sortWithinPartitions("term_id", "block_id")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(f"{path}/postings")
+    )
+    p = ix.dictionary.sparkSession.sparkContext.defaultParallelism
+    ix.dictionary.repartitionByRange(p, "term").sortWithinPartitions("term").write.mode(
+        mode
+    ).parquet(f"{path}/dictionary")
+    ix.corpus_stats.coalesce(1).write.mode(mode).parquet(f"{path}/corpus_stats")
+
+
+def read_index(spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT) -> IndexFrames:
+    docmap = spark.read.parquet(f"{path}/docmap")
+    postings = spark.read.parquet(f"{path}/postings")
+    dictionary = spark.read.parquet(f"{path}/dictionary")
+    stats = spark.read.parquet(f"{path}/corpus_stats")
+    n_docs, avgdl, k1, b = stats.collect()[0]
+    cfg = cfg.with_(k1=float(k1), b=float(b))
+    return IndexFrames(docmap, stats, dictionary, postings, int(n_docs), float(avgdl), cfg)

@@ -1,0 +1,198 @@
+"""Lineage + resumable index build (SURVEY.md C12/C13, north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The build is decomposed into idempotent stages, each logged to an
+append-only ``lineage`` parquet table:
+
+    stage 'docmap'        partition_id = -1        (docmap + corpus_stats)
+    stage 'dictionary'    partition_id = -1        (term dictionary, no max_score yet)
+    stage 'postings'      partition_id = shard_id  (one row per committed shard)
+    stage 'finalize'      partition_id = -1        (dictionary max_score, _SUCCESS)
+
+Shards are committed in waves (cfg.n_waves Spark jobs); a killed build
+re-run with the same arguments:
+
+  * skips stages already COMPLETE in lineage;
+  * recomputes the (deterministic) upstream frames;
+  * anti-joins pending shards and builds only those;
+
+yielding a byte-identical index to an uninterrupted build. Parquet job
+commit makes each wave all-or-nothing: a wave that died mid-write left
+only uncommitted temporary files, which resume clears.
+
+Every lineage row carries rows_in/rows_out, a content checksum
+(sum of xxhash64 over the shard's postings rows), attempt, and
+started/finished timestamps — the per-partition metrics feed
+(rows/sec per stage is derivable from the log; see plans/metrics.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..operators.postings import build_dictionary, build_postings, build_triples, with_shard
+from .build import IndexFrames, read_index, tokenized_documents
+
+LINEAGE_DDL = (
+    "partition_id int, stage string, status string, rows_in long, rows_out long, "
+    "checksum string, attempt int, started_ts timestamp, finished_ts timestamp"
+)
+
+
+def _now():
+    return datetime.now(timezone.utc)
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    p = Path(path) / "lineage"
+    if p.exists() and any(p.glob("*.parquet")):
+        return spark.read.parquet(str(p))
+    return spark.createDataFrame([], LINEAGE_DDL)
+
+
+def _log(spark: SparkSession, path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, LINEAGE_DDL).coalesce(1).write.mode("append").parquet(
+        f"{path}/lineage"
+    )
+
+
+def _completed(lineage: DataFrame, stage: str) -> set[int]:
+    return {
+        r["partition_id"]
+        for r in lineage.filter(
+            (F.col("stage") == stage) & (F.col("status") == "COMPLETE")
+        ).select("partition_id").distinct().collect()
+    }
+
+
+def _shard_checksums(postings_on_disk: DataFrame, shards: list[int]) -> dict[int, tuple[int, str]]:
+    """(rows, checksum) per shard from the committed parquet — validates the
+    write and produces the lineage checksum in one columnar pass."""
+    rows = (
+        postings_on_disk.filter(F.col("shard_id").isin(shards))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.bit_xor(
+                F.xxhash64(
+                    "term_id", "block_id", "first_doc_id", "last_doc_id",
+                    "n_docs", "doc_id_deltas", "tfs",
+                )
+            ).alias("h"),
+        )
+        .collect()
+    )
+    return {r["shard_id"]: (r["n"], format(r["h"] & (2**64 - 1), "016x")) for r in rows}
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    path: str,
+    cfg: EngineConfig = DEFAULT,
+    _fail_after_wave: int | None = None,
+) -> IndexFrames:
+    """Build (or resume building) the on-disk index at ``path``.
+
+    ``_fail_after_wave`` is test-only fault injection: raise after N
+    committed waves to exercise the kill/resume/byte-identical contract.
+    """
+    lineage = read_lineage(spark, path)
+
+    # clean any uncommitted temporary output from a killed wave
+    tmp = Path(path) / "postings" / "_temporary"
+    if tmp.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- deterministic upstream (recomputed on resume; pure function of input)
+    docs, _ = tokenized_documents(transcripts, cfg)
+    docs = docs.persist()
+    docmap = with_shard(docs.select("doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"), cfg)
+    rows_in = transcripts.count()
+    n_docs, avgdl = docmap.agg(F.count("*"), F.avg("doc_len")).collect()[0]
+    n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+
+    # ---- stage: docmap + corpus_stats
+    if -1 not in _completed(lineage, "docmap"):
+        t0 = _now()
+        docmap.repartition("shard_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).partitionBy("shard_id").parquet(f"{path}/docmap")
+        spark.createDataFrame(
+            [(n_docs, avgdl, cfg.k1, cfg.b)], "n_docs long, avgdl double, k1 double, b double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus_stats")
+        _log(spark, path, [(-1, "docmap", "COMPLETE", rows_in, n_docs, "", 1, t0, _now())])
+
+    # ---- stage: dictionary (term ids + df/cf; max_score comes at finalize)
+    triples = build_triples(docs.select("doc_id", "doc_len", "toks"))
+    if -1 not in _completed(lineage, "dictionary"):
+        t0 = _now()
+        dictionary = build_dictionary(triples)
+        dictionary.write.mode("overwrite").parquet(f"{path}/dictionary_base")
+        n_terms = spark.read.parquet(f"{path}/dictionary_base").count()
+        _log(spark, path, [(-1, "dictionary", "COMPLETE", n_docs, n_terms, "", 1, t0, _now())])
+    dictionary = spark.read.parquet(f"{path}/dictionary_base")
+
+    # ---- stage: postings, in waves of shards
+    all_shards = list(range((max(n_docs - 1, 0) // cfg.docs_per_shard) + 1))
+    done = _completed(read_lineage(spark, path), "postings")
+    pending = [s for s in all_shards if s not in done]
+    if pending:
+        enriched = with_shard(
+            triples.join(dictionary.select("term", "term_id", "df"), "term").drop("term"), cfg
+        ).persist()
+        waves = max(1, min(cfg.n_waves, len(pending)))
+        chunk = -(-len(pending) // waves)
+        for w in range(waves):
+            wave_shards = pending[w * chunk : (w + 1) * chunk]
+            if not wave_shards:
+                break
+            t0 = _now()
+            wave_df = enriched.filter(F.col("shard_id").isin(wave_shards))
+            build_postings(wave_df, n_docs, avgdl, cfg).repartition(
+                "shard_id"
+            ).sortWithinPartitions("term_id", "block_id").write.mode("append").partitionBy(
+                "shard_id"
+            ).parquet(f"{path}/postings")
+            sums = _shard_checksums(spark.read.parquet(f"{path}/postings"), wave_shards)
+            t1 = _now()
+            _log(
+                spark,
+                path,
+                [
+                    (int(s), "postings", "COMPLETE", -1, int(sums.get(s, (0, ""))[0]),
+                     sums.get(s, (0, ""))[1], 1, t0, t1)
+                    for s in wave_shards
+                ],
+            )
+            if _fail_after_wave is not None and w + 1 >= _fail_after_wave:
+                enriched.unpersist()
+                docs.unpersist()
+                raise RuntimeError(f"injected failure after wave {w + 1}")
+        enriched.unpersist()
+
+    # ---- stage: finalize (dictionary max_score over committed postings)
+    if -1 not in _completed(read_lineage(spark, path), "finalize"):
+        t0 = _now()
+        postings = spark.read.parquet(f"{path}/postings")
+        dict_full = dictionary.join(
+            postings.groupBy("term_id").agg(F.max("block_max_score").alias("max_score")),
+            "term_id",
+            "left",
+        ).select("term", "term_id", "df", "cf", "max_score")
+        p = spark.sparkContext.defaultParallelism
+        dict_full.repartitionByRange(p, "term").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/dictionary")
+        _log(spark, path, [(-1, "finalize", "COMPLETE", -1, -1, "", 1, t0, _now())])
+
+    docs.unpersist()
+    ix = read_index(spark, path, cfg)
+    ix.cfg = cfg  # keep caller's full config (k1/b already round-trip)
+    return ix

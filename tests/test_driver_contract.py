@@ -1,0 +1,87 @@
+"""Local mimic of the driver's oracle gate: run every queries() entry and
+its oracle_sql() side-by-side (DuckDB) at sf0.001 and require identical
+row counts, column names, and (order-insensitively) identical values.
+Stricter than the driver's hash check: we compare exact values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+def test_all_oracled_queries_match(spark, entry_mod, duck):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    failures = []
+    for name, sql in oracles.items():
+        got = qs[name](spark, SF_DIR).toPandas()
+        exp = duck.sql(sql).df()
+        if sorted(got.columns) != sorted(exp.columns):
+            failures.append((name, f"columns {sorted(got.columns)} != {sorted(exp.columns)}"))
+            continue
+        if len(got) != len(exp):
+            failures.append((name, f"rows {len(got)} != {len(exp)}"))
+            continue
+        g, e = _canon(got), _canon(exp)
+        bad = None
+        for c in g.columns:
+            for i, (x, y) in enumerate(zip(g[c].tolist(), e[c].tolist())):
+                if not _values_equal(x, y):
+                    bad = f"col {c} row {i}: {x!r} != {y!r}"
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, bad))
+    assert not failures, failures
+
+
+def test_queries_without_oracle_run(spark, entry_mod):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in set(qs) - set(oracles):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name  # runs and has a stable schema
+        assert df.columns
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert {"rank", "doc_id", "score"} <= set(pdf.columns)

@@ -1,0 +1,40 @@
+import pandas as pd
+
+from bitcoin_ledger_2es_spark.config import DEFAULT
+from bitcoin_ledger_2es_spark.functions.analyze import (
+    analyze_query,
+    tokenize_col,
+    tokenize_series,
+    tokenize_sql_builtin,
+)
+from pyspark.sql import functions as F
+
+
+def test_tokenize_series_golden():
+    s = pd.Series(["Hello, World!  foo_bar 42", "", None, "a  b\tc\nd"])
+    out = tokenize_series(s, DEFAULT).tolist()
+    assert out == [["hello", "world", "foo_bar", "42"], [], [], ["a", "b", "c", "d"]]
+
+
+def test_query_analyzer_matches_index_analyzer():
+    texts = ["Hello, World! foo_bar 42", "", "a  b\tc"]
+    assert [analyze_query(t) for t in texts] == tokenize_series(pd.Series(texts)).tolist()
+
+
+def test_udf_matches_builtin_and_pandas(spark, tiny_df):
+    df = tiny_df.limit(500).select(
+        "text",
+        tokenize_col(F.col("text")).alias("udf_toks"),
+        tokenize_sql_builtin(F.col("text")).alias("jvm_toks"),
+    )
+    pdf = df.toPandas()
+    expected = tokenize_series(pdf["text"]).tolist()
+    assert pdf["udf_toks"].apply(list).tolist() == expected
+    assert pdf["jvm_toks"].apply(list).tolist() == expected
+
+
+def test_doc_len_and_empty_turns(tiny_pdf):
+    toks = tokenize_series(tiny_pdf["text"])
+    lens = toks.str.len()
+    assert (lens == tiny_pdf["text"].str.split().str.len().fillna(0)).all()
+    assert (lens == 0).sum() > 0  # ~2% empty turns exist
