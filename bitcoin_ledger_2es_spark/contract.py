@@ -468,7 +468,7 @@ GROUP BY term ORDER BY n DESC, term ASC LIMIT 30
 
 
 # ---------------------------------------------------------------------------
-# registry (training-data pipeline ops live in contract_pipeline.py)
+# registry (training-data pipeline ops merged from contract_pipeline.py)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_query": q_range_query,
@@ -515,3 +515,8 @@ ORACLE: dict[str, str] = {
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,
 }
+
+from .contract_pipeline import PIPELINE_ORACLE, PIPELINE_QUERIES  # noqa: E402
+
+QUERIES.update(PIPELINE_QUERIES)
+ORACLE.update(PIPELINE_ORACLE)

@@ -1,0 +1,302 @@
+"""Driver-contract entries for the training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Exact operators carry DuckDB oracles; inherently approximate ones
+(MinHash-LSH, SimHash, LSH-ANN, HLL) are exported without oracles (the
+driver records the weaker rows-only check) and are instead verified in
+pytest against exact ground truth (recall/precision assertions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import textstats as T
+
+JACCARD_T = 0.5
+JACCARD_SUBSET = 120  # self-join pairs bounded for the correctness run
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = D.exact_dedup(_t(spark, sf_dir, "documents"))
+    return d.agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.sum("n_dups").alias("n_docs"),
+        F.max("n_dups").alias("max_group"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT count(*) AS n_distinct_texts, sum(n) AS n_docs, max(n) AS max_group
+FROM (SELECT count(*) AS n FROM documents GROUP BY text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < JACCARD_SUBSET)
+    return D.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, u.tok AS gram
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id < {JACCARD_SUBSET}),
+       unnest(regexp_extract_all(lower(text), '\\w+')) AS u(tok)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {JACCARD_T}
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):  # approximate -> rows-only
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < JACCARD_SUBSET)
+    return D.minhash_lsh_pairs(docs, threshold=JACCARD_T, num_perm=64, bands=32)
+
+
+def q_dedup_simhash(spark, sf_dir):  # approximate -> rows-only
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < JACCARD_SUBSET)
+    return D.simhash_pairs(docs, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_text_quality(spark, sf_dir):
+    return T.quality_features(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_raw,
+       round(CASE WHEN len(toks) > 0
+             THEN length(regexp_replace(lower(text), '[^0-9a-z_]', '', 'g')) * 1.0 / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN len(toks) > 0 THEN stop_hits * 1.0 / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+       round(least(len(toks) / 100.0, 1.0) * 0.5
+             + (1.0 - least(CASE WHEN len(toks) > 0 THEN stop_hits * 1.0 / len(toks) ELSE 0.0 END * 2.0, 1.0)) * 0.3
+             + least(CASE WHEN len(toks) > 0
+                     THEN length(regexp_replace(lower(text), '[^0-9a-z_]', '', 'g')) * 1.0 / len(toks)
+                     ELSE 0.0 END / 8.0, 1.0) * 0.2, 6) AS quality_score
+FROM (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS toks,
+         len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+             x -> list_contains(['the','a','of','to','and','in'], x))) AS stop_hits
+  FROM documents
+)
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    markers = T.LANG_MARKERS
+    cnt = ",\n         ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in ms)
+        + f"], x))) AS c_{lang}"
+        for lang, ms in markers.items()
+    )
+    langs = list(markers)
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN {best} > 0 AND c_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    return f"""
+SELECT doc_id, {pred} AS pred_lang, {best} AS marker_hits
+FROM (
+  SELECT doc_id,
+         {cnt}
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents)
+)
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_count(F.col("text")).alias("n_bpe_pieces"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, len(toks) AS n_tokens,
+       coalesce(list_sum(list_transform(toks, t -> cast(ceil(length(t) / 4.0) AS BIGINT))), 0) AS n_bpe_pieces
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents)
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       sum(i * (31 * length(tok) + ascii(tok))) % {T.FP_MOD} AS fp,
+       count(*) AS n_tokens
+FROM (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents)
+)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _qv(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = e.filter(F.col("vec_id") >= 3)
+    return vectors, queries
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    v, q = _qv(spark, sf_dir)
+    return S.cosine_topk_bruteforce(v, q, k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id >= 3),
+     s AS (
+       SELECT q.q_id, v.vec_id AS neighbor_id,
+              list_dot_product(q.qv, v.ev)
+                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.ev, v.ev))) AS cosine
+       FROM q, v
+     )
+SELECT q_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):  # approximate -> rows-only
+    v, q = _qv(spark, sf_dir)
+    return S.ann_lsh_topk(v, q, k=10, n_planes=6, dim=64)
+
+
+def q_embedding_dedup(spark, sf_dir):  # approximate -> rows-only
+    v, _ = _qv(spark, sf_dir)
+    return S.embedding_cosine_dedup(v, threshold=0.3, n_planes=4, dim=64)
+
+
+def q_hll_cardinality(spark, sf_dir):  # B13 approx variant -> rows-only
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+def q_multimodal_meta(spark, sf_dir):
+    media = M.attach_payload(_t(spark, sf_dir, "documents"))
+    return M.decode_media_meta(media)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN octet_length(encode(text)) % 640 + 1
+         WHEN 1 THEN 0
+         ELSE octet_length(encode(text)) % 640 + 1 END AS width,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN (octet_length(encode(text)) * 7) % 480 + 1
+         WHEN 1 THEN 0
+         ELSE (octet_length(encode(text)) * 7) % 480 + 1 END AS height,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 1 WHEN 1 THEN 0
+         ELSE octet_length(encode(text)) % 300 + 1 END AS n_frames,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 1 THEN 8000 + octet_length(encode(text)) % 40000 ELSE 0 END AS sample_rate
+FROM documents
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    media = M.attach_payload(_t(spark, sf_dir, "documents"))
+    return M.frame_sample_plan(M.decode_media_meta(media), every_n=30)
+
+
+SQL_FRAME_SAMPLE = """
+WITH meta AS (
+  SELECT doc_id, octet_length(encode(text)) % 300 + 1 AS n_frames
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+)
+SELECT doc_id, u.f AS frame_idx
+FROM meta, unnest(generate_series(0, n_frames - 1, 30)) AS u(f)
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_dedup": q_embedding_dedup,
+    "hll_cardinality": q_hll_cardinality,
+    "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
+}
+
+PIPELINE_ORACLE: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "frame_sample": SQL_FRAME_SAMPLE,
+}

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * cosine_topk_bruteforce — exact: broadcast the (small) query set,
+    JVM-side zip_with/aggregate dot products, per-query top-k via a
+    ranking window. The baseline and the oracle-parity path.
+  * ann_lsh_topk — scale path: random-hyperplane LSH (fixed seeded
+    planes), bucket join on hash prefix, exact cosine within buckets,
+    per-query top-k. Approximate (recall < 1 when true neighbors land in
+    other buckets); multi-probe via ``n_tables`` signed projections.
+
+Everything is deterministic: hyperplanes come from a seeded numpy
+Generator materialized once on the driver and broadcast as literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (broadcast nested-loop +
+    vectorized JVM arithmetic; deterministic ties: cosine desc, id asc)."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    j = with_cosine(j, q_vec_col, vec_col)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", F.col(id_col).alias("neighbor_id"), F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Signed-projection bucket id: bit b = sign(<v, plane_b>)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in planes[b]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            >= 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(len(planes))
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    exact cosine + ranking within candidates. At 100 TB the bucket join
+    replaces the full cross join — shuffle bounded by bucket sizes."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    v = vectors.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    q = queries.withColumn("_bucket", lsh_bucket_col(F.col(q_vec_col), planes))
+    j = v.join(F.broadcast(q), "_bucket")
+    j = with_cosine(j, q_vec_col, vec_col)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", F.col(id_col).alias("neighbor_id"), F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_cosine_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
+    self-join + exact verification."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    v = vectors.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes)).select(
+        "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    v2 = v.select("_bucket", F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
+    pairs = v.join(v2, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = with_cosine(pairs, "va", "vb")
+    return (
+        pairs.filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )

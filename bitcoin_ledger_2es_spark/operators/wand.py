@@ -5,6 +5,10 @@ posting data for its contiguous doc_id range, so top-k within a shard is
 exact and shards are embarrassingly parallel; the coordinator (driver)
 merges per-shard heaps rank-stably (SURVEY.md §3.2/§3.4, B20).
 
+Posting blocks are impact-style: they inline the exact doc lengths, so the
+scorer is self-contained — a query reads ONLY the (term-pruned) postings,
+never the docmap (no per-query Arrow shipping of doc metadata).
+
 Two rank-identical scorers:
 
   * ``score_shard_bmw`` — document-at-a-time WAND with per-block max-score
@@ -42,7 +46,8 @@ class _TermList:
 
     __slots__ = (
         "term_id", "idf", "weight", "firsts", "lasts", "ns", "maxs",
-        "deltas", "tfbufs", "bi", "docs", "tfs", "ii", "cur", "sigma",
+        "deltas", "tfbufs", "dlbufs", "bi", "docs", "tfs", "dls", "ii",
+        "cur", "sigma",
     )
 
     def __init__(self, term_id, t_idf, weight, blocks: pd.DataFrame):
@@ -56,8 +61,9 @@ class _TermList:
         self.maxs = b["block_max_score"].to_numpy(np.float64)
         self.deltas = b["doc_id_deltas"].tolist()
         self.tfbufs = b["tfs"].tolist()
+        self.dlbufs = b["dls"].tolist()
         self.bi = -1
-        self.docs = self.tfs = None
+        self.docs = self.tfs = self.dls = None
         self.ii = 0
         self.cur = _INF
         self.sigma = self.weight * float(self.maxs.max())  # shard-local list bound
@@ -71,6 +77,7 @@ class _TermList:
         self.bi = bi
         self.docs = decode_doc_gaps(self.deltas[bi], int(self.firsts[bi]), int(self.ns[bi]))
         self.tfs = decode_tfs(self.tfbufs[bi])
+        self.dls = decode_tfs(self.dlbufs[bi])
         self.ii = 0
         self.cur = self.docs[0]
 
@@ -111,6 +118,9 @@ class _TermList:
     def tf_at_cur(self) -> int:
         return int(self.tfs[self.ii])
 
+    def dl_at_cur(self) -> int:
+        return int(self.dls[self.ii])
+
 
 def _push(heap, k, score32: np.float32, doc_id: int) -> float:
     """Maintain min-heap of (score_f32, -doc_id); return new theta."""
@@ -122,11 +132,12 @@ def _push(heap, k, score32: np.float32, doc_id: int) -> float:
     return heap[0][0] if len(heap) == k else -np.inf
 
 
-def _score_doc(lists_at_doc: list[_TermList], dl: float, avgdl: float, k1: float, b: float) -> np.float32:
+def _score_doc(lists_at_doc: list[_TermList], avgdl: float, k1: float, b: float) -> np.float32:
     """Exact doc score: f64 accumulation in ascending term_id order."""
     s = 0.0
+    dl = np.float64(lists_at_doc[0].dl_at_cur())
     for tl in sorted(lists_at_doc, key=lambda t: t.term_id):
-        s += tl.weight * float(contrib(np.float64(tl.tf_at_cur()), np.float64(dl), tl.idf, avgdl, k1, b))
+        s += tl.weight * float(contrib(np.float64(tl.tf_at_cur()), dl, tl.idf, avgdl, k1, b))
     return np.float32(s)
 
 
@@ -142,7 +153,6 @@ def _emit(heap) -> pd.DataFrame:
 
 def score_shard_bmw(
     term_lists: list[_TermList],
-    dl_lookup,
     k: int,
     avgdl: float,
     k1: float,
@@ -171,7 +181,7 @@ def score_shard_bmw(
             at_doc = [tl for tl in lists if tl.cur == pivot_doc]
             ub = sum(tl.block_max() for tl in at_doc)
             if len(heap) < k or ub * _UB_SLACK > theta:
-                s32 = _score_doc(at_doc, dl_lookup(int(pivot_doc)), avgdl, k1, b)
+                s32 = _score_doc(at_doc, avgdl, k1, b)
                 theta = _push(heap, k, s32, int(pivot_doc))
             for tl in at_doc:
                 tl.next()
@@ -184,7 +194,6 @@ def score_shard_bmw(
 
 def score_shard_conjunction(
     term_lists: list[_TermList],
-    dl_lookup,
     k: int,
     avgdl: float,
     k1: float,
@@ -209,7 +218,7 @@ def score_shard_conjunction(
                 lead.seek(tl.cur)
                 break
         if ok:
-            s32 = _score_doc(term_lists, dl_lookup(int(target)), avgdl, k1, b)
+            s32 = _score_doc(term_lists, avgdl, k1, b)
             _push(heap, k, s32, int(target))
             lead.next()
     return _emit(heap)
@@ -218,7 +227,7 @@ def score_shard_conjunction(
 def score_shard_exact(
     term_meta: list[tuple[int, float, float, pd.DataFrame]],
     shard_base: int,
-    dl: np.ndarray,
+    span: int,
     allowed: np.ndarray | None,
     k: int,
     mode: str,
@@ -229,22 +238,24 @@ def score_shard_exact(
     """Vectorized exact scorer over a dense per-shard array.
 
     ``term_meta``: [(term_id, idf, weight, blocks_pdf)] sorted by term_id.
-    ``dl``: doc_len array indexed by (doc_id - shard_base).
-    ``allowed``: optional boolean mask (non-scoring filter context, B4/B6).
+    ``span``: shard width (dense doc_id range size).
+    ``allowed``: optional boolean mask indexed by doc_id - shard_base
+    (non-scoring filter context, B4/B6).
     """
-    span = len(dl)
     scores = np.zeros(span, dtype=np.float64)
     seen = np.zeros(span, dtype=np.int32)
     for term_id, t_idf, weight, blocks in sorted(term_meta, key=lambda m: m[0]):
-        docs_parts, tf_parts = [], []
+        docs_parts, tf_parts, dl_parts = [], [], []
         for r in blocks.itertuples(index=False):
             docs_parts.append(decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)))
             tf_parts.append(decode_tfs(r.tfs))
+            dl_parts.append(decode_tfs(r.dls))
         if not docs_parts:
             continue
         docs = np.concatenate(docs_parts) - shard_base
         tfs = np.concatenate(tf_parts)
-        c = weight * contrib(tfs, dl[docs], t_idf, avgdl, k1, b)
+        dls = np.concatenate(dl_parts)
+        c = weight * contrib(tfs, dls, t_idf, avgdl, k1, b)
         scores[docs] += c
         seen[docs] += 1
     mask = seen == len(term_meta) if mode == "and" else seen > 0

@@ -32,12 +32,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, EngineConfig
 from ..functions.analyze import tokenize_col
 from ..operators.ids import assign_doc_ids, conversation_offsets
-from ..operators.postings import (
-    build_dictionary,
-    build_postings,
-    build_triples,
-    with_shard,
-)
+from ..operators.postings import build_postings_pipeline, with_shard
 from ..operators.rollup import rollup_docs
 
 
@@ -92,14 +87,9 @@ def build_index(
     ).collect()[0]
     n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
 
-    triples = build_triples(docs.select("doc_id", "doc_len", "toks"))
-    dictionary = build_dictionary(triples)  # already persisted by prefix-rank
-
-    enriched = with_shard(
-        triples.join(dictionary.select("term", "term_id", "df"), "term").drop("term"),
-        cfg,
+    postings, dictionary = build_postings_pipeline(
+        docs.select("doc_id", "doc_len", "toks"), n_docs, avgdl, cfg
     )
-    postings = build_postings(enriched, n_docs, avgdl, cfg)
     if cache:
         postings = postings.persist()
 

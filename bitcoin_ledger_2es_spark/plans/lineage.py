@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..operators.postings import build_dictionary, build_postings, build_triples, with_shard
+from ..operators.postings import (
+    dictionary_from_blocks,
+    finalize_blocks,
+    spimi_blocks,
+    with_shard,
+)
 from .build import IndexFrames, read_index, tokenized_documents
 
 LINEAGE_DDL = (
@@ -82,7 +87,7 @@ def _shard_checksums(postings_on_disk: DataFrame, shards: list[int]) -> dict[int
             F.bit_xor(
                 F.xxhash64(
                     "term_id", "block_id", "first_doc_id", "last_doc_id",
-                    "n_docs", "doc_id_deltas", "tfs",
+                    "n_docs", "doc_id_deltas", "tfs", "dls",
                 )
             ).alias("h"),
         )
@@ -130,10 +135,10 @@ def build_index_resumable(
         _log(spark, path, [(-1, "docmap", "COMPLETE", rows_in, n_docs, "", 1, t0, _now())])
 
     # ---- stage: dictionary (term ids + df/cf; max_score comes at finalize)
-    triples = build_triples(docs.select("doc_id", "doc_len", "toks"))
+    raw_blocks = spimi_blocks(docs.select("doc_id", "doc_len", "toks"), cfg).persist()
     if -1 not in _completed(lineage, "dictionary"):
         t0 = _now()
-        dictionary = build_dictionary(triples)
+        dictionary = dictionary_from_blocks(raw_blocks)
         dictionary.write.mode("overwrite").parquet(f"{path}/dictionary_base")
         n_terms = spark.read.parquet(f"{path}/dictionary_base").count()
         _log(spark, path, [(-1, "dictionary", "COMPLETE", n_docs, n_terms, "", 1, t0, _now())])
@@ -144,9 +149,6 @@ def build_index_resumable(
     done = _completed(read_lineage(spark, path), "postings")
     pending = [s for s in all_shards if s not in done]
     if pending:
-        enriched = with_shard(
-            triples.join(dictionary.select("term", "term_id", "df"), "term").drop("term"), cfg
-        ).persist()
         waves = max(1, min(cfg.n_waves, len(pending)))
         chunk = -(-len(pending) // waves)
         for w in range(waves):
@@ -154,8 +156,8 @@ def build_index_resumable(
             if not wave_shards:
                 break
             t0 = _now()
-            wave_df = enriched.filter(F.col("shard_id").isin(wave_shards))
-            build_postings(wave_df, n_docs, avgdl, cfg).repartition(
+            wave_df = raw_blocks.filter(F.col("shard_id").isin(wave_shards))
+            finalize_blocks(wave_df, dictionary, n_docs, avgdl, cfg).repartition(
                 "shard_id"
             ).sortWithinPartitions("term_id", "block_id").write.mode("append").partitionBy(
                 "shard_id"
@@ -172,10 +174,10 @@ def build_index_resumable(
                 ],
             )
             if _fail_after_wave is not None and w + 1 >= _fail_after_wave:
-                enriched.unpersist()
+                raw_blocks.unpersist()
                 docs.unpersist()
                 raise RuntimeError(f"injected failure after wave {w + 1}")
-        enriched.unpersist()
+    raw_blocks.unpersist()
 
     # ---- stage: finalize (dictionary max_score over committed postings)
     if -1 not in _completed(read_lineage(spark, path), "finalize"):

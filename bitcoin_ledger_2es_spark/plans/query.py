@@ -4,16 +4,18 @@ Two-phase, exactly like ES query-then-fetch:
 
   1. **query phase** — analyze the query driver-side with the indexing
      analyzer; look the terms up in the dictionary (predicate pushdown into
-     the sorted dictionary parquet — a tiny collect); scan only the
-     postings of those term_ids (filter pushdown + row-group pruning);
-     cogroup postings with the shard's doc lengths and run the per-shard
-     scorer (BMW skipping for long lists, fused vectorized scoring for
+     the sorted dictionary parquet — a tiny collect); scan ONLY the
+     postings of those term_ids (filter pushdown + row-group pruning; the
+     blocks inline doc lengths, so nothing else is read); per shard, run
+     the scorer (BMW skipping for long lists, fused vectorized scoring for
      short ones — both exact); each shard emits at most k candidates.
   2. **fetch phase** — merge the <= k*n_shards candidates globally
      (score_f32 desc, doc_id asc — rank-stable ties), keep k, broadcast-join
      docmap for (conv_id, turn_idx, is_rollup).
 
 No wide shuffle at query time: one narrow pruned scan + a tiny merge.
+Non-scoring filters (ES bool.filter / range context) cogroup the shard's
+docmap slice in as an allowed-mask — only filtered queries pay that cost.
 """
 
 from __future__ import annotations
@@ -42,24 +44,30 @@ _EMPTY_CAND = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "score": pd
 
 
 def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has_filter):
+    """Kernel over one shard's (term-pruned) postings; pandas in, pandas out.
+
+    Returns a ONE-arg function (groupBy().applyInPandas passes (key, pdf)
+    to two-arg functions, so arity must be exact). Use
+    ``_cogroup_kernel`` for the filtered variant (postings cogrouped with
+    the shard's docmap slice for the allowed-mask).
+    """
     tm = sorted(term_meta, key=lambda m: m[0])  # [(term_id, idf, weight)]
     n_query_terms = len(tm)
 
-    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
+    def _run(left: pd.DataFrame, right: pd.DataFrame | None = None) -> pd.DataFrame:
+        if left.empty:
             return _EMPTY_CAND
         present = set(left["term_id"].unique().tolist())
         if mode == "and" and len(present) < n_query_terms:
             return _EMPTY_CAND
         base = int(left["shard_id"].iloc[0]) * dps
-        doc_off = right["doc_id"].to_numpy(np.int64) - base
-        span = int(doc_off.max()) + 1
-        dl = np.zeros(span, dtype=np.int64)
-        dl[doc_off] = right["doc_len"].to_numpy(np.int64)
+
         allowed = None
         if has_filter:
-            allowed = np.zeros(span, dtype=bool)
-            allowed[doc_off] = right["_allowed"].to_numpy(bool)
+            if right is None or right.empty:
+                return _EMPTY_CAND
+            allowed = np.zeros(dps, dtype=bool)
+            allowed[right["doc_id"].to_numpy(np.int64) - base] = right["_allowed"].to_numpy(bool)
 
         total_postings = int(left["n_docs"].sum())
         if use_wand and allowed is None and total_postings >= wand_min:
@@ -68,17 +76,23 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
                 for tid, t_idf, w in tm
                 if tid in present
             ]
-            look = lambda d: float(dl[d - base])
             if mode == "and":
-                return score_shard_conjunction(lists, look, k, avgdl, k1, b)
-            return score_shard_bmw(lists, look, k, avgdl, k1, b)
+                return score_shard_conjunction(lists, k, avgdl, k1, b)
+            return score_shard_bmw(lists, k, avgdl, k1, b)
 
         blocks = [
             (tid, t_idf, w, left[left["term_id"] == tid])
             for tid, t_idf, w in tm
             if tid in present
         ]
-        return score_shard_exact(blocks, base, dl, allowed, k, mode, avgdl, k1, b)
+        return score_shard_exact(blocks, base, dps, allowed, k, mode, avgdl, k1, b)
+
+    if has_filter:
+        def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:  # cogroup
+            return _run(left, right)
+    else:
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:  # grouped map
+            return _run(pdf, None)
 
     return fn
 
@@ -98,6 +112,7 @@ class BM25Searcher:
         k: int = 10,
         mode: str = "or",
         doc_filter: Column | None = None,
+        with_meta: bool = True,
     ) -> DataFrame:
         """Exact BM25 top-k. ``doc_filter``: optional non-scoring predicate
         over docmap columns (ES bool.filter / range-query context) — e.g.
@@ -123,33 +138,139 @@ class BM25Searcher:
         term_ids = [m[0] for m in term_meta]
 
         cand_postings = ix.postings.filter(F.col("term_id").isin(term_ids))
-        docmap_lite = ix.docmap.select("shard_id", "doc_id", "doc_len")
         has_filter = doc_filter is not None
-        if has_filter:
-            docmap_lite = ix.docmap.withColumn("_allowed", doc_filter).select(
-                "shard_id", "doc_id", "doc_len", "_allowed"
-            )
 
         kernel = _shard_kernel(
             term_meta, k, mode, ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard,
             self.use_wand, cfg.wand_min_postings, has_filter,
         )
-        cands = (
-            cand_postings.groupBy("shard_id")
-            .cogroup(docmap_lite.groupBy("shard_id"))
-            .applyInPandas(kernel, schema=_CAND_DDL)
-        )
+        if has_filter:
+            docmap_lite = ix.docmap.withColumn("_allowed", doc_filter).select(
+                "shard_id", "doc_id", "_allowed"
+            )
+            cands = (
+                cand_postings.groupBy("shard_id")
+                .cogroup(docmap_lite.groupBy("shard_id"))
+                .applyInPandas(kernel, schema=_CAND_DDL)
+            )
+        else:
+            cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))
-        out = (
-            F.broadcast(top)
-            .join(self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup"), "doc_id", "left")
+        if not with_meta:
+            return top.select("rank", "doc_id", "score").orderBy("rank")
+        # fetch phase: broadcast the <= k winners INTO the docmap scan
+        # (right-outer keeps all winners; broadcasting the left/inner side
+        # of a right-outer join is supported, unlike left-outer+left-bcast)
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "right")
             .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
             .orderBy("rank")
         )
-        return out
 
     def term_query(self, term: str, k: int = 10) -> DataFrame:
         """ES term-query analogue (B2): single exact term, BM25-ranked."""
         return self.top_k(term, k=k, mode="or")
+
+    def top_k_batch(self, queries: pd.DataFrame) -> DataFrame:
+        """ES _msearch analogue: answer many queries in ONE job.
+
+        ``queries``: pandas (query_id, query_text, k, mode). One dictionary
+        lookup for the union of terms, one pruned postings scan, one
+        per-shard kernel pass that scores every query, one ranked merge —
+        per-query driver/job overhead is amortized across the whole set.
+        Results are rank-identical to per-query ``top_k``.
+        """
+        ix, cfg = self.ix, self.ix.cfg
+        qspecs = []  # (query_id, k, mode, Counter(terms))
+        all_terms: set[str] = set()
+        for q in queries.itertuples(index=False):
+            terms = analyze_query(q.query_text, cfg)
+            qspecs.append((int(q.query_id), int(q.k), q.mode, Counter(terms)))
+            all_terms.update(terms)
+        found = (
+            ix.dictionary.filter(F.col("term").isin(list(all_terms)))
+            .select("term", "term_id", "df")
+            .collect()
+            if all_terms
+            else []
+        )
+        tmap = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in found}
+
+        per_query = []  # (query_id, k, mode, [(tid, idf, weight)])
+        union_tids: set[int] = set()
+        for qid, k, mode, weights in qspecs:
+            metas = [
+                (tmap[t][0], float(idf_fn(float(tmap[t][1]), ix.n_docs)), float(w))
+                for t, w in weights.items()
+                if t in tmap
+            ]
+            if not metas or (mode == "and" and len(metas) < len(weights)):
+                continue
+            per_query.append((qid, k, mode, sorted(metas)))
+            union_tids.update(m[0] for m in metas)
+        empty = self._spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score float"
+        )
+        if not per_query:
+            return empty
+
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        use_wand, wand_min = self.use_wand, cfg.wand_min_postings
+
+        def kernel(left: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=np.int64),
+                     "doc_id": pd.Series([], dtype=np.int64),
+                     "score": pd.Series([], dtype=np.float32)}
+                )
+            base = int(left["shard_id"].iloc[0]) * dps
+            by_tid = {tid: g for tid, g in left.groupby("term_id")}
+            outs = []
+            for qid, k, mode, metas in per_query:
+                present = [m for m in metas if m[0] in by_tid]
+                if not present or (mode == "and" and len(present) < len(metas)):
+                    continue
+                total = int(sum(by_tid[m[0]]["n_docs"].sum() for m in present))
+                if use_wand and total >= wand_min:
+                    lists = [
+                        _TermList(tid, t_idf, w, by_tid[tid]) for tid, t_idf, w in present
+                    ]
+                    res = (
+                        score_shard_conjunction(lists, k, avgdl, k1, b)
+                        if mode == "and"
+                        else score_shard_bmw(lists, k, avgdl, k1, b)
+                    )
+                else:
+                    blocks = [(tid, t_idf, w, by_tid[tid]) for tid, t_idf, w in present]
+                    res = score_shard_exact(blocks, base, dps, None, k, mode, avgdl, k1, b)
+                res.insert(0, "query_id", np.int64(qid))
+                outs.append(res)
+            if not outs:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=np.int64),
+                     "doc_id": pd.Series([], dtype=np.int64),
+                     "score": pd.Series([], dtype=np.float32)}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        cands = (
+            ix.postings.filter(F.col("term_id").isin(list(union_tids)))
+            .groupBy("shard_id")
+            .applyInPandas(kernel, schema="query_id long, doc_id long, score float")
+        )
+        kmap = {qid: k for qid, k, _, _ in per_query}
+        kdf = self._spark.createDataFrame(
+            [(qid, k) for qid, k in kmap.items()], "query_id long, qk int"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(kdf), "query_id")
+            .filter(F.col("rank") <= F.col("qk"))
+            .select("query_id", "rank", "doc_id", "score")
+        )

@@ -1,0 +1,224 @@
+"""Incremental / near-real-time indexing (SURVEY.md §2.I).
+
+The reference's ingest loop tails the chain tip and upserts idempotently;
+Elasticsearch makes writes searchable per refresh and merges segments in
+the background. The Spark-first mapping:
+
+  * Structured Streaming (``readStream`` on the transcripts directory,
+    ``foreachBatch``) builds one *index segment* per micro-batch with the
+    same deterministic build pipeline, under ``{root}/segments/seg_<id>``.
+    Segment doc_ids are offset by ``seg_id * SEG_BASE`` so ids stay
+    globally unique without cross-segment coordination.
+  * Re-delivered batches (at-least-once replay after failure) rebuild the
+    same segment directory deterministically -> effectively exactly-once,
+    the same idempotent-upsert semantic as the reference's deterministic
+    ES ``_id``s.
+  * ``SegmentedSearcher`` answers queries over the union of segments with
+    *global* corpus statistics (N, avgdl, df summed across segments) — the
+    exact scorer path is used because per-segment block-max metadata was
+    computed against segment-local stats and is not a valid global bound
+    (same reason Lucene re-weights per-segment scorers at query time).
+  * ``compact`` merges all segments into one full index (rebuild from the
+    retained source batches), restoring block-max WAND — ES segment merge.
+  * ``rollback`` drops segments at/after a fork point — the reorg-delete
+    analogue (A7): re-ingesting the corrected data recreates them.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.analyze import analyze_query
+from ..functions.bm25 import idf as idf_fn
+from ..plans.build import IndexFrames, build_index, read_index, write_index
+from ..plans.query import _CAND_DDL, _RESULT_DDL, _shard_kernel
+
+SEG_BASE = 1 << 40  # doc_id space per segment
+
+
+def _seg_dirs(root: str) -> list[Path]:
+    p = Path(root) / "segments"
+    if not p.exists():
+        return []
+    return sorted(d for d in p.iterdir() if d.is_dir() and d.name.startswith("seg_"))
+
+
+def build_segment(
+    spark: SparkSession, batch_df: DataFrame, root: str, seg_id: int, cfg: EngineConfig
+) -> None:
+    """Deterministically (re)build one segment from a micro-batch."""
+    seg = Path(root) / "segments" / f"seg_{seg_id:06d}"
+    if seg.exists():
+        shutil.rmtree(seg)  # idempotent replay
+    batch_df.write.mode("overwrite").parquet(str(seg / "transcripts"))
+    src = spark.read.parquet(str(seg / "transcripts"))
+    ix = build_index(src, cfg)
+    base = seg_id * SEG_BASE
+    shift = base // cfg.docs_per_shard
+    ix = IndexFrames(
+        docmap=ix.docmap.withColumn("doc_id", F.col("doc_id") + base).withColumn(
+            "shard_id", (F.col("shard_id") + shift).cast("long")
+        ),
+        corpus_stats=ix.corpus_stats,
+        dictionary=ix.dictionary,
+        postings=ix.postings.withColumn("first_doc_id", F.col("first_doc_id") + base)
+        .withColumn("last_doc_id", F.col("last_doc_id") + base)
+        .withColumn("shard_id", (F.col("shard_id") + shift).cast("long")),
+        n_docs=ix.n_docs,
+        avgdl=ix.avgdl,
+        cfg=cfg,
+    )
+    write_index(ix, str(seg / "index"))
+
+
+def start_incremental_index(
+    spark: SparkSession,
+    source_path: str,
+    root: str,
+    cfg: EngineConfig = DEFAULT,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Tail ``source_path`` (parquet file source) and index each micro-batch
+    as a segment. With ``available_now`` the query drains existing files
+    and stops (incremental batch); otherwise it runs continuously."""
+    from ..sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_path)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_segment(spark, batch_df, root, int(batch_id), cfg)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint or f"{root}/_checkpoint"
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def rollback(root: str, from_ts) -> list[str]:
+    """Reorg analogue: drop every segment containing data at/after
+    ``from_ts`` (checked against the segment's max ts). Returns dropped
+    segment names; re-ingesting corrected data recreates them."""
+    import pandas as pd
+    import pyarrow.dataset as ds
+
+    fork = pd.Timestamp(from_ts)
+    if fork.tzinfo is not None:
+        fork = fork.tz_convert("UTC").tz_localize(None)
+    dropped = []
+    for seg in _seg_dirs(root):
+        t = ds.dataset(str(seg / "transcripts")).to_table(columns=["ts"])
+        if not t.num_rows:
+            continue
+        mx = pd.Timestamp(t.column("ts").to_pandas().max())
+        if mx.tzinfo is not None:
+            mx = mx.tz_convert("UTC").tz_localize(None)
+        if mx >= fork:
+            shutil.rmtree(seg)
+            dropped.append(seg.name)
+    return dropped
+
+
+def compact(spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT) -> IndexFrames:
+    """Merge all segments into one full index (restores WAND block maxes).
+    Reads the retained per-segment source batches, rebuilds, and leaves the
+    result at {root}/compacted."""
+    srcs = [str(s / "transcripts") for s in _seg_dirs(root)]
+    if not srcs:
+        raise ValueError("no segments to compact")
+    full = spark.read.parquet(*srcs)
+    ix = build_index(full, cfg)
+    write_index(ix, f"{root}/compacted")
+    return ix
+
+
+class SegmentedSearcher:
+    """Exact BM25 top-k over the union of segments with global stats."""
+
+    def __init__(self, spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT):
+        self.spark = spark
+        self.cfg = cfg
+        self.segments = [read_index(spark, str(s / "index"), cfg) for s in _seg_dirs(root)]
+        if not self.segments:
+            raise ValueError(f"no segments under {root}")
+        self.n_docs = sum(s.n_docs for s in self.segments)
+        self.avgdl = (
+            sum(s.avgdl * s.n_docs for s in self.segments) / self.n_docs if self.n_docs else 0.0
+        )
+
+    def top_k(self, query_text: str, k: int = 10, mode: str = "or") -> DataFrame:
+        cfg = self.cfg
+        terms = analyze_query(query_text, cfg)
+        if not terms:
+            return self.spark.createDataFrame([], _RESULT_DDL)
+        from collections import Counter
+
+        weights = Counter(terms)
+        # global df per term string across segments
+        global_df: dict[str, int] = {}
+        seg_term_ids: list[dict[str, int]] = []
+        for seg in self.segments:
+            rows = (
+                seg.dictionary.filter(F.col("term").isin(list(weights)))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            seg_term_ids.append({r["term"]: int(r["term_id"]) for r in rows})
+            for r in rows:
+                global_df[r["term"]] = global_df.get(r["term"], 0) + int(r["df"])
+        found_terms = [t for t in weights if t in global_df]
+        if not found_terms or (mode == "and" and len(found_terms) < len(weights)):
+            return self.spark.createDataFrame([], _RESULT_DDL)
+
+        cands = None
+        for seg, tids in zip(self.segments, seg_term_ids):
+            present = [t for t in found_terms if t in tids]
+            if not present:
+                continue
+            if mode == "and" and len(present) < len(found_terms):
+                continue  # this segment cannot contain all required terms
+            term_meta = [
+                (tids[t], float(idf_fn(float(global_df[t]), self.n_docs)), float(weights[t]))
+                for t in present
+            ]
+            kernel = _shard_kernel(
+                term_meta, k, mode, self.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard,
+                use_wand=False, wand_min=0, has_filter=False,
+            )
+            part = (
+                seg.postings.filter(F.col("term_id").isin([m[0] for m in term_meta]))
+                .groupBy("shard_id")
+                .applyInPandas(kernel, schema=_CAND_DDL)
+            )
+            cands = part if cands is None else cands.unionByName(part)
+        if cands is None:
+            return self.spark.createDataFrame([], _RESULT_DDL)
+        from pyspark.sql import Window
+
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        docmaps = None
+        for seg in self.segments:
+            d = seg.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            docmaps = d if docmaps is None else docmaps.unionByName(d)
+        return (
+            docmaps.join(F.broadcast(top), "doc_id", "right")
+            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )

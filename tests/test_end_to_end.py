@@ -45,6 +45,19 @@ def queries():
     return gen_query_set()
 
 
+def test_batch_matches_oracle(ix, oracle, queries):
+    """top_k_batch (msearch analogue) is rank-identical to the oracle for
+    the whole query set, answered in one job."""
+    res = BM25Searcher(ix).top_k_batch(queries).toPandas()
+    for q in queries.itertuples(index=False):
+        golden = oracle.top_k(q.query_text, k=int(q.k), mode=q.mode)
+        got = res[res["query_id"] == q.query_id].sort_values("rank")
+        assert got["doc_id"].tolist() == golden["doc_id"].tolist(), (q.query_text, q.mode)
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32), golden["score"].to_numpy(np.float32)
+        )
+
+
 def test_rank_identical_vs_oracle(ix, oracle, queries):
     searcher_w = BM25Searcher(ix, use_wand=True)
     searcher_e = BM25Searcher(ix, use_wand=False)

@@ -63,17 +63,21 @@ def test_postings_consistency(ix):
     assert (post["n_docs"] <= CFG.block_size).all()
     assert (post["first_doc_id"] <= post["last_doc_id"]).all()
 
-    # decode everything; df/cf must match dictionary, block max must dominate
+    # decode everything; df/cf must match dictionary, inlined dls must match
+    # docmap doc_len, block max must dominate
+    dl_map = ix.docmap.select("doc_id", "doc_len").toPandas().set_index("doc_id")["doc_len"]
     by_term: dict[int, int] = {}
     cf: dict[int, int] = {}
     for r in post.itertuples(index=False):
         docs = decode_doc_gaps(r.doc_id_deltas, r.first_doc_id, r.n_docs)
         tfs = decode_tfs(r.tfs)
+        dls = decode_tfs(r.dls)
         assert docs[-1] == r.last_doc_id
-        assert len(docs) == len(tfs) == r.n_docs
+        assert len(docs) == len(tfs) == len(dls) == r.n_docs
         assert (np.diff(docs) > 0).all()
         # all docs within the block's shard
         assert (docs // CFG.docs_per_shard == r.shard_id).all()
+        np.testing.assert_array_equal(dls, dl_map.loc[docs].to_numpy())
         by_term[r.term_id] = by_term.get(r.term_id, 0) + r.n_docs
         cf[r.term_id] = cf.get(r.term_id, 0) + int(tfs.sum())
     for tid, n in by_term.items():

@@ -1,0 +1,143 @@
+"""Training-data pipeline operators: exact ops vs pandas ground truth,
+approximate ops (MinHash-LSH, SimHash, LSH-ANN) vs exact baselines with
+recall/precision assertions."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_ledger_2es_spark.operators import dedup as D
+from bitcoin_ledger_2es_spark.operators import multimodal as M
+from bitcoin_ledger_2es_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # add some real duplicates/near-duplicates to make dedup meaningful
+    base = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 80)
+    dups = base.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 12)).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(dups).unionByName(near).cache()
+
+
+def _exact_jaccard_pairs(pdf: pd.DataFrame, threshold: float) -> set[tuple[int, int]]:
+    import re
+
+    sets = {r.doc_id: set(re.findall(r"\w+", r.text.lower())) for r in pdf.itertuples()}
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = D.exact_dedup(docs).toPandas()
+    pdf = docs.toPandas()
+    assert out["n_dups"].sum() == len(pdf)
+    assert len(out) == pdf["text"].nunique()
+    # the 8 injected exact dups form groups of 2
+    assert (out["n_dups"] >= 2).sum() >= 8
+
+
+def test_ngram_jaccard_matches_pandas(spark, docs):
+    got = D.ngram_jaccard_pairs(docs, threshold=0.7).toPandas()
+    expect = _exact_jaccard_pairs(docs.toPandas(), 0.7)
+    assert set(zip(got["doc_a"], got["doc_b"])) == expect
+    # injected exact dups must appear with jaccard == 1.0
+    ones = got[got["jaccard"] == 1.0]
+    assert {(a, a + 1000) for a in range(8)} <= set(zip(ones["doc_a"], ones["doc_b"]))
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    got = D.minhash_lsh_pairs(docs, threshold=0.7, num_perm=64, bands=32).toPandas()
+    truth = _exact_jaccard_pairs(docs.toPandas(), 0.7)
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    # exact verification -> perfect precision
+    assert found <= truth
+    # aggressive banding (32 bands x 2 rows) at tau=0.7 -> high recall
+    assert len(found) >= 0.9 * len(truth)
+    # estimator sanity
+    assert ((got["jaccard_est"] >= 0) & (got["jaccard_est"] <= 1)).all()
+
+
+def test_simhash_finds_exact_dups(spark, docs):
+    got = D.simhash_pairs(docs, max_hamming=3).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # identical texts -> identical simhash -> hamming 0
+    assert {(a, a + 1000) for a in range(8)} <= pairs
+    assert (got[got["doc_b"] >= 1000]["hamming"] == 0).any()
+
+
+def test_ann_bruteforce_matches_numpy(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    v = e.filter(F.col("vec_id") >= 2)
+    got = S.cosine_topk_bruteforce(v, q, k=5).toPandas()
+
+    pdf = e.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in (0, 1):
+        cos = mat[ids >= 2] @ mat[ids == qi][0]
+        vids = ids[ids >= 2]
+        order = np.lexsort((vids, -np.round(cos, 6)))[:5]
+        expect = vids[order].tolist()
+        assert got[got["q_id"] == qi]["neighbor_id"].tolist() == expect
+
+
+def test_ann_lsh_recall(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    v = e.filter(F.col("vec_id") >= 5)
+    exact = S.cosine_topk_bruteforce(v, q, k=10).toPandas()
+    approx = S.ann_lsh_topk(v, q, k=10, n_planes=4, dim=64).toPandas()
+    # recall@10 across queries: LSH bucket must find a reasonable fraction
+    hits = 0
+    for qi in range(5):
+        t = set(exact[exact["q_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["q_id"] == qi]["neighbor_id"])
+        hits += len(t & a)
+    assert hits >= 10  # >= 20% recall with 4 planes on random vectors
+    # every approx neighbor's cosine must match the exact cosine (verified)
+    merged = approx.merge(exact, on=["q_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = M.attach_payload(docs)
+    meta = M.decode_media_meta(media).toPandas()
+    src = docs.toPandas()
+    assert len(meta) == len(src)
+    nb = {r.doc_id: len(r.text.encode()) for r in src.itertuples()}
+    assert all(nb[r.doc_id] == r.n_bytes for r in meta.itertuples())
+    vids = meta[meta["media_type"] == "video"]
+    frames = M.frame_sample_plan(
+        M.decode_media_meta(media), every_n=30
+    ).toPandas()
+    expect_rows = int(sum((n - 1) // 30 + 1 for n in vids["n_frames"]))
+    assert len(frames) == expect_rows

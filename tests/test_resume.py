@@ -13,13 +13,13 @@ CFG = DEFAULT.with_(docs_per_shard=128, block_size=32, n_waves=4)
 
 def _canon_postings(spark, path):
     pdf = spark.read.parquet(f"{path}/postings").toPandas()
-    pdf["doc_id_deltas"] = pdf["doc_id_deltas"].apply(bytes)
-    pdf["tfs"] = pdf["tfs"].apply(bytes)
+    for c in ("doc_id_deltas", "tfs", "dls"):
+        pdf[c] = pdf[c].apply(bytes)
     return (
         pdf.sort_values(["term_id", "shard_id", "block_id"])
         .reset_index(drop=True)[
             ["term_id", "shard_id", "block_id", "first_doc_id", "last_doc_id",
-             "n_docs", "doc_id_deltas", "tfs", "block_max_score"]
+             "n_docs", "doc_id_deltas", "tfs", "dls", "block_max_score"]
         ]
     )
 

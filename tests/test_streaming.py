@@ -1,0 +1,118 @@
+"""Incremental indexing: stream micro-batches into segments, query the
+union with global stats (rank-identical to the oracle over the combined
+corpus), replay idempotently, roll back segments (reorg analogue),
+compact into a full index."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bitcoin_ledger_2es_spark import BM25Searcher, PandasOracle
+from bitcoin_ledger_2es_spark.config import DEFAULT
+from bitcoin_ledger_2es_spark.sources.synth import TRANSCRIPTS_DDL, gen_transcripts_pdf
+from bitcoin_ledger_2es_spark.streaming.incremental import (
+    SegmentedSearcher,
+    build_segment,
+    compact,
+    rollback,
+    start_incremental_index,
+)
+
+CFG = DEFAULT.with_(docs_per_shard=256, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("stream_src")
+    root = str(tmp_path_factory.mktemp("ix_root"))
+    full = gen_transcripts_pdf(120, seed=42)
+    convs = sorted(full["conv_id"].unique())
+    parts = [convs[:40], convs[40:80], convs[80:]]
+    for i, cs in enumerate(parts):
+        chunk = full[full["conv_id"].isin(cs)]
+        spark.createDataFrame(chunk, TRANSCRIPTS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}.parquet.d"))
+    # flatten: move part files into src root as individual parquet files
+    import shutil
+    from pathlib import Path
+
+    for i in range(3):
+        d = Path(src) / f"b{i}.parquet.d"
+        f = next(p for p in d.glob("*.parquet"))
+        shutil.move(str(f), str(Path(src) / f"batch_{i}.parquet"))
+        shutil.rmtree(d)
+    start_incremental_index(spark, str(src), root, CFG, available_now=True)
+    return src, root, full
+
+
+def test_segments_built_and_rank_identical(spark, stream_env):
+    src, root, full = stream_env
+    s = SegmentedSearcher(spark, root, CFG)
+    assert len(s.segments) == 3
+    assert s.n_docs == len(full) + full["conv_id"].nunique()  # turns + rollups
+
+    # oracle over the union corpus using the engine's doc ids
+    docmaps = pd.concat(
+        [
+            seg.docmap.toPandas().assign(seg=i)
+            for i, seg in enumerate(s.segments)
+        ]
+    )
+    turns = full.set_index(["conv_id", "turn_idx"])["text"]
+    texts = []
+    for r in docmaps.itertuples():
+        if r.is_rollup:
+            conv = full[full["conv_id"] == r.conv_id].sort_values("turn_idx")
+            texts.append(" ".join(conv["text"]))
+        else:
+            texts.append(turns.loc[(r.conv_id, r.turn_idx)])
+    oracle = PandasOracle(
+        pd.DataFrame({"doc_id": docmaps["doc_id"].to_numpy(), "text": texts}), CFG
+    )
+    for q, mode, k in [
+        ("w0000 w0005", "or", 10),
+        ("w0001", "or", 5),
+        ("w0000 w0002", "and", 10),
+        ("w0400 w0000 w0777", "or", 100),
+    ]:
+        got = s.top_k(q, k=k, mode=mode).select("doc_id", "score").toPandas()
+        exp = oracle.top_k(q, k=k, mode=mode)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), (q, mode)
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+        )
+
+
+def test_replay_idempotent(spark, stream_env):
+    src, root, full = stream_env
+    s = SegmentedSearcher(spark, root, CFG)
+    seg0 = s.segments[0]
+    before = seg0.postings.toPandas()
+    before["doc_id_deltas"] = before["doc_id_deltas"].apply(bytes)
+    # replay batch 0 (at-least-once redelivery)
+    batch = spark.read.parquet(str(src / "batch_0.parquet"))
+    build_segment(spark, batch, root, 0, CFG)
+    after_ix = SegmentedSearcher(spark, root, CFG).segments[0]
+    after = after_ix.postings.toPandas()
+    after["doc_id_deltas"] = after["doc_id_deltas"].apply(bytes)
+    key = ["term_id", "shard_id", "block_id"]
+    pd.testing.assert_frame_equal(
+        before.sort_values(key).reset_index(drop=True)[before.columns.tolist()],
+        after.sort_values(key).reset_index(drop=True)[before.columns.tolist()],
+    )
+
+
+def test_compact_and_rollback(spark, stream_env):
+    src, root, full = stream_env
+    ix = compact(spark, root, CFG)
+    n_before = SegmentedSearcher(spark, root, CFG).n_docs
+    assert ix.n_docs == n_before
+    # compacted index answers queries (WAND path restored)
+    res = BM25Searcher(ix).top_k("w0000", k=5).toPandas()
+    assert len(res) == 5
+
+    dropped = rollback(root, full["ts"].min())  # fork before everything
+    assert len(dropped) == 3
+    with pytest.raises(ValueError):
+        SegmentedSearcher(spark, root, CFG)

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Capture physical plans for the key paths -> BENCH/PLANS.md.
+
+Evidence that the declarative parts hit Catalyst's fast paths:
+  * query-time postings scan: term_id IN (...) pushed to parquet
+    (PushedFilters), only the needed columns read (ReadSchema);
+  * docmap fetch join: broadcast of the <= k result rows;
+  * a contract relational query: WholeStageCodegen spans + partial agg.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index, read_index, write_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+    from bitcoin_ledger_2es_spark.contract import QUERIES
+    from bitcoin_ledger_2es_spark.session import get_spark
+    from bitcoin_ledger_2es_spark.sources.synth import gen_transcripts
+
+    spark = get_spark("plans", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = DEFAULT.with_(docs_per_shard=512, block_size=64)
+    ixdir = str(REPO / ".cache" / "plans_ix")
+    ix = build_index(gen_transcripts(spark, 300), cfg)
+    write_index(ix, ixdir)
+    on_disk = read_index(spark, ixdir, cfg)
+
+    sections: list[tuple[str, str]] = []
+
+    res = BM25Searcher(on_disk).top_k("w0004 w0123 w0200", k=10)
+    sections.append(
+        ("BM25 top-k over the on-disk index (query-then-fetch)", explain_str(res))
+    )
+    pruned = on_disk.postings.filter(F.col("term_id").isin([5, 123, 200])).select(
+        "shard_id", "term_id", "n_docs"
+    )
+    sections.append(
+        ("Postings scan pruning (term_id pushdown + column pruning)", explain_str(pruned))
+    )
+    sections.append(
+        ("Contract query stats_agg (TPC-H Q1 shape): codegen + partial agg",
+         explain_str(QUERIES["stats_agg"](spark, "/root/testdata/sf0.001")))
+    )
+    sections.append(
+        ("Contract query join_revenue: broadcast join placement",
+         explain_str(QUERIES["join_revenue"](spark, "/root/testdata/sf0.001")))
+    )
+
+    out = ["# Physical plans (evidence of pushdown / pruning / codegen)\n"]
+    for title, body in sections:
+        out.append(f"## {title}\n\n```\n{body}\n```\n")
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "PLANS.md").write_text("\n".join(out))
+    print("wrote BENCH/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
