@@ -22,12 +22,20 @@ class EngineConfig:
     b: float = 0.75
 
     # --- analyzer ---
-    # Applied to lowercased text; unicode word characters. The fixture corpus
-    # (FIXTURES.md) is space-separated lowercase [a-z0-9_]+ so this matches a
-    # simple whitespace split there, while behaving like the ES "standard"
-    # analyzer-ish word-break elsewhere.
-    token_pattern: str = r"\w+"
+    # Applied to lowercased text: ASCII word runs. Chosen over unicode \w
+    # so the SAME token stream falls out of every execution engine we use
+    # (python re, pandas, Java regex in Catalyst, RE2 in Arrow compute,
+    # DuckDB oracle SQL) — \w is unicode-aware in python but ASCII in RE2,
+    # which would silently diverge. Behaves like the ES "simple" analyzer
+    # family: non-[a-z0-9_] characters separate tokens.
+    token_pattern: str = r"[a-z0-9_]+"
     lowercase: bool = True
+
+    @property
+    def separator_pattern(self) -> str:
+        """RE2 split pattern equivalent to findall(token_pattern)."""
+        assert self.token_pattern == r"[a-z0-9_]+"
+        return r"[^a-z0-9_]+"
 
     # --- index layout (content-affecting: MUST be fixed per index) ---
     # Max docs per posting block (Lucene uses 128). Per-block max-score

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 # shared constants
 
-TOK = r"\w+"
+TOK = r"[a-z0-9_]+"
 BM25_QUERY = ["spark", "table", "join", "scan"]
 BM25_K = 20
 AND_TERMS = ["spark", "join"]
@@ -48,7 +48,7 @@ def _toks(col):
 
 
 # DuckDB-side tokenizer expression (same \w+ semantics)
-SQL_TOKS = "regexp_extract_all(lower({col}), '\\w+')"
+SQL_TOKS = "regexp_extract_all(lower({col}), '[a-z0-9_]+')"
 
 
 # ---------------------------------------------------------------------------
@@ -395,7 +395,7 @@ def _sql_bm25(terms: list[str], mode: str, k: int) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, u.tok AS term
-  FROM documents, unnest(regexp_extract_all(lower(text), '\\w+')) AS u(tok)
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
 ),
 dls AS (
   SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
@@ -449,6 +449,109 @@ def q_bool_and_query(spark, sf_dir):  # B4 bool must
 SQL_BOOL_AND_QUERY = _sql_bm25(AND_TERMS, "and", 10)
 
 
+def q_ids_lookup(spark, sf_dir):  # B7: fetch by _id
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([5, 17, 42, 333]))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_IDS_LOOKUP = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN (5, 17, 42, 333)
+"""
+
+
+def q_set_ops(spark, sf_dir):  # union/except over key sets
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    erroring = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clickers.exceptAll(erroring).withColumnRenamed("user_id", "click_only_user")
+
+
+SQL_SET_OPS = """
+SELECT user_id AS click_only_user FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+ENGINE_QUERIES = [  # (query_id, text, mode) for the indexed-engine oracle
+    (0, "spark table join scan", "or"),
+    (1, "window", "or"),
+    (2, "spark join", "and"),
+]
+
+
+def q_bm25_indexed_engine(spark, sf_dir):
+    """The REAL engine (SPIMI index -> block-max WAND / vectorized scorer)
+    vs the DuckDB full-scoring oracle: every matching doc for each query
+    (k unbounded, so no selection boundary), scores f32-quantized then
+    rounded identically on both sides — a driver-checked, order-
+    insensitive exact match of the indexed engine's output."""
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
+    ix = build_index(transcripts, cfg)
+    s = BM25Searcher(ix)
+    out = None
+    for qid, text, mode in ENGINE_QUERIES:
+        r = s.top_k(text, k=1_000_000, mode=mode, with_meta=False).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _sql_bm25_allmatch(qid: int, terms: list[str], mode: str) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    and_filter = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+SELECT {qid} AS query_id, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+    WHERE t.term IN ({term_list}) GROUP BY t.doc_id, t.term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  )
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id {and_filter}
+)
+"""
+
+
+SQL_BM25_INDEXED_ENGINE = "\nUNION ALL\n".join(
+    _sql_bm25_allmatch(qid, text.split(), mode) for qid, text, mode in ENGINE_QUERIES
+)
+
+
 def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
     return (
         _doc_tokens(spark, sf_dir)
@@ -462,7 +565,7 @@ def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
 
 SQL_TOKENIZE_TERM_COUNTS = """
 SELECT u.tok AS term, count(*) AS n
-FROM documents, unnest(regexp_extract_all(lower(text), '\\w+')) AS u(tok)
+FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
 GROUP BY term ORDER BY n DESC, term ASC LIMIT 30
 """
 
@@ -487,7 +590,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join": q_semi_join,
     "json_extract": q_json_extract,
     "window_lag": q_window_lag,
+    "ids_lookup": q_ids_lookup,
+    "set_ops": q_set_ops,
     "bm25_topk": q_bm25_topk,
+    "bm25_indexed_engine": q_bm25_indexed_engine,
     "term_query": q_term_query,
     "bool_and_query": q_bool_and_query,
     "tokenize_term_counts": q_tokenize_term_counts,
@@ -510,7 +616,10 @@ ORACLE: dict[str, str] = {
     "semi_join": SQL_SEMI_JOIN,
     "json_extract": SQL_JSON_EXTRACT,
     "window_lag": SQL_WINDOW_LAG,
+    "ids_lookup": SQL_IDS_LOOKUP,
+    "set_ops": SQL_SET_OPS,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
     "term_query": SQL_TERM_QUERY,
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,

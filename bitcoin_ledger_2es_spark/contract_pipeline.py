@@ -55,7 +55,7 @@ SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, u.tok AS gram
   FROM (SELECT doc_id, text FROM documents WHERE doc_id < {JACCARD_SUBSET}),
-       unnest(regexp_extract_all(lower(text), '\\w+')) AS u(tok)
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 inter AS (
@@ -102,8 +102,8 @@ SELECT doc_id,
                      THEN length(regexp_replace(lower(text), '[^0-9a-z_]', '', 'g')) * 1.0 / len(toks)
                      ELSE 0.0 END / 8.0, 1.0) * 0.2, 6) AS quality_score
 FROM (
-  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS toks,
-         len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
              x -> list_contains(['the','a','of','to','and','in'], x))) AS stop_hits
   FROM documents
 )
@@ -132,7 +132,7 @@ SELECT doc_id, {pred} AS pred_lang, {best} AS marker_hits
 FROM (
   SELECT doc_id,
          {cnt}
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents)
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents)
 )
 """
 
@@ -152,7 +152,7 @@ def q_token_counts(spark, sf_dir):
 SQL_TOKEN_COUNTS = """
 SELECT doc_id, len(toks) AS n_tokens,
        coalesce(list_sum(list_transform(toks, t -> cast(ceil(length(t) / 4.0) AS BIGINT))), 0) AS n_bpe_pieces
-FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents)
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents)
 """
 
 
@@ -166,7 +166,7 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM (
   SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents)
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents)
 )
 GROUP BY doc_id
 """

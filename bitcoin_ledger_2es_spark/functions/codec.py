@@ -51,6 +51,15 @@ def decode_varints(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (without encoding)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (a >= t).astype(np.int64)
+    return nbytes
+
+
 def encode_doc_gaps(doc_ids: np.ndarray) -> bytes:
     """Delta-gap encode a sorted int64 doc_id array.
 

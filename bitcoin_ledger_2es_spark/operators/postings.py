@@ -30,7 +30,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,9 +38,8 @@ from ..config import EngineConfig
 from ..functions.bm25 import block_upper_bound, contrib, idf
 from ..functions.codec import (
     decode_tfs,
-    encode_doc_gaps,
-    encode_tfs,
     encode_varints,
+    varint_lengths,
 )
 from .ids import with_global_rank
 
@@ -79,86 +77,167 @@ DICTIONARY_DDL = "term string, term_id long, df long, cf long, max_score float"
 
 
 def _spimi_kernel(cfg: EngineConfig):
+    """Tokenize + invert a partition entirely in Arrow/C++/numpy.
+
+    No Python string is ever materialized for the token stream: lowering,
+    regex splitting and term dictionary-encoding run in Arrow compute
+    (utf8_lower / split_pattern_regex / dictionary_encode); only the
+    partition's vocabulary slice crosses into Python (for the term column
+    of the block rows). This is what makes inversion scale with cores —
+    object churn does not.
+    """
+    import pyarrow.compute as pc
+
     block_size, dps = cfg.block_size, cfg.docs_per_shard
+    sep = cfg.separator_pattern
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # one task == one core: Arrow's default pool (all cores) in every
+        # python worker oversubscribes the host ~32x and destroys scaling
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
         # gather the partition (bounded: a few shards of docs)
-        doc_ids_parts, dl_parts, flat_parts, len_parts = [], [], [], []
+        doc_ids_parts, dl_parts, text_parts = [], [], []
         for b in batches:
-            toks = b.column("toks")
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            flat_parts.append(toks.flatten().to_numpy(zero_copy_only=False))
-            offs = toks.offsets.to_numpy(zero_copy_only=False)
-            len_parts.append(np.diff(offs))
+            text_parts.append(b.column("text"))
             doc_ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
             dl_parts.append(b.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64))
         if not doc_ids_parts:
             return
         doc_ids = np.concatenate(doc_ids_parts)
         dls = np.concatenate(dl_parts)
-        lens = np.concatenate(len_parts)
-        terms_flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, object)
-        if terms_flat.size == 0:
+
+        text = pa.chunked_array([pa.array([], type=pa.string())] + text_parts).combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(text, "")), sep)
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        denc = pc.dictionary_encode(toks.values)
+        codes = denc.indices.to_numpy(zero_copy_only=False)  # int32
+        uniq = denc.dictionary
+        uniques = uniq.to_pylist()  # vocabulary slice only
+
+        # This stage is memory-bandwidth-bound when many workers run
+        # concurrently, so token-level traffic is kept minimal: int32 local
+        # doc indices, ONE combined int64 sort key (term-major, doc-minor)
+        # sorted IN PLACE (pairs need not stay attached — the key encodes
+        # both), and doc_id/doc_len gathers deferred to postings
+        # granularity (~tf-fold smaller than the token stream).
+        # rows arrive in shuffle order; postings must be doc_id-ascending,
+        # so 'local' is each doc's RANK under doc_id order (tiny doc-level
+        # sort), and the rank->doc_id/doc_len lookups are rank-indexed
+        n_docs_local = len(doc_ids)
+        doc_order = np.argsort(doc_ids, kind="stable")
+        ranks = np.empty(n_docs_local, dtype=np.int32)
+        ranks[doc_order] = np.arange(n_docs_local, dtype=np.int32)
+        doc_ids = doc_ids[doc_order]
+        dls = dls[doc_order]
+        local = np.repeat(ranks, lens)
+        # drop empty tokens produced by splitting at string edges
+        empties = np.flatnonzero(pc.utf8_length(uniq).to_numpy(zero_copy_only=False) == 0)
+        if empties.size:
+            keep = codes != empties[0]
+            codes, local = codes[keep], local[keep]
+        if codes.size == 0:
             return
+        shift = int(n_docs_local).bit_length()
+        key = (codes.astype(np.int64) << shift) | local.astype(np.int64)
+        del codes, local
+        key.sort()
 
-        doc_rep = np.repeat(doc_ids, lens)
-        dl_rep = np.repeat(dls, lens)
-        codes, uniques = pd.factorize(terms_flat, sort=True)  # sorted -> stable
-        order = np.lexsort((doc_rep, codes))
-        c, d, dl = codes[order], doc_rep[order], dl_rep[order]
-
-        # run-length over (term, doc) -> tf
-        if len(c) > 1:
-            chg = np.flatnonzero((np.diff(c) != 0) | (np.diff(d) != 0))
-            starts = np.concatenate(([0], chg + 1))
-            ends = np.concatenate((chg + 1, [len(c)]))
-        else:
-            starts = np.array([0])
-            ends = np.array([len(c)])
+        # run-length over identical (term, doc) keys -> tf
+        n_tok = key.size
+        is_start = np.empty(n_tok, dtype=bool)
+        is_start[0] = True
+        np.not_equal(key[1:], key[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        ends = np.concatenate((starts[1:], [n_tok]))
         tf = (ends - starts).astype(np.int64)
-        tc, td, tdl = c[starts], d[starts], dl[starts]
+        kpost = key[starts]
+        tc = (kpost >> shift).astype(np.int64)  # term code per posting
+        tl = (kpost & ((1 << shift) - 1)).astype(np.int64)  # local doc idx
+        td = doc_ids[tl]
+        tdl = dls[tl]
         shard = td // dps
+        n_post = len(tc)
 
-        # term-run boundaries, then shard boundaries inside each run
-        out = {name: [] for name in RAW_BLOCKS_SCHEMA.names}
-        run_starts = np.concatenate(([0], 1 + np.flatnonzero(np.diff(tc)), [len(tc)]))
-        for ri in range(len(run_starts) - 1):
-            lo, hi = int(run_starts[ri]), int(run_starts[ri + 1])
-            term = uniques[tc[lo]]
-            seg_bounds = np.concatenate(
-                ([lo], lo + 1 + np.flatnonzero(np.diff(shard[lo:hi])), [hi])
-            )
-            for si in range(len(seg_bounds) - 1):
-                s0, s1 = int(seg_bounds[si]), int(seg_bounds[si + 1])
-                sh = int(shard[s0])
-                for bi, b0 in enumerate(range(s0, s1, block_size)):
-                    b1 = min(b0 + block_size, s1)
-                    dd = td[b0:b1]
-                    out["shard_id"].append(sh)
-                    out["term"].append(term)
-                    out["block_id"].append(bi)
-                    out["first_doc_id"].append(int(dd[0]))
-                    out["last_doc_id"].append(int(dd[-1]))
-                    out["n_docs"].append(b1 - b0)
-                    out["doc_id_deltas"].append(encode_doc_gaps(dd))
-                    out["tfs"].append(encode_tfs(tf[b0:b1]))
-                    out["dls"].append(encode_tfs(tdl[b0:b1]))
-                    out["tf_sum"].append(int(tf[b0:b1].sum()))
-        yield pa.RecordBatch.from_pydict(out, schema=RAW_BLOCKS_SCHEMA)
+        # ---- block boundaries: blocks of <= block_size postings, never
+        # crossing a (term, shard) segment boundary
+        seg_break = np.zeros(n_post, dtype=bool)
+        seg_break[0] = True
+        if n_post > 1:
+            seg_break[1:] = (np.diff(tc) != 0) | (np.diff(shard) != 0)
+        seg_starts = np.flatnonzero(seg_break)
+        seg_ends = np.concatenate((seg_starts[1:], [n_post]))
+        bstarts_parts = [
+            np.arange(int(s0), int(s1), block_size) for s0, s1 in zip(seg_starts, seg_ends)
+        ]
+        bstarts = np.concatenate(bstarts_parts)
+        bends = np.concatenate((bstarts[1:], [n_post]))
+        # block_id = index within its segment
+        seg_of_block = np.searchsorted(seg_starts, bstarts, side="right") - 1
+        block_ids = (bstarts - seg_starts[seg_of_block]) // block_size
+        nb = len(bstarts)
+        n_per_block = bends - bstarts
+
+        # ---- batch varint encoding (one pass per stream, sliced per block)
+        is_bstart = np.zeros(n_post, dtype=bool)
+        is_bstart[bstarts] = True
+        gaps = np.empty(n_post, dtype=np.int64)
+        gaps[0] = 0
+        if n_post > 1:
+            gaps[1:] = td[1:] - td[:-1]
+        gap_vals = gaps[~is_bstart].astype(np.uint64)  # first-of-block omitted
+        gap_buf = encode_varints(gap_vals)
+        gap_vlens = varint_lengths(gap_vals)
+        gap_byte_ends = np.concatenate(([0], np.cumsum(gap_vlens)))
+        gap_counts = n_per_block - 1
+        gap_val_offs = np.concatenate(([0], np.cumsum(gap_counts)))
+
+        def stream_slices(values: np.ndarray) -> list[bytes]:
+            buf = encode_varints(values.astype(np.uint64))
+            byte_offs = np.concatenate(([0], np.cumsum(varint_lengths(values.astype(np.uint64)))))
+            mv = memoryview(buf)
+            return [bytes(mv[byte_offs[s] : byte_offs[e]]) for s, e in zip(bstarts, bends)]
+
+        mv_gap = memoryview(gap_buf)
+        gap_slices = [
+            bytes(mv_gap[gap_byte_ends[gap_val_offs[i]] : gap_byte_ends[gap_val_offs[i + 1]]])
+            for i in range(nb)
+        ]
+        tf_slices = stream_slices(tf)
+        dl_slices = stream_slices(tdl)
+        tf_sums = np.add.reduceat(tf, bstarts)
+
+        terms_per_block = [uniques[i] for i in tc[bstarts]]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(shard[bstarts], type=pa.int64()),
+                pa.array(terms_per_block, type=pa.string()),
+                pa.array(block_ids.astype(np.int32)),
+                pa.array(td[bstarts], type=pa.int64()),
+                pa.array(td[bends - 1], type=pa.int64()),
+                pa.array(n_per_block.astype(np.int32)),
+                pa.array(gap_slices, type=pa.binary()),
+                pa.array(tf_slices, type=pa.binary()),
+                pa.array(dl_slices, type=pa.binary()),
+                pa.array(tf_sums, type=pa.int64()),
+            ],
+            schema=RAW_BLOCKS_SCHEMA,
+        )
 
     return fn
 
 
 def spimi_blocks(tokenized_docs: DataFrame, cfg: EngineConfig, num_partitions: int | None = None) -> DataFrame:
-    """(doc_id, doc_len, toks) -> raw posting blocks (term string keyed).
+    """(doc_id, doc_len, text) -> raw posting blocks (term string keyed).
 
-    One shuffle (by shard), in-memory inversion per shard partition.
+    One shuffle (by shard) of the raw doc rows, then Arrow-native
+    tokenize + invert per shard partition.
     """
     docs = with_shard(tokenized_docs, cfg)
     p = num_partitions or docs.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        docs.select("shard_id", "doc_id", "doc_len", "toks")
+        docs.select("shard_id", "doc_id", "doc_len", "text")
         .repartition(p, "shard_id")
         .mapInArrow(_spimi_kernel(cfg), schema=RAW_BLOCKS_DDL)
     )

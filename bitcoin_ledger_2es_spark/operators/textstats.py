@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOK = r"\w+"
+TOK = r"[a-z0-9_]+"
 STOPWORDS = ["the", "a", "of", "to", "and", "in"]
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of"],

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..functions.analyze import tokenize_col
 from ..operators.ids import assign_doc_ids, conversation_offsets
 from ..operators.postings import build_postings_pipeline, with_shard
 from ..operators.rollup import rollup_docs
@@ -48,8 +47,16 @@ class IndexFrames:
 
 
 def tokenized_documents(transcripts: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
-    """-> (docs, offsets): docs = (doc_id, conv_id, turn_idx, is_rollup,
-    toks, doc_len) for turns and (optionally) conversation rollups."""
+    """-> (docs, offsets): docs = (doc_id, conv_id, turn_idx, text,
+    is_rollup, doc_len) for turns and (optionally) conversation rollups.
+
+    doc_len (exact analyzer token count) is computed JVM-side with the
+    codegen'd regexp twin of the analyzer; the token stream itself is
+    produced later, inside the SPIMI Arrow kernel, so tokens never round-
+    trip through Python objects. Analyzer-equality across the pandas UDF,
+    the JVM twin, the Arrow kernel and the query-side `analyze_query` is
+    pinned by tests (tests/test_tokenize.py).
+    """
     offsets = conversation_offsets(transcripts)
     turns = assign_doc_ids(transcripts, offsets).select(
         "doc_id", "conv_id", "turn_idx", "text", F.lit(False).alias("is_rollup")
@@ -62,10 +69,15 @@ def tokenized_documents(transcripts: DataFrame, cfg: EngineConfig) -> tuple[Data
                 "doc_id", "conv_id", "turn_idx", "text", "is_rollup"
             )
         )
-    docs = docs.withColumn("toks", tokenize_col(F.col("text"), cfg)).withColumn(
-        "doc_len", F.size("toks").cast("int")
+    docs = docs.withColumn(
+        "doc_len",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(cfg.token_pattern), 0
+            )
+        ).cast("int"),
     )
-    return docs.drop("text"), offsets
+    return docs, offsets
 
 
 def build_index(
@@ -73,7 +85,16 @@ def build_index(
     cfg: EngineConfig = DEFAULT,
     cache: bool = True,
 ) -> IndexFrames:
-    docs, _ = tokenized_documents(transcripts, cfg)
+    # read the source ONCE: hash-partition by conv_id so every conv-keyed
+    # op downstream (turn-count agg, docID join+window, rollup agg) reuses
+    # this single shuffle instead of re-scanning the source three times
+    spark = transcripts.sparkSession
+    src = transcripts.repartition(
+        spark.sparkContext.defaultParallelism * 2, "conv_id"
+    )
+    if cache:
+        src = src.persist()
+    docs, _ = tokenized_documents(src, cfg)
     if cache:
         docs = docs.persist()
 
@@ -86,9 +107,11 @@ def build_index(
         F.count("*"), F.avg("doc_len")
     ).collect()[0]
     n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+    if cache:
+        src.unpersist()  # docs materialized above; the raw text copy can go
 
     postings, dictionary = build_postings_pipeline(
-        docs.select("doc_id", "doc_len", "toks"), n_docs, avgdl, cfg
+        docs.select("doc_id", "doc_len", "text"), n_docs, avgdl, cfg
     )
     if cache:
         postings = postings.persist()

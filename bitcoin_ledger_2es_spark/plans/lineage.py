@@ -116,12 +116,16 @@ def build_index_resumable(
         shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- deterministic upstream (recomputed on resume; pure function of input)
-    docs, _ = tokenized_documents(transcripts, cfg)
+    src = transcripts.repartition(
+        spark.sparkContext.defaultParallelism * 2, "conv_id"
+    ).persist()
+    docs, _ = tokenized_documents(src, cfg)
     docs = docs.persist()
     docmap = with_shard(docs.select("doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"), cfg)
-    rows_in = transcripts.count()
+    rows_in = src.count()
     n_docs, avgdl = docmap.agg(F.count("*"), F.avg("doc_len")).collect()[0]
     n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+    src.unpersist()
 
     # ---- stage: docmap + corpus_stats
     if -1 not in _completed(lineage, "docmap"):
@@ -135,7 +139,7 @@ def build_index_resumable(
         _log(spark, path, [(-1, "docmap", "COMPLETE", rows_in, n_docs, "", 1, t0, _now())])
 
     # ---- stage: dictionary (term ids + df/cf; max_score comes at finalize)
-    raw_blocks = spimi_blocks(docs.select("doc_id", "doc_len", "toks"), cfg).persist()
+    raw_blocks = spimi_blocks(docs.select("doc_id", "doc_len", "text"), cfg).persist()
     if -1 not in _completed(lineage, "dictionary"):
         t0 = _now()
         dictionary = dictionary_from_blocks(raw_blocks)

@@ -69,16 +69,29 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
             allowed = np.zeros(dps, dtype=bool)
             allowed[right["doc_id"].to_numpy(np.int64) - base] = right["_allowed"].to_numpy(bool)
 
+        # scorer selection (both exact): BMW's python DAAT loop only pays
+        # when skipping is possible — multi-term OR over long lists with a
+        # rising theta; a single-term query must enumerate its whole list
+        # anyway, so the fused vectorized scorer is strictly faster there.
+        # Conjunctions use the seek loop when the rarest (lead) list is
+        # short; otherwise decode-all + dense intersection wins.
         total_postings = int(left["n_docs"].sum())
-        if use_wand and allowed is None and total_postings >= wand_min:
-            lists = [
-                _TermList(tid, t_idf, w, left[left["term_id"] == tid])
-                for tid, t_idf, w in tm
-                if tid in present
-            ]
-            if mode == "and":
+        per_term_n = left.groupby("term_id")["n_docs"].sum()
+        if use_wand and allowed is None:
+            if mode == "and" and int(per_term_n.min()) <= max(4096, k * 4):
+                lists = [
+                    _TermList(tid, t_idf, w, left[left["term_id"] == tid])
+                    for tid, t_idf, w in tm
+                    if tid in present
+                ]
                 return score_shard_conjunction(lists, k, avgdl, k1, b)
-            return score_shard_bmw(lists, k, avgdl, k1, b)
+            if mode == "or" and len(present) >= 2 and total_postings >= wand_min:
+                lists = [
+                    _TermList(tid, t_idf, w, left[left["term_id"] == tid])
+                    for tid, t_idf, w in tm
+                    if tid in present
+                ]
+                return score_shard_bmw(lists, k, avgdl, k1, b)
 
         blocks = [
             (tid, t_idf, w, left[left["term_id"] == tid])

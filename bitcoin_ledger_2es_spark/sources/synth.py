@@ -107,14 +107,20 @@ def gen_transcripts(spark, n_conv: int, seed: int = 42, n_partitions: int | None
     return df
 
 
-def write_transcripts_parquet(path: str, n_conv: int, seed: int = 42) -> int:
-    """Write the corpus straight to parquet (fast path for benchmarks)."""
+def write_transcripts_parquet(
+    path: str, n_conv: int, seed: int = 42, row_group_size: int = 65536
+) -> int:
+    """Write the corpus straight to parquet (fast path for benchmarks).
+
+    Small row groups keep the single file splittable: Spark parallelizes
+    parquet scans at row-group granularity, so a 1M-row file with default
+    (1M-row) groups would serialize every source scan to ~1 task."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = gen_transcripts_pdf(n_conv, seed)
     tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    pq.write_table(tbl, path, compression="zstd")
+    pq.write_table(tbl, path, compression="zstd", row_group_size=row_group_size)
     return len(pdf)
 
 

@@ -33,6 +33,45 @@ def test_udf_matches_builtin_and_pandas(spark, tiny_df):
     assert pdf["jvm_toks"].apply(list).tolist() == expected
 
 
+def test_four_tokenizer_impls_agree(spark):
+    """The analyzer exists in four engines (pandas UDF, python re for
+    queries, Catalyst regexp for doc_len, Arrow RE2 split in the SPIMI
+    kernel). They must produce identical token streams — including on
+    unicode and edge inputs — or scores drift."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    texts = [
+        "Hello, World! foo_bar 42",
+        "",
+        "  leading and trailing  ",
+        "tabs\tand\nnewlines",
+        "café résumé über",  # accented letters are separators (ASCII analyzer)
+        "日本語 text 123",  # CJK is separated out
+        "UPPER lower MiXeD_case",
+        "a--b__c  1.5e3",
+    ]
+    expected = [tokenize_series(pd.Series([t]), DEFAULT).iloc[0] for t in texts]
+
+    # python re (query path)
+    assert [analyze_query(t, DEFAULT) for t in texts] == expected
+
+    # Catalyst regexp (doc_len path)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [list(r[0]) for r in df.select(tokenize_sql_builtin(F.col("text"), DEFAULT)).collect()]
+    assert jvm == expected
+
+    # Arrow RE2 split (SPIMI kernel path)
+    arr = pa.array(texts, type=pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(arr, "")), DEFAULT.separator_pattern)
+    arrow = [[t for t in row if t != ""] for row in toks.to_pylist()]
+    assert arrow == expected
+
+
 def test_doc_len_and_empty_turns(tiny_pdf):
     toks = tokenize_series(tiny_pdf["text"])
     lens = toks.str.len()
