@@ -83,6 +83,23 @@ def main() -> None:
     queries["index_build"] = round(t_build, 3)
     turns_per_sec = n_turns / t_build
 
+    if os.environ.get("BENCH_BUILD_ONLY"):
+        out = {
+            "metric": "index_build_sec",
+            "value": round(t_build, 3),
+            "unit": "sec",
+            "queries": {"index_build": round(t_build, 3)},
+            "sf": sf,
+            "n_conv": n_conv,
+            "n_turns": int(n_turns),
+            "n_docs_indexed": ix.n_docs,
+            "build_turns_per_sec": round(turns_per_sec, 1),
+            "cpus": CPUS,
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     searcher = BM25Searcher(ix)
     qset = gen_query_set()
     lat: list[float] = []

@@ -84,6 +84,9 @@ def with_global_rank(
     in the same order. Keys should be a unique total order."""
     spark = df.sparkSession
     p = num_partitions or max(spark.sparkContext.defaultParallelism, 2)
+    # RangePartitioner SAMPLES its input (a full pass) before the shuffle
+    # (a second pass): persist so the upstream aggregation runs once
+    df = df.persist(SL.MEMORY_AND_DISK)
     keyed = df.repartitionByRange(p, *key_cols).sortWithinPartitions(*key_cols)
     extra = [T.StructField("_pid", T.IntegerType()), T.StructField("_lrank", T.LongType())]
     if value_col is not None:

@@ -115,6 +115,23 @@ class BM25Searcher:
         self.ix = ix
         self.use_wand = use_wand
         self._spark = ix.docmap.sparkSession
+        # driver-side term lookup memo (term -> (term_id, df) or None):
+        # the dictionary is immutable for an index, so repeated queries
+        # skip the lookup job entirely once their terms are warm
+        self._term_cache: dict[str, tuple[int, int] | None] = {}
+
+    def _lookup_terms(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            rows = (
+                self.ix.dictionary.filter(F.col("term").isin(missing))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            found = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows}
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._term_cache[t]) is not None}
 
     def _empty(self) -> DataFrame:
         return self._spark.createDataFrame([], _RESULT_DDL)
@@ -135,18 +152,14 @@ class BM25Searcher:
         if not terms:
             return self._empty()
         weights = Counter(terms)
-        found = (
-            ix.dictionary.filter(F.col("term").isin(list(weights)))
-            .select("term", "term_id", "df")
-            .collect()
-        )
+        found = self._lookup_terms(list(weights))
         if mode == "and" and len(found) < len(weights):
             return self._empty()  # a required term matches nothing
         if not found:
             return self._empty()
         term_meta = [
-            (int(r["term_id"]), float(idf_fn(float(r["df"]), ix.n_docs)), float(weights[r["term"]]))
-            for r in found
+            (tid, float(idf_fn(float(df_), ix.n_docs)), float(weights[t]))
+            for t, (tid, df_) in found.items()
         ]
         term_ids = [m[0] for m in term_meta]
 
@@ -204,14 +217,7 @@ class BM25Searcher:
             terms = analyze_query(q.query_text, cfg)
             qspecs.append((int(q.query_id), int(q.k), q.mode, Counter(terms)))
             all_terms.update(terms)
-        found = (
-            ix.dictionary.filter(F.col("term").isin(list(all_terms)))
-            .select("term", "term_id", "df")
-            .collect()
-            if all_terms
-            else []
-        )
-        tmap = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in found}
+        tmap = self._lookup_terms(list(all_terms)) if all_terms else {}
 
         per_query = []  # (query_id, k, mode, [(tid, idf, weight)])
         union_tids: set[int] = set()

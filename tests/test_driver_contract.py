@@ -9,8 +9,12 @@ import duckdb
 import pandas as pd
 import pytest
 
+import os
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for the fast loop; CI-mimic of the driver gate: run with
+# CONTRACT_SF_DIR=/root/testdata/sf0.01
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
