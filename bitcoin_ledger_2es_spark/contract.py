@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from .functions.parity import duck_round
 
 # ---------------------------------------------------------------------------
 # shared constants
@@ -63,7 +64,7 @@ def q_range_query(spark, sf_dir):  # B6
             & (F.col("value") > 50.0)
         )
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n"), duck_round(F.sum("value"), 6).alias("sum_value"))
     )
 
 
@@ -80,7 +81,7 @@ def q_sort_topk(spark, sf_dir):  # B8
         _t(spark, sf_dir, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price"))
+        .select("o_orderkey", "o_custkey", duck_round("o_totalprice", 6).alias("price"))
     )
 
 
@@ -96,7 +97,7 @@ def q_pagination(spark, sf_dir):  # B9: from/size = rows 21..40 of the ranking
         _t(spark, sf_dir, "orders")
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
-        .select("rn", "o_orderkey", F.round("o_totalprice", 6).alias("price"))
+        .select("rn", "o_orderkey", duck_round("o_totalprice", 6).alias("price"))
     )
 
 
@@ -129,7 +130,7 @@ def q_date_histogram(spark, sf_dir):  # B11
     return (
         _t(spark, sf_dir, "events")
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n"), duck_round(F.sum("value"), 6).alias("sum_value"))
     )
 
 
@@ -146,11 +147,11 @@ def q_stats_agg(spark, sf_dir):  # B12 (TPC-H Q1 shape)
         .filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            duck_round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            duck_round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            duck_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            duck_round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            duck_round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -188,8 +189,8 @@ def q_percentiles(spark, sf_dir):  # B14
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            duck_round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            duck_round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         )
     )
 
@@ -208,7 +209,8 @@ def q_composite_agg(spark, sf_dir):  # B15
     return spark.sql(
         """
         SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-               count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+               count(*) AS n,
+               floor(avg(n_chars) * 1000000 + 0.5) / 1000000 AS avg_chars
         FROM documents_v GROUP BY GROUPING SETS ((lang), (source), ())
         """
     )
@@ -251,7 +253,7 @@ def q_join_revenue(spark, sf_dir):  # A4: equi-join chain + agg
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
-        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"), F.count("*").alias("n_orders"))
+        .agg(duck_round(F.sum("o_totalprice"), 6).alias("revenue"), F.count("*").alias("n_orders"))
     )
 
 
@@ -267,7 +269,7 @@ def q_balance_rollup(spark, sf_dir):  # A5: per-key balance = sum of amounts
     o = _t(spark, sf_dir, "orders")
     top = (
         o.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 6).alias("balance"), F.count("*").alias("n_orders"))
+        .agg(duck_round(F.sum("o_totalprice"), 6).alias("balance"), F.count("*").alias("n_orders"))
         .orderBy(F.desc("balance"), F.asc("o_custkey"))
         .limit(50)
     )
@@ -315,7 +317,7 @@ def q_json_extract(spark, sf_dir):  # events.props JSON -> typed field + agg
         _t(spark, sf_dir, "events")
         .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 6).alias("avg_k"), F.max("k").alias("max_k"))
+        .agg(duck_round(F.avg("k"), 6).alias("avg_k"), F.max("k").alias("max_k"))
     )
 
 
@@ -377,7 +379,7 @@ def _bm25_relational(spark, sf_dir, terms: list[str], mode: str, k: int):
         )
     )
     agg = scored.groupBy("doc_id").agg(
-        F.round(F.sum("contrib"), 6).alias("score"), F.count("*").alias("n_terms")
+        duck_round(F.sum("contrib"), 6).alias("score"), F.count("*").alias("n_terms")
     )
     if mode == "and":
         agg = agg.filter(F.col("n_terms") == len(set(terms)))
@@ -509,7 +511,7 @@ def q_bm25_indexed_engine(spark, sf_dir):
         r = s.top_k(text, k=1_000_000, mode=mode, with_meta=False).select(
             F.lit(qid).cast("long").alias("query_id"),
             "doc_id",
-            F.round(F.col("score").cast("double"), 3).alias("score3"),
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
         )
         out = r if out is None else out.unionByName(r)
     return out

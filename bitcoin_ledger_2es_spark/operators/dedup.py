@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.parity import duck_round
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.analyze import tokenize_series
@@ -56,7 +57,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def token_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1) -> DataFrame:
     """Distinct n-gram set per doc (word shingles)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9_]+"), 0)
     if n > 1:
         toks = F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -92,7 +93,7 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", duck_round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -204,7 +205,7 @@ def minhash_lsh_pairs(
             )
             / F.lit(float(num_perm)),
         )
-        .select("doc_a", "doc_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+        .select("doc_a", "doc_b", duck_round("jaccard_est", 6).alias("jaccard_est"))
     )
     if not verify_exact:
         return est.filter(F.col("jaccard_est") >= threshold)

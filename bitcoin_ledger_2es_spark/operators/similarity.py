@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.parity import duck_round
 
 
 def _dot(a, b):
@@ -50,7 +51,7 @@ def cosine_topk_bruteforce(
     return (
         j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id_col, "rank", F.col(id_col).alias("neighbor_id"), F.round("cosine", 6).alias("cosine"))
+        .select(q_id_col, "rank", F.col(id_col).alias("neighbor_id"), duck_round("cosine", 6).alias("cosine"))
     )
 
 
@@ -108,7 +109,7 @@ def ann_lsh_topk(
     return (
         j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id_col, "rank", F.col(id_col).alias("neighbor_id"), F.round("cosine", 6).alias("cosine"))
+        .select(q_id_col, "rank", F.col(id_col).alias("neighbor_id"), duck_round("cosine", 6).alias("cosine"))
     )
 
 
@@ -133,6 +134,6 @@ def embedding_cosine_dedup(
     pairs = with_cosine(pairs, "va", "vb")
     return (
         pairs.filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", duck_round("cosine", 6).alias("cosine"))
         .distinct()
     )

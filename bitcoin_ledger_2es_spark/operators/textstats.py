@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.parity import duck_round
 
 TOK = r"[a-z0-9_]+"
 STOPWORDS = ["the", "a", "of", "to", "and", "in"]
@@ -57,9 +58,9 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_toks.alias("n_tokens"),
         F.length(text_col).alias("n_chars_raw"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        duck_round(mean_len, 6).alias("mean_token_len"),
+        duck_round(stop_ratio, 6).alias("stopword_ratio"),
+        duck_round(score, 6).alias("quality_score"),
     )
 
 
