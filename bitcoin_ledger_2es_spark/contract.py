@@ -45,7 +45,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _toks(col):
-    return F.regexp_extract_all(F.lower(col), F.lit(TOK), 0)
+    # coalesce('') so a NULL text tokenizes to [] (dl=0) — identical to the
+    # oracle's coalesce(dl, 0), instead of NULL silently dropping the doc
+    # from avg(dl)
+    return F.regexp_extract_all(F.lower(F.coalesce(col, F.lit(""))), F.lit(TOK), 0)
 
 
 # DuckDB-side tokenizer expression (same \w+ semantics)
@@ -295,7 +298,8 @@ def q_anti_join(spark, sf_dir):  # A7 reorg-delete analogue: keys absent downstr
 
 SQL_ANTI_JOIN = """
 SELECT c_nationkey, count(*) AS n_customers_without_orders
-FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
 """
 

@@ -41,8 +41,8 @@ def q_dedup_exact(spark, sf_dir):
 
 
 SQL_DEDUP_EXACT = """
-SELECT count(*) AS n_distinct_texts, sum(n) AS n_docs, max(n) AS max_group
-FROM (SELECT count(*) AS n FROM documents GROUP BY text)
+SELECT count(*) AS n_distinct_texts, CAST(sum(n) AS BIGINT) AS n_docs, max(n) AS max_group
+FROM (SELECT count(*) AS n FROM documents GROUP BY coalesce(text, ''))
 """
 
 
@@ -151,7 +151,7 @@ def q_token_counts(spark, sf_dir):
 
 SQL_TOKEN_COUNTS = """
 SELECT doc_id, len(toks) AS n_tokens,
-       coalesce(list_sum(list_transform(toks, t -> cast(ceil(length(t) / 4.0) AS BIGINT))), 0) AS n_bpe_pieces
+       CAST(coalesce(list_sum(list_transform(toks, t -> cast(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_pieces
 FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents)
 """
 
@@ -162,7 +162,7 @@ def q_doc_fingerprint(spark, sf_dir):
 
 SQL_DOC_FINGERPRINT = f"""
 SELECT doc_id,
-       sum(i * (31 * length(tok) + ascii(tok))) % {T.FP_MOD} AS fp,
+       CAST(sum(i * (31 * length(tok) + ascii(tok))) % {T.FP_MOD} AS BIGINT) AS fp,
        count(*) AS n_tokens
 FROM (
   SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok

@@ -209,9 +209,33 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return est.filter(F.col("jaccard_est") >= threshold)
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, text_col=text_col, id_col=id_col)
+    # exact verification scoped to the LSH candidates ONLY: join each
+    # candidate pair to its two token sets and count the intersection.
+    # Cost is bounded by |candidates| x tokens-per-doc — never the full
+    # quadratic token self-join (which LSH exists to avoid).
+    grams = token_set(docs, text_col, id_col)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        est.select("doc_a", "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        est.join(exact, ["doc_a", "doc_b"])
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            duck_round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard", "jaccard_est")
     )
@@ -253,13 +277,17 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_tables: int = 4,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Candidate generation: split the 64-bit hash into ``n_tables`` 16-bit
     chunks; by pigeonhole any pair within Hamming distance n_tables-1 (and
     most within max_hamming) shares at least one exact chunk -> bucket
-    join per chunk, then exact popcount verification.
+    join per chunk, then exact popcount verification. ``max_bucket`` is the
+    skew guard (same contract as minhash_lsh_pairs): a degenerate chunk
+    bucket — e.g. a corpus of identical boilerplate — is dropped instead of
+    exploding one task quadratically.
     """
     docs_h = docs.select(
         F.col(id_col).alias("doc_id"), simhash_udf()(F.col(text_col)).alias("sh")
@@ -282,6 +310,13 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "sh", F.col("c.tbl").alias("tbl"), F.col("c.ck").alias("ck"))
+    ok = (
+        chunks.groupBy("tbl", "ck")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("tbl", "ck")
+    )
+    chunks = chunks.join(ok, ["tbl", "ck"])
     c2 = chunks.select("tbl", "ck", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     cand = (
         chunks.join(c2, ["tbl", "ck"])

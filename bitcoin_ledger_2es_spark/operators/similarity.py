@@ -47,7 +47,12 @@ def cosine_topk_bruteforce(
     vectorized JVM arithmetic; deterministic ties: cosine desc, id asc)."""
     j = vectors.crossJoin(F.broadcast(queries))
     j = with_cosine(j, q_vec_col, vec_col)
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    # rank on the ROUNDED cosine (the emitted value) so the ordering key is
+    # identical to the DuckDB oracle's — ranking on the unrounded value
+    # could order two neighbors differing only beyond 6dp oppositely
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc(duck_round("cosine", 6)), F.asc(id_col)
+    )
     return (
         j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -98,19 +103,29 @@ def ann_lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     exact cosine + ranking within candidates. At 100 TB the bucket join
     replaces the full cross join — shuffle bounded by bucket sizes."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    dim = _require_dim(dim)
     planes = _hyperplanes(dim, n_planes)
     v = vectors.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     q = queries.withColumn("_bucket", lsh_bucket_col(F.col(q_vec_col), planes))
     j = v.join(F.broadcast(q), "_bucket")
     j = with_cosine(j, q_vec_col, vec_col)
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc(duck_round("cosine", 6)), F.asc(id_col)
+    )
     return (
         j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", F.col(id_col).alias("neighbor_id"), duck_round("cosine", 6).alias("cosine"))
     )
+
+
+def _require_dim(dim: int | None) -> int:
+    if dim is None:
+        raise ValueError(
+            "pass dim= (embedding length): inferring it would run an extra "
+            "driver job per call — the schema does not carry array length"
+        )
+    return int(dim)
 
 
 def embedding_cosine_dedup(
@@ -120,15 +135,25 @@ def embedding_cosine_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
-    self-join + exact verification."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    self-join + exact verification. ``max_bucket`` is the skew guard: a
+    degenerate bucket (e.g. all-zero vectors) would otherwise go quadratic
+    in one task — buckets over the cap are dropped, matching the
+    minhash_lsh_pairs contract."""
+    dim = _require_dim(dim)
     planes = _hyperplanes(dim, n_planes)
     v = vectors.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes)).select(
         "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
+    ok = (
+        v.groupBy("_bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("_bucket")
+    )
+    v = v.join(F.broadcast(ok), "_bucket")
     v2 = v.select("_bucket", F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
     pairs = v.join(v2, "_bucket").filter(F.col("id_a") < F.col("id_b"))
     pairs = with_cosine(pairs, "va", "vb")

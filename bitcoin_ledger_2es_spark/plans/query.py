@@ -187,12 +187,15 @@ class BM25Searcher:
         top = top.withColumn("rank", F.row_number().over(w))
         if not with_meta:
             return top.select("rank", "doc_id", "score").orderBy("rank")
-        # fetch phase: broadcast the <= k winners INTO the docmap scan
-        # (right-outer keeps all winners; broadcasting the left/inner side
-        # of a right-outer join is supported, unlike left-outer+left-bcast)
+        # fetch phase: broadcast the <= k winners INTO the docmap scan.
+        # Winners come from the index, so they always exist in docmap —
+        # an INNER join loses nothing, and inner+broadcast(top) gives
+        # BuildRight over k rows: docmap is scan-only at any corpus size
+        # (a right-outer join could only build/broadcast the docmap side,
+        # which is broadcast-OOM at 10^12 docs).
         return (
             self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
-            .join(F.broadcast(top), "doc_id", "right")
+            .join(F.broadcast(top), "doc_id", "inner")
             .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
             .orderBy("rank")
         )

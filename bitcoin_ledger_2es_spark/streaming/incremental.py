@@ -52,6 +52,13 @@ def build_segment(
     spark: SparkSession, batch_df: DataFrame, root: str, seg_id: int, cfg: EngineConfig
 ) -> None:
     """Deterministically (re)build one segment from a micro-batch."""
+    # shard_id must stay == doc_id // docs_per_shard after the segment
+    # offset; that holds only when the per-segment id base is a multiple
+    # of the shard width (a non-power-of-two docs_per_shard would silently
+    # misalign the kernel's base = shard_id * dps)
+    assert SEG_BASE % cfg.docs_per_shard == 0, (
+        f"docs_per_shard={cfg.docs_per_shard} must divide SEG_BASE=2^40"
+    )
     seg = Path(root) / "segments" / f"seg_{seg_id:06d}"
     if seg.exists():
         shutil.rmtree(seg)  # idempotent replay
@@ -217,8 +224,11 @@ class SegmentedSearcher:
         for seg in self.segments:
             d = seg.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
             docmaps = d if docmaps is None else docmaps.unionByName(d)
+        # inner+broadcast(top): BuildRight over <= k winners; the unioned
+        # docmaps stay scan-only (winners always exist in some segment's
+        # docmap, so inner loses nothing — see BM25Searcher.top_k)
         return (
-            docmaps.join(F.broadcast(top), "doc_id", "right")
+            docmaps.join(F.broadcast(top), "doc_id", "inner")
             .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
             .orderBy("rank")
         )
