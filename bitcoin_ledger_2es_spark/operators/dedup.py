@@ -111,35 +111,64 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of a token list (FNV-1a, pure numpy-per-token)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    """Stable 64-bit FNV-1a hashes of a token list, vectorized ACROSS
+    tokens: the only Python loop is over byte *positions* (max token
+    length, ~tens), each iteration a whole-array gather+xor+multiply.
+    Values are bit-identical to the per-byte scalar FNV-1a reference
+    (pinned by tests/test_pipeline_ops.py golden)."""
+    n = len(tokens)
+    out = np.full(n, _FNV_OFF, dtype=np.uint64)
+    if n == 0:
+        return out
+    enc = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter(map(len, enc), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    alive = np.arange(n)
+    for j in range(int(lens.max(initial=0))):
+        alive = alive[lens[alive] > j]
+        if alive.size == 0:
+            break
+        b = buf[starts[alive] + j].astype(np.uint64)
+        out[alive] = (out[alive] ^ b) * _FNV_PRIME  # uint64 mul wraps mod 2^64
     return out
 
 
+def _flat_token_hashes(tok_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every token of every doc in ONE vectorized pass.
+    Returns (hashes over the flattened token stream, token count per doc)."""
+    counts = np.fromiter(map(len, tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat: list[str] = [t for ts in tok_lists for t in ts]
+    return _token_hashes(flat), counts
+
+
 def minhash_signatures_udf(num_perm: int = 64):
-    """pandas UDF: text -> array<long> MinHash signature (fixed seeds)."""
+    """pandas UDF: text -> array<long> MinHash signature (fixed seeds).
+
+    Fully batch-vectorized: one flattened FNV pass over every token in the
+    batch, then per permutation one splitmix64 mix + a segmented min
+    (``np.minimum.reduceat``). Duplicates need no dedup — min() is
+    duplicate-invariant — so signatures equal the per-doc unique-token
+    reference exactly."""
     salts = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
         toks = tokenize_series(texts)
-        sigs = []
-        for ts in toks:
-            uniq = list(dict.fromkeys(ts))
-            if not uniq:
-                sigs.append([0] * num_perm)
-                continue
-            th = _token_hashes(uniq)  # (T,)
-            # h_i(t) = splitmix64(token_hash ^ salt_i); min over tokens
-            m = _splitmix64(th[None, :] ^ salts[:, None]).min(axis=1)
-            sigs.append(m.astype(np.int64).tolist())
-        return pd.Series(sigs)
+        th, counts = _flat_token_hashes(toks)
+        sig = np.zeros((len(toks), num_perm), dtype=np.int64)
+        nonempty = counts > 0
+        if th.size:
+            seg_starts = (np.concatenate(([0], np.cumsum(counts)))[:-1])[nonempty]
+            for p in range(num_perm):
+                v = _splitmix64(th ^ salts[p])
+                sig[nonempty, p] = np.minimum.reduceat(v, seg_starts).astype(np.int64)
+        return pd.Series(list(sig.tolist()))
 
     return _sig
 
@@ -246,26 +275,31 @@ def minhash_lsh_pairs(
 
 
 def simhash_udf():
-    """pandas UDF: text -> 64-bit SimHash (long)."""
+    """pandas UDF: text -> 64-bit SimHash (long).
+
+    Batch-vectorized: one flattened FNV pass, ``np.unpackbits`` to a
+    (tokens x 64) bit matrix, a segmented per-doc bit-count
+    (``np.add.reduceat``), and a power-of-two matmul to repack the sign
+    vector — no per-token Python. tf weighting comes from token
+    repetition in the stream, exactly like the scalar reference."""
 
     @pandas_udf("long")
     def _sim(texts: pd.Series) -> pd.Series:
         toks = tokenize_series(texts)
+        th, counts = _flat_token_hashes(toks)
         out = np.zeros(len(toks), dtype=np.int64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, ts in enumerate(toks):
-            if not ts:
-                continue
-            th = _token_hashes(list(ts))  # weight = tf via repetition
-            acc = np.zeros(64, dtype=np.int64)
-            for h in th:
-                bitvec = ((h >> bits) & np.uint64(1)).astype(np.int64)
-                acc += 2 * bitvec - 1
-            sh = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    sh |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sh.astype(np.int64))
+        nonempty = counts > 0
+        if th.size:
+            # (T, 64) bit matrix, bit 0 = LSB (little-endian byte view +
+            # bitorder='little' matches (h >> b) & 1)
+            bits = np.unpackbits(
+                th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            seg_starts = (np.concatenate(([0], np.cumsum(counts)))[:-1])[nonempty]
+            ones = np.add.reduceat(bits, seg_starts, axis=0)  # per-doc bit counts
+            acc = 2 * ones - counts[nonempty, None]  # sum over tokens of (2*bit - 1)
+            pow2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            out[nonempty] = ((acc > 0).astype(np.uint64) @ pow2).astype(np.int64)
         return pd.Series(out)
 
     return _sim

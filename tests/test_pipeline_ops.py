@@ -141,3 +141,95 @@ def test_multimodal_plumbing(spark, docs):
     ).toPandas()
     expect_rows = int(sum((n - 1) // 30 + 1 for n in vids["n_frames"]))
     assert len(frames) == expect_rows
+
+
+# ---------------------------------------------------------------------------
+# vectorized hashing goldens: the batch FNV/MinHash/SimHash kernels must be
+# bit-identical to the scalar per-byte reference implementations
+
+
+def _ref_fnv(tokens):
+    out = np.empty(len(tokens), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(tokens):
+            h = np.uint64(0xCBF29CE484222325)
+            for b in t.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+            out[i] = h
+    return out
+
+
+GOLDEN_TOKENS = ["", "a", "hello", "spark_4", "x" * 40, "über", "日本語", "mixed_2024_tok"]
+
+
+def test_fnv_vectorized_golden():
+    np.testing.assert_array_equal(D._token_hashes(GOLDEN_TOKENS), _ref_fnv(GOLDEN_TOKENS))
+
+
+def test_minhash_simhash_match_scalar_reference(spark):
+    from bitcoin_ledger_2es_spark.functions.analyze import tokenize_series
+
+    texts = ["the cat sat on the mat", "", "a a a b", "Spark SQL joins; spark scans!"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    num_perm = 16
+    got_sig = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", D.minhash_signatures_udf(num_perm)("text").alias("sig")).collect()
+    }
+    got_sim = {
+        r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash_udf()("text").alias("sh")).collect()
+    }
+    salts = D._splitmix64(
+        np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    for i, ts in enumerate(tokenize_series(pd.Series(texts))):
+        uniq = list(dict.fromkeys(ts))
+        if not uniq:
+            assert got_sig[i] == [0] * num_perm
+            assert got_sim[i] == 0
+            continue
+        th = _ref_fnv(uniq)
+        ref_sig = D._splitmix64(th[None, :] ^ salts[:, None]).min(axis=1).astype(np.int64)
+        assert got_sig[i] == ref_sig.tolist()
+        thw = _ref_fnv(list(ts))
+        bits = np.arange(64, dtype=np.uint64)
+        acc = np.zeros(64, dtype=np.int64)
+        for h in thw:
+            acc += 2 * ((h >> bits) & np.uint64(1)).astype(np.int64) - 1
+        sh = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sh |= np.uint64(1) << np.uint64(b)
+        assert got_sim[i] == int(np.int64(sh.astype(np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# skew guards: adversarial constant corpora must not explode quadratically
+
+
+def test_simhash_bucket_cap_on_constant_corpus(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text every time").alias("text")
+    )
+    capped = D.simhash_pairs(docs, max_hamming=3, max_bucket=50).toPandas()
+    assert len(capped) == 0  # every bucket over the cap -> dropped, not exploded
+    uncapped = D.simhash_pairs(docs, max_hamming=3, max_bucket=1000).toPandas()
+    assert len(uncapped) == 200 * 199 // 2  # cap is the only thing limiting
+
+
+def test_embedding_dedup_bucket_cap_on_constant_vectors(spark):
+    rows = [(i, [1.0] * 8) for i in range(100)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = S.embedding_cosine_dedup(v, threshold=0.9, n_planes=4, dim=8, max_bucket=50)
+    assert capped.count() == 0
+    ok = S.embedding_cosine_dedup(v, threshold=0.9, n_planes=4, dim=8, max_bucket=10_000)
+    assert ok.count() == 100 * 99 // 2
+
+
+def test_minhash_verify_is_candidate_scoped(spark, docs):
+    """The exact-Jaccard verification must never fall back to the full
+    quadratic token self-join: no join in the plan may key on `gram` alone."""
+    import re
+
+    plan = D.minhash_lsh_pairs(docs, threshold=0.7, num_perm=64, bands=32)._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Join\s+\[gram#\d+\],\s+\[gram#\d+\]", plan), plan
