@@ -35,6 +35,24 @@ from ..operators.postings import build_postings_pipeline, with_shard
 from ..operators.rollup import rollup_docs
 
 
+# Every content-affecting config knob is persisted with the index and
+# adopted back on read: reading an index with a different docs_per_shard /
+# block_size / token_pattern than it was written with would silently corrupt
+# doc_ids (kernel base = shard_id * dps) or the analyzer — so the on-disk
+# stats row, not the caller's cfg, is authoritative for those.
+CORPUS_STATS_DDL = (
+    "n_docs long, avgdl double, k1 double, b double, docs_per_shard long, "
+    "block_size int, token_pattern string, lowercase boolean, index_rollups boolean"
+)
+
+
+def corpus_stats_row(n_docs: int, avgdl: float, cfg: EngineConfig) -> tuple:
+    return (
+        n_docs, avgdl, cfg.k1, cfg.b, cfg.docs_per_shard, cfg.block_size,
+        cfg.token_pattern, cfg.lowercase, cfg.index_rollups,
+    )
+
+
 @dataclass
 class IndexFrames:
     docmap: DataFrame
@@ -130,9 +148,7 @@ def build_index(
         postings.count()
 
     spark = transcripts.sparkSession
-    stats = spark.createDataFrame(
-        [(n_docs, avgdl, cfg.k1, cfg.b)], "n_docs long, avgdl double, k1 double, b double"
-    )
+    stats = spark.createDataFrame([corpus_stats_row(n_docs, avgdl, cfg)], CORPUS_STATS_DDL)
     return IndexFrames(docmap, stats, dict_full, postings, n_docs, avgdl, cfg)
 
 
@@ -168,10 +184,26 @@ def write_index(ix: IndexFrames, path: str, mode: str = "overwrite") -> None:
 
 
 def read_index(spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT) -> IndexFrames:
+    """Open an on-disk index. The persisted corpus_stats row is
+    authoritative for every content-affecting knob (k1/b, docs_per_shard,
+    block_size, analyzer): those are adopted into the returned cfg, so a
+    caller's mismatched cfg can never silently mis-decode the index.
+    Execution-only knobs (shuffle_partitions, n_waves, wand_min_postings)
+    keep the caller's values."""
     docmap = spark.read.parquet(f"{path}/docmap")
     postings = spark.read.parquet(f"{path}/postings")
     dictionary = spark.read.parquet(f"{path}/dictionary")
     stats = spark.read.parquet(f"{path}/corpus_stats")
-    n_docs, avgdl, k1, b = stats.collect()[0]
-    cfg = cfg.with_(k1=float(k1), b=float(b))
-    return IndexFrames(docmap, stats, dictionary, postings, int(n_docs), float(avgdl), cfg)
+    row = stats.collect()[0].asDict()
+    cfg = cfg.with_(k1=float(row["k1"]), b=float(row["b"]))
+    if "docs_per_shard" in row:  # full stats row (round-2+ layout)
+        cfg = cfg.with_(
+            docs_per_shard=int(row["docs_per_shard"]),
+            block_size=int(row["block_size"]),
+            token_pattern=row["token_pattern"],
+            lowercase=bool(row["lowercase"]),
+            index_rollups=bool(row["index_rollups"]),
+        )
+    return IndexFrames(
+        docmap, stats, dictionary, postings, int(row["n_docs"]), float(row["avgdl"]), cfg
+    )

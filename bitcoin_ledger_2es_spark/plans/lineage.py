@@ -42,7 +42,13 @@ from ..operators.postings import (
     spimi_blocks,
     with_shard,
 )
-from .build import IndexFrames, read_index, tokenized_documents
+from .build import (
+    CORPUS_STATS_DDL,
+    IndexFrames,
+    corpus_stats_row,
+    read_index,
+    tokenized_documents,
+)
 
 LINEAGE_DDL = (
     "partition_id int, stage string, status string, rows_in long, rows_out long, "
@@ -102,11 +108,14 @@ def build_index_resumable(
     path: str,
     cfg: EngineConfig = DEFAULT,
     _fail_after_wave: int | None = None,
+    _fail_before_log: int | None = None,
 ) -> IndexFrames:
     """Build (or resume building) the on-disk index at ``path``.
 
-    ``_fail_after_wave`` is test-only fault injection: raise after N
-    committed waves to exercise the kill/resume/byte-identical contract.
+    ``_fail_after_wave`` / ``_fail_before_log`` are test-only fault
+    injection: raise after N committed waves (after / before the lineage
+    append) to exercise the kill/resume/byte-identical contract on both
+    sides of the commit point.
     """
     lineage = read_lineage(spark, path)
 
@@ -114,6 +123,23 @@ def build_index_resumable(
     tmp = Path(path) / "postings" / "_temporary"
     if tmp.exists():
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # reconcile the crash window BETWEEN parquet commit and lineage append:
+    # a wave whose parquet job committed but whose lineage rows were never
+    # written leaves on-disk shard dirs that still count as 'pending' — a
+    # naive resume would re-append them, duplicating every posting block.
+    # Lineage is the source of truth: delete any shard partition dir not
+    # logged COMPLETE before rebuilding it.
+    logged = _completed(lineage, "postings")
+    pdir = Path(path) / "postings"
+    if pdir.exists():
+        for d in pdir.glob("shard_id=*"):
+            try:
+                sid = int(d.name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if sid not in logged:
+                shutil.rmtree(d, ignore_errors=True)
 
     # ---- deterministic upstream (recomputed on resume; pure function of input)
     src = transcripts.repartition(
@@ -134,7 +160,7 @@ def build_index_resumable(
             "overwrite"
         ).partitionBy("shard_id").parquet(f"{path}/docmap")
         spark.createDataFrame(
-            [(n_docs, avgdl, cfg.k1, cfg.b)], "n_docs long, avgdl double, k1 double, b double"
+            [corpus_stats_row(n_docs, avgdl, cfg)], CORPUS_STATS_DDL
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/corpus_stats")
         _log(spark, path, [(-1, "docmap", "COMPLETE", rows_in, n_docs, "", 1, t0, _now())])
 
@@ -166,6 +192,10 @@ def build_index_resumable(
             ).sortWithinPartitions("term_id", "block_id").write.mode("append").partitionBy(
                 "shard_id"
             ).parquet(f"{path}/postings")
+            if _fail_before_log is not None and w + 1 >= _fail_before_log:
+                raw_blocks.unpersist()
+                docs.unpersist()
+                raise RuntimeError(f"injected failure before logging wave {w + 1}")
             sums = _shard_checksums(spark.read.parquet(f"{path}/postings"), wave_shards)
             t1 = _now()
             _log(

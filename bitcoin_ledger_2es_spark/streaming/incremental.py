@@ -159,10 +159,15 @@ class SegmentedSearcher:
 
     def __init__(self, spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT):
         self.spark = spark
-        self.cfg = cfg
         self.segments = [read_index(spark, str(s / "index"), cfg) for s in _seg_dirs(root)]
         if not self.segments:
             raise ValueError(f"no segments under {root}")
+        # content-affecting knobs come from the segments' persisted stats
+        # (read_index adopts them); all segments must agree
+        keys = {s.cfg.content_key() for s in self.segments}
+        if len(keys) != 1:
+            raise ValueError(f"segments built with differing content configs: {keys}")
+        self.cfg = self.segments[0].cfg
         self.n_docs = sum(s.n_docs for s in self.segments)
         self.avgdl = (
             sum(s.avgdl * s.n_docs for s in self.segments) / self.n_docs if self.n_docs else 0.0

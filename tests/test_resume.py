@@ -62,3 +62,51 @@ def test_rerun_is_noop(spark, tiny_df, tmp_path):
     build_index_resumable(spark, tiny_df, path, CFG)  # second run: all skipped
     pd.testing.assert_frame_equal(before, _canon_postings(spark, path))
     assert read_lineage(spark, path).count() == n_lineage
+
+
+def test_kill_between_commit_and_log_resumes_byte_identical(spark, tiny_df, tmp_path):
+    """The crash window BETWEEN a wave's parquet commit and its lineage
+    append: the committed-but-unlogged shard dirs must be reconciled away
+    on resume, not re-appended (which would duplicate every block)."""
+    full, part = str(tmp_path / "full"), str(tmp_path / "part")
+    build_index_resumable(spark, tiny_df, full, CFG)
+
+    with pytest.raises(RuntimeError, match="before logging"):
+        build_index_resumable(spark, tiny_df, part, CFG, _fail_before_log=2)
+
+    lin = read_lineage(spark, part)
+    logged = {
+        r["partition_id"]
+        for r in lin.filter(F.col("stage") == "postings").collect()
+    }
+    on_disk = {
+        int(d.name.split("=")[1])
+        for d in (__import__("pathlib").Path(part) / "postings").glob("shard_id=*")
+    }
+    assert on_disk - logged  # the unlogged-but-committed wave exists on disk
+
+    build_index_resumable(spark, tiny_df, part, CFG)  # resume must reconcile
+
+    pd.testing.assert_frame_equal(_canon_postings(spark, full), _canon_postings(spark, part))
+    # no duplicated doc within any (term, shard): postings strictly ascending
+    post = _canon_postings(spark, part)
+    assert not post.duplicated(["term_id", "shard_id", "block_id"]).any()
+
+
+def test_read_index_adopts_persisted_content_config(spark, tiny_df, tmp_path):
+    """Opening an index with a WRONG docs_per_shard must not corrupt
+    queries: read_index adopts the persisted content knobs."""
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.plans.build import read_index, write_index
+
+    path = str(tmp_path / "ix")
+    ix = build_index(tiny_df, CFG)
+    write_index(ix, path)
+    expected = BM25Searcher(ix).top_k("w0000 w0003", k=5, with_meta=False).toPandas()
+
+    wrong = DEFAULT.with_(docs_per_shard=1 << 16, block_size=128)  # NOT what was written
+    reopened = read_index(spark, path, wrong)
+    assert reopened.cfg.docs_per_shard == CFG.docs_per_shard
+    assert reopened.cfg.block_size == CFG.block_size
+    got = BM25Searcher(reopened).top_k("w0000 w0003", k=5, with_meta=False).toPandas()
+    pd.testing.assert_frame_equal(expected, got)
