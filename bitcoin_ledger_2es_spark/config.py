@@ -50,6 +50,11 @@ class EngineConfig:
     docs_per_shard: int = 1 << 16
     # Also index rolled-up whole conversations as documents (north_star).
     index_rollups: bool = True
+    # Store token positions in posting blocks (varint-delta per posting,
+    # Lucene-style). Enables match_phrase (B5); off by default because the
+    # positions stream is the largest part of a positional index (~1 byte
+    # per token occurrence) and most queries never read it.
+    store_positions: bool = False
 
     # --- execution-only knobs (never affect index content) ---
     shuffle_partitions: int = 32
@@ -73,6 +78,7 @@ class EngineConfig:
             self.block_size,
             self.docs_per_shard,
             self.index_rollups,
+            self.store_positions,
         )
 
     def with_(self, **kw) -> "EngineConfig":

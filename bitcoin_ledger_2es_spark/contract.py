@@ -489,6 +489,18 @@ ENGINE_QUERIES = [  # (query_id, text, mode) for the indexed-engine oracle
 ]
 
 
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """documents -> transcripts shape, conv rank == doc_id (dense ids)."""
+    return docs.select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
 def q_bm25_indexed_engine(spark, sf_dir):
     """The REAL engine (SPIMI index -> block-max WAND / vectorized scorer)
     vs the DuckDB full-scoring oracle: every matching doc for each query
@@ -499,14 +511,7 @@ def q_bm25_indexed_engine(spark, sf_dir):
     from bitcoin_ledger_2es_spark.config import DEFAULT
 
     docs = _t(spark, sf_dir, "documents")
-    transcripts = docs.select(
-        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
-    )
+    transcripts = _docs_as_transcripts(docs)
     cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
     ix = build_index(transcripts, cfg)
     s = BM25Searcher(ix)
@@ -558,6 +563,92 @@ SQL_BM25_INDEXED_ENGINE = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# B5 match_phrase: the REAL positional engine (positions stream in the
+# posting blocks, consecutive-position intersection kernel) vs a DuckDB
+# positional self-join oracle. Lucene PhraseQuery scoring: tf = phrase
+# frequency, idf = sum of per-term idfs in query order.
+
+PHRASE_QUERIES = [
+    (0, "spark table"),
+    (1, "the data"),
+    (2, "data row table"),
+]
+
+
+def q_match_phrase(spark, sf_dir):
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DEFAULT.with_(
+        docs_per_shard=256, block_size=64, index_rollups=False, store_positions=True
+    )
+    s = BM25Searcher(build_index(_docs_as_transcripts(docs), cfg))
+    out = None
+    for qid, text in PHRASE_QUERIES:
+        r = s.phrase_query(text, k=1_000_000).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+            "phrase_freq",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _sql_phrase_allmatch(qid: int, terms: list[str]) -> str:
+    # idf summed in QUERY order (duplicates counted), left-associated like
+    # the engine's python accumulation
+    idf_terms = " + ".join(
+        "ln(1.0 + (c.n_docs - "
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}')"
+        " + 0.5) / ("
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}')"
+        " + 0.5))"
+        for t in terms
+    )
+    joins = "\n    ".join(
+        f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.tok = '{terms[i]}'"
+        for i in range(1, len(terms))
+    )
+    return f"""
+SELECT {qid} AS query_id, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3, phrase_freq
+FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  dls AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
+  ),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dls) AS avgdl
+  ),
+  sumidf AS (SELECT ({idf_terms}) AS sidf FROM corpus c),
+  pf AS (
+    SELECT t0.doc_id, count(*) AS phrase_freq
+    FROM toks t0
+    {joins}
+    WHERE t0.tok = '{terms[0]}'
+    GROUP BY t0.doc_id
+  )
+  SELECT pf.doc_id,
+         s.sidf * pf.phrase_freq * 2.2
+           / (pf.phrase_freq + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS score,
+         pf.phrase_freq
+  FROM pf JOIN dls USING (doc_id), corpus c, sumidf s
+)
+"""
+
+
+SQL_MATCH_PHRASE = "\nUNION ALL\n".join(
+    _sql_phrase_allmatch(qid, text.split()) for qid, text in PHRASE_QUERIES
+)
+
+
 def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
     return (
         _doc_tokens(spark, sf_dir)
@@ -600,6 +691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "bm25_topk": q_bm25_topk,
     "bm25_indexed_engine": q_bm25_indexed_engine,
+    "match_phrase": q_match_phrase,
     "term_query": q_term_query,
     "bool_and_query": q_bool_and_query,
     "tokenize_term_counts": q_tokenize_term_counts,
@@ -626,6 +718,7 @@ ORACLE: dict[str, str] = {
     "set_ops": SQL_SET_OPS,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
+    "match_phrase": SQL_MATCH_PHRASE,
     "term_query": SQL_TERM_QUERY,
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,

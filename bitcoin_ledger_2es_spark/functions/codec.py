@@ -85,6 +85,27 @@ def decode_doc_gaps(buf: bytes, first_doc_id: int, n_docs: int) -> np.ndarray:
     return out
 
 
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a block's positions stream -> absolute token positions, one
+    value per occurrence, concatenated in posting order.
+
+    Layout (Lucene-style): per posting, tf varints — the first is the
+    absolute first position, the rest are gaps. ``tfs`` (occurrences per
+    posting) drives the per-posting segmentation; the cumsum is segmented
+    by subtracting the running total at each posting start.
+    """
+    vals = decode_varints(buf).astype(np.int64)
+    if vals.size == 0:
+        return vals
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    cs = np.cumsum(vals)
+    starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+    base = np.zeros(t.size, dtype=np.int64)
+    if t.size > 1:
+        base[1:] = cs[starts[1:] - 1]
+    return cs - np.repeat(base, t)
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     return encode_varints(np.ascontiguousarray(tfs, dtype=np.uint64))
 

@@ -1,0 +1,119 @@
+"""match_phrase (B5): positional phrase matching + BM25 phrase scoring.
+
+Semantics follow Lucene/ES ``match_phrase`` with slop=0 (exact adjacency):
+
+  * the analyzed query terms must occur at consecutive token positions;
+  * tf for scoring is the PHRASE frequency (number of phrase starts in the
+    doc), not per-term tf — Lucene's ``PhraseScorer`` feeds phrase freq
+    into the same Similarity;
+  * idf is the sum of the per-term idfs in query order, duplicates counted
+    (Lucene ``PhraseWeight`` sums ``idfExplain`` over the terms array);
+  * score = sum_idf * pf*(k1+1) / (pf + k1*(1-b+b*dl/avgdl)); f64
+    accumulate, f32 emit, ties (score_f32 desc, doc_id asc) — the engine's
+    standard determinism contract (functions/bm25.py, oracle.py).
+
+The per-shard kernel is fully vectorized: each phrase slot's postings are
+decoded once (docs + positions), every occurrence becomes one int64 key
+``doc_local * 2^B + (position - slot + len)``, and consecutive-position
+matches are the running ``np.intersect1d`` of the slot key sets — no
+Python loop over documents or positions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.codec import decode_doc_gaps, decode_positions, decode_tfs
+
+_POS_BITS = 21  # max token position per doc < 2^21 - phrase_len (asserted)
+
+
+def _slot_keys(blocks: pd.DataFrame, slot: int, n_slots: int, base: int):
+    """Decode one phrase slot's postings within a shard.
+
+    Returns (keys, docs, dls): ``keys`` has one entry per occurrence,
+    ``doc_local * 2^B + pos - slot + n_slots`` (the +n_slots offset keeps
+    adjusted positions non-negative for every slot); ``docs``/``dls`` are
+    posting-level (for dl lookup after the intersection).
+    """
+    docs_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
+    for r in blocks.sort_values("block_id").itertuples(index=False):
+        docs_parts.append(decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)))
+        tfs = decode_tfs(r.tfs)
+        tf_parts.append(tfs)
+        dl_parts.append(decode_tfs(r.dls))
+        pos_parts.append(decode_positions(r.poss, tfs))
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
+    pos = np.concatenate(pos_parts)
+    local = (docs - base).astype(np.int64)
+    assert pos.size == 0 or int(pos.max()) + n_slots < (1 << _POS_BITS), (
+        "token position exceeds the phrase-key budget (2^21 per doc)"
+    )
+    keys = (np.repeat(local, tfs) << np.int64(_POS_BITS)) + (pos - slot + n_slots)
+    return keys, local, dls
+
+
+def score_shard_phrase(
+    slot_blocks: list[pd.DataFrame],
+    sum_idf: float,
+    base: int,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Top-k phrase matches within one shard.
+
+    ``slot_blocks``: one blocks-DataFrame per phrase slot, in query order
+    (the same term may appear at several slots). Returns (doc_id, score,
+    phrase_freq) — at most k rows, (score desc, doc_id asc)-ordered ties.
+    """
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float32),
+            "phrase_freq": pd.Series([], dtype=np.int64),
+        }
+    )
+    n_slots = len(slot_blocks)
+    keys = None
+    dl_docs = dl_vals = None
+    for slot, blocks in enumerate(slot_blocks):
+        if blocks.empty:
+            return empty
+        kk, docs_local, dls = _slot_keys(blocks, slot, n_slots, base)
+        if slot == 0:
+            keys, dl_docs, dl_vals = kk, docs_local, dls
+        else:
+            keys = np.intersect1d(keys, kk, assume_unique=True)
+        if keys.size == 0:
+            return empty
+
+    match_local = (keys >> np.int64(_POS_BITS)).astype(np.int64)
+    # phrase freq per doc: keys are sorted, so run-length over the doc part
+    starts = np.flatnonzero(
+        np.concatenate(([True], match_local[1:] != match_local[:-1]))
+    )
+    pf = np.diff(np.concatenate((starts, [match_local.size]))).astype(np.float64)
+    docs = match_local[starts]
+    dl = dl_vals[np.searchsorted(dl_docs, docs)].astype(np.float64)
+
+    denom = pf + k1 * (1.0 - b + b * dl / avgdl)
+    s32 = (sum_idf * pf * (k1 + 1.0) / denom).astype(np.float32)
+
+    if docs.size > k:
+        kth = np.partition(-s32, k - 1)[k - 1]
+        sup = np.flatnonzero(-s32 <= kth)
+        order = sup[np.lexsort((docs[sup], -s32[sup].astype(np.float64)))][:k]
+    else:
+        order = np.lexsort((docs, -s32.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (docs[order] + base).astype(np.int64),
+            "score": s32[order],
+            "phrase_freq": pf[order].astype(np.int64),
+        }
+    )

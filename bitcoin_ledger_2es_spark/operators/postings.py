@@ -54,23 +54,27 @@ RAW_BLOCKS_SCHEMA = pa.schema(
         ("doc_id_deltas", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
+        ("poss", pa.binary()),
         ("tf_sum", pa.int64()),
     ]
 )
 
 RAW_BLOCKS_DDL = (
     "shard_id long, term string, block_id int, first_doc_id long, last_doc_id long, "
-    "n_docs int, doc_id_deltas binary, tfs binary, dls binary, tf_sum long"
+    "n_docs int, doc_id_deltas binary, tfs binary, dls binary, poss binary, tf_sum long"
 )
 
 # Impact-style blocks: alongside the delta-gapped doc ids and tfs, each
 # block carries the varint-encoded exact doc lengths of its postings (the
 # role of Lucene's norms, stored inline like impact-sorted indexes keep
 # (tf, norm) pairs). Queries then never touch docmap: the pruned postings
-# scan alone fully determines BM25 scores.
+# scan alone fully determines BM25 scores. ``poss`` (empty unless
+# cfg.store_positions) is the Lucene-style positions stream: per posting,
+# tf varints — absolute first position then gaps — enabling match_phrase.
 POSTINGS_DDL = (
     "shard_id long, term_id long, block_id int, first_doc_id long, last_doc_id long, "
-    "n_docs int, doc_id_deltas binary, tfs binary, dls binary, block_max_score float"
+    "n_docs int, doc_id_deltas binary, tfs binary, dls binary, poss binary, "
+    "block_max_score float"
 )
 
 DICTIONARY_DDL = "term string, term_id long, df long, cf long, max_score float"
@@ -90,6 +94,7 @@ def _spimi_kernel(cfg: EngineConfig):
 
     block_size, dps = cfg.block_size, cfg.docs_per_shard
     sep = cfg.separator_pattern
+    store_pos = cfg.store_positions
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # one task == one core: Arrow's default pool (all cores) in every
@@ -140,19 +145,52 @@ def _spimi_kernel(cfg: EngineConfig):
         if codes.size == 0:
             return
         shift = int(n_docs_local).bit_length()
-        key = (codes.astype(np.int64) << shift) | local.astype(np.int64)
-        del codes, local
-        key.sort()
+        pos_occ = None
+        if store_pos:
+            # token position within its doc (analyzer order, counted over
+            # KEPT tokens). A doc's tokens come from exactly one text row,
+            # so they are contiguous in the stream: position = index minus
+            # the start of the doc's run.
+            n = local.size
+            is_new = np.empty(n, dtype=bool)
+            is_new[0] = True
+            np.not_equal(local[1:], local[:-1], out=is_new[1:])
+            run_starts = np.flatnonzero(is_new)
+            run_lens = np.diff(np.concatenate((run_starts, [n])))
+            pos = np.arange(n, dtype=np.int64) - np.repeat(run_starts, run_lens)
+            # single int64 sort key (term, doc, pos) when the bits fit —
+            # same memory-traffic-minimizing design as the tf-only path;
+            # stable lexsort fallback for pathological vocab/doc sizes
+            pshift = int(pos.max(initial=0)).bit_length()
+            if int(len(uniques)).bit_length() + shift + pshift <= 62:
+                key = (
+                    (codes.astype(np.int64) << np.int64(shift + pshift))
+                    | (local.astype(np.int64) << np.int64(pshift))
+                    | pos
+                )
+                key.sort()
+                kocc = key >> np.int64(pshift)
+                pos_occ = key & np.int64((1 << pshift) - 1)
+            else:
+                order = np.lexsort((pos, local, codes))
+                kocc = (codes[order].astype(np.int64) << shift) | local[order].astype(np.int64)
+                pos_occ = pos[order]
+            del codes, local, pos
+        else:
+            key = (codes.astype(np.int64) << shift) | local.astype(np.int64)
+            del codes, local
+            key.sort()
+            kocc = key
 
         # run-length over identical (term, doc) keys -> tf
-        n_tok = key.size
+        n_tok = kocc.size
         is_start = np.empty(n_tok, dtype=bool)
         is_start[0] = True
-        np.not_equal(key[1:], key[:-1], out=is_start[1:])
+        np.not_equal(kocc[1:], kocc[:-1], out=is_start[1:])
         starts = np.flatnonzero(is_start)
         ends = np.concatenate((starts[1:], [n_tok]))
         tf = (ends - starts).astype(np.int64)
-        kpost = key[starts]
+        kpost = kocc[starts]
         tc = (kpost >> shift).astype(np.int64)  # term code per posting
         tl = (kpost & ((1 << shift) - 1)).astype(np.int64)  # local doc idx
         td = doc_ids[tl]
@@ -208,6 +246,28 @@ def _spimi_kernel(cfg: EngineConfig):
         dl_slices = stream_slices(tdl)
         tf_sums = np.add.reduceat(tf, bstarts)
 
+        if pos_occ is not None:
+            # positions stream: per posting, absolute first position then
+            # within-posting gaps, varint'd; sliced per block at
+            # occurrence granularity
+            pdelta = np.empty(n_tok, dtype=np.int64)
+            pdelta[0] = pos_occ[0]
+            pdelta[1:] = pos_occ[1:] - pos_occ[:-1]
+            pdelta[starts] = pos_occ[starts]
+            pvals = pdelta.astype(np.uint64)
+            pbuf = encode_varints(pvals)
+            pbyte_offs = np.concatenate(([0], np.cumsum(varint_lengths(pvals))))
+            starts_ext = np.concatenate((starts, [n_tok]))
+            occ_bstart = starts_ext[bstarts]
+            occ_bend = starts_ext[bends]
+            mv_pos = memoryview(pbuf)
+            poss_slices = [
+                bytes(mv_pos[pbyte_offs[s] : pbyte_offs[e]])
+                for s, e in zip(occ_bstart, occ_bend)
+            ]
+        else:
+            poss_slices = [b""] * nb
+
         terms_per_block = [uniques[i] for i in tc[bstarts]]
         yield pa.RecordBatch.from_arrays(
             [
@@ -220,6 +280,7 @@ def _spimi_kernel(cfg: EngineConfig):
                 pa.array(gap_slices, type=pa.binary()),
                 pa.array(tf_slices, type=pa.binary()),
                 pa.array(dl_slices, type=pa.binary()),
+                pa.array(poss_slices, type=pa.binary()),
                 pa.array(tf_sums, type=pa.int64()),
             ],
             schema=RAW_BLOCKS_SCHEMA,
@@ -265,7 +326,7 @@ def finalize_blocks(
     k1, b = cfg.k1, cfg.b
     joined = raw_blocks.join(dictionary.select("term", "term_id", "df"), "term").select(
         "shard_id", "term_id", "block_id", "first_doc_id", "last_doc_id",
-        "n_docs", "doc_id_deltas", "tfs", "dls", "df",
+        "n_docs", "doc_id_deltas", "tfs", "dls", "poss", "df",
     )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -34,6 +34,7 @@ class PandasOracle:
         self.cfg = cfg
         d = docs.sort_values("doc_id").reset_index(drop=True)
         toks = tokenize_series(d["text"], cfg)
+        self._toks = toks
         self.doc_ids = d["doc_id"].to_numpy(dtype=np.int64)
         self.doc_len = toks.str.len().to_numpy(dtype=np.int64)
         self.n_docs = len(d)
@@ -92,5 +93,49 @@ class PandasOracle:
                 "rank": np.arange(1, len(top) + 1, dtype=np.int32),
                 "doc_id": self.doc_ids[cand][top],
                 "score": s32[top],
+            }
+        )
+
+    def phrase_topk(self, query_text: str, k: int = 10) -> pd.DataFrame:
+        """match_phrase oracle (B5, slop=0): brute-force scan of every
+        doc's token stream for consecutive occurrences of the analyzed
+        terms; BM25 with tf = phrase freq, idf = sum of per-term idfs in
+        query order (same contract as operators/phrase.py)."""
+        cfg = self.cfg
+        terms = analyze_query(query_text, cfg)
+        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32),
+                              "phrase_freq": pd.Series([], dtype=np.int64)})
+        if not terms or any(t not in self.postings for t in terms):
+            return empty
+        sum_idf = 0.0
+        for t in terms:
+            sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
+        rows, pfs = [], []
+        n = len(terms)
+        for row, ts in enumerate(self._toks):
+            pf = sum(
+                1
+                for i in range(len(ts) - n + 1)
+                if all(ts[i + j] == terms[j] for j in range(n))
+            )
+            if pf:
+                rows.append(row)
+                pfs.append(pf)
+        if not rows:
+            return empty
+        rows = np.asarray(rows, dtype=np.int64)
+        pf = np.asarray(pfs, dtype=np.float64)
+        dl = self.doc_len[rows].astype(np.float64)
+        denom = pf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / self.avgdl)
+        s32 = (sum_idf * pf * (cfg.k1 + 1.0) / denom).astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -s32.astype(np.float64)))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": self.doc_ids[rows][order],
+                "score": s32[order],
+                "phrase_freq": pf[order].astype(np.int64),
             }
         )

@@ -42,14 +42,15 @@ from ..operators.rollup import rollup_docs
 # stats row, not the caller's cfg, is authoritative for those.
 CORPUS_STATS_DDL = (
     "n_docs long, avgdl double, k1 double, b double, docs_per_shard long, "
-    "block_size int, token_pattern string, lowercase boolean, index_rollups boolean"
+    "block_size int, token_pattern string, lowercase boolean, index_rollups boolean, "
+    "store_positions boolean"
 )
 
 
 def corpus_stats_row(n_docs: int, avgdl: float, cfg: EngineConfig) -> tuple:
     return (
         n_docs, avgdl, cfg.k1, cfg.b, cfg.docs_per_shard, cfg.block_size,
-        cfg.token_pattern, cfg.lowercase, cfg.index_rollups,
+        cfg.token_pattern, cfg.lowercase, cfg.index_rollups, cfg.store_positions,
     )
 
 
@@ -203,6 +204,7 @@ def read_index(spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT) -> I
             token_pattern=row["token_pattern"],
             lowercase=bool(row["lowercase"]),
             index_rollups=bool(row["index_rollups"]),
+            store_positions=bool(row.get("store_positions", False)),
         )
     return IndexFrames(
         docmap, stats, dictionary, postings, int(row["n_docs"]), float(row["avgdl"]), cfg

@@ -93,7 +93,7 @@ def _shard_checksums(postings_on_disk: DataFrame, shards: list[int]) -> dict[int
             F.bit_xor(
                 F.xxhash64(
                     "term_id", "block_id", "first_doc_id", "last_doc_id",
-                    "n_docs", "doc_id_deltas", "tfs", "dls",
+                    "n_docs", "doc_id_deltas", "tfs", "dls", "poss",
                 )
             ).alias("h"),
         )

@@ -204,6 +204,73 @@ class BM25Searcher:
         """ES term-query analogue (B2): single exact term, BM25-ranked."""
         return self.top_k(term, k=k, mode="or")
 
+    def phrase_query(self, query_text: str, k: int = 10, with_meta: bool = False) -> DataFrame:
+        """ES match_phrase analogue (B5, slop=0): the analyzed terms must
+        occur at consecutive positions. Requires an index built with
+        ``store_positions=True``. Scoring = BM25 with tf = phrase
+        frequency, idf = sum of per-term idfs in query order (Lucene
+        PhraseQuery semantics; operators/phrase.py)."""
+        from ..operators.phrase import score_shard_phrase
+
+        ix, cfg = self.ix, self.ix.cfg
+        if not cfg.store_positions:
+            raise ValueError(
+                "phrase_query needs a positional index: build with "
+                "EngineConfig(store_positions=True)"
+            )
+        terms = analyze_query(query_text, cfg)
+        if not terms:
+            return self._empty_phrase()
+        found = self._lookup_terms(list(dict.fromkeys(terms)))
+        if len(found) < len(set(terms)):
+            return self._empty_phrase()  # a phrase term matches nothing
+        # idf summed in QUERY order, duplicates counted (PhraseWeight)
+        sum_idf = 0.0
+        for t in terms:
+            sum_idf += float(idf_fn(float(found[t][1]), ix.n_docs))
+        slot_tids = [found[t][0] for t in terms]
+        uniq_tids = sorted(set(slot_tids))
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "score": pd.Series([], dtype=np.float32),
+                 "phrase_freq": pd.Series([], dtype=np.int64)}
+            )
+            if pdf.empty:
+                return empty
+            by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+            if any(tid not in by_tid for tid in slot_tids):
+                return empty  # this shard lacks a phrase term entirely
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            return score_shard_phrase(
+                [by_tid[tid] for tid in slot_tids], sum_idf, base, k, avgdl, k1, b
+            )
+
+        cands = (
+            ix.postings.filter(F.col("term_id").isin(uniq_tids))
+            .groupBy("shard_id")
+            .applyInPandas(kernel, schema="doc_id long, score float, phrase_freq long")
+        )
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        if not with_meta:
+            return top.select("rank", "doc_id", "score", "phrase_freq").orderBy("rank")
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "inner")
+            .select("rank", "doc_id", "score", "phrase_freq",
+                    "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )
+
+    def _empty_phrase(self) -> DataFrame:
+        return self._spark.createDataFrame(
+            [], "rank int, doc_id long, score float, phrase_freq long"
+        )
+
     def top_k_batch(self, queries: pd.DataFrame) -> DataFrame:
         """ES _msearch analogue: answer many queries in ONE job.
 

@@ -1,0 +1,99 @@
+"""match_phrase (B5): positional index + phrase scorer vs the brute-force
+pandas oracle — rank-, score- and phrase-freq-identical; plus positions
+stream roundtrip invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+from bitcoin_ledger_2es_spark.config import DEFAULT
+from bitcoin_ledger_2es_spark.functions.analyze import tokenize_series
+from bitcoin_ledger_2es_spark.functions.codec import (
+    decode_doc_gaps,
+    decode_positions,
+    decode_tfs,
+)
+from bitcoin_ledger_2es_spark.oracle import PandasOracle
+
+CFG = DEFAULT.with_(docs_per_shard=128, block_size=32, store_positions=True)
+
+
+@pytest.fixture(scope="module")
+def pix(spark, tiny_df):
+    return build_index(tiny_df, CFG)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, tiny_df):
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+
+    docs, _ = tokenized_documents(tiny_df, CFG)
+    return PandasOracle(docs.select("doc_id", "text").toPandas(), CFG)
+
+
+PHRASES = [
+    "w0000 w0001",     # common bigram
+    "w0003 w0000",     # reversed order — different matches than the above
+    "w0000",            # single-term phrase == term query with tf semantics
+    "w0000 w0000",     # repeated term
+    "w0000 zz_oov",    # OOV term -> empty
+    "w0001 w0002 w0003",  # trigram (likely rare/empty)
+]
+
+
+def test_phrase_matches_oracle(spark, pix, oracle):
+    s = BM25Searcher(pix)
+    for q in PHRASES:
+        got = s.phrase_query(q, k=25).toPandas()
+        exp = oracle.phrase_topk(q, k=25)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), q
+        assert got["score"].tolist() == exp["score"].tolist(), q
+        assert got["phrase_freq"].tolist() == exp["phrase_freq"].tolist(), q
+
+
+def test_phrase_requires_positions(spark, tiny_df):
+    ix = build_index(tiny_df, CFG.with_(store_positions=False))
+    with pytest.raises(ValueError, match="store_positions"):
+        BM25Searcher(ix).phrase_query("w0000 w0001")
+
+
+def test_phrase_meta_join(spark, pix):
+    s = BM25Searcher(pix)
+    got = s.phrase_query("w0000 w0001", k=5, with_meta=True).toPandas()
+    assert list(got.columns) == [
+        "rank", "doc_id", "score", "phrase_freq", "conv_id", "turn_idx", "is_rollup"
+    ]
+    assert len(got) <= 5 and got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_positions_roundtrip_invariants(spark, pix, tiny_df):
+    """Every posting's decoded positions must equal the analyzer's token
+    positions for that (term, doc), strictly increasing, within doc_len."""
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+
+    docs, _ = tokenized_documents(tiny_df, CFG)
+    rows = docs.select("doc_id", "text").collect()
+    tok_lists = tokenize_series(pd.Series([r["text"] for r in rows]), CFG)
+    toks = {r["doc_id"]: ts for r, ts in zip(rows, tok_lists)}
+    expect: dict[tuple[int, str], list[int]] = {}
+    for did, ts in toks.items():
+        for p, t in enumerate(ts):
+            expect.setdefault((did, t), []).append(p)
+
+    dic = pix.dictionary.toPandas().set_index("term_id")["term"]
+    post = pix.postings.toPandas()
+    checked = 0
+    for r in post.itertuples(index=False):
+        docs_arr = decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs))
+        tfs = decode_tfs(r.tfs)
+        pos = decode_positions(r.poss, tfs)
+        assert pos.size == tfs.sum()
+        term = dic.loc[r.term_id]
+        off = 0
+        for d, tf in zip(docs_arr, tfs):
+            got = pos[off : off + tf].tolist()
+            assert got == expect[(int(d), term)], (term, d)
+            off += tf
+            checked += 1
+    assert checked > 1000
