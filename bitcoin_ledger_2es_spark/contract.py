@@ -649,6 +649,45 @@ SQL_MATCH_PHRASE = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# B18 highlight: token-stream highlighter over the BM25 top hits
+
+
+def q_highlight(spark, sf_dir):
+    from .functions.highlight import with_highlight
+
+    hits = _bm25_relational(spark, sf_dir, BM25_QUERY, "or", 5).select("rank", "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    return with_highlight(hits, docs, BM25_QUERY).select(
+        "rank", "doc_id", "highlighted", "fragment"
+    )
+
+
+def _sql_highlight(terms: list[str], k: int) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    bm25 = _sql_bm25(terms, "or", k)
+    return f"""
+WITH hits AS ({bm25}),
+marked AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
+                        t -> CASE WHEN t IN ({term_list})
+                                  THEN '<em>' || t || '</em>' ELSE t END) AS m,
+         greatest(1, coalesce(list_position(
+             list_transform(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
+                            t -> t IN ({term_list})), true), 0) - 3) AS frag_start
+  FROM documents
+)
+SELECT h.rank, h.doc_id,
+       array_to_string(m.m, ' ') AS highlighted,
+       array_to_string(list_slice(m.m, m.frag_start, m.frag_start + 6), ' ') AS fragment
+FROM hits h JOIN marked m USING (doc_id)
+"""
+
+
+SQL_HIGHLIGHT = _sql_highlight(BM25_QUERY, 5)
+
+
 def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
     return (
         _doc_tokens(spark, sf_dir)
@@ -692,6 +731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_indexed_engine": q_bm25_indexed_engine,
     "match_phrase": q_match_phrase,
+    "highlight": q_highlight,
     "term_query": q_term_query,
     "bool_and_query": q_bool_and_query,
     "tokenize_term_counts": q_tokenize_term_counts,
@@ -719,6 +759,7 @@ ORACLE: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
     "match_phrase": SQL_MATCH_PHRASE,
+    "highlight": SQL_HIGHLIGHT,
     "term_query": SQL_TERM_QUERY,
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,

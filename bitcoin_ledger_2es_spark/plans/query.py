@@ -271,6 +271,61 @@ class BM25Searcher:
             [], "rank int, doc_id long, score float, phrase_freq long"
         )
 
+    def rescore_top_k(
+        self,
+        query_text: str,
+        rescore,
+        k: int = 10,
+        window: int | None = None,
+        mode: str = "or",
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """ES rescore / generic script_score hook (B17).
+
+        Runs the normal BM25 query, takes the top ``window`` (>= k) hits,
+        applies the user function to them as an Arrow-batched pandas
+        stage, and re-ranks by ``query_weight * score + rescore_weight *
+        rescore_score`` (ES rescore ``score_mode: total``).
+
+        ``rescore``: pandas DataFrame with columns (doc_id, score,
+        conv_id, turn_idx, is_rollup) -> array-like of per-row scores.
+        Must be row-local (a per-document function, the script_score
+        contract): Arrow may split the window into several batches.
+
+        Returns (rank, doc_id, score, rescore_score, final_score, conv_id,
+        turn_idx, is_rollup), deterministic ties (final desc, doc_id asc).
+        """
+        window = max(k, window or k)
+        base = self.top_k(query_text, k=window, mode=mode, with_meta=True).drop("rank")
+
+        def _apply(batches):
+            for pdf in batches:
+                ns = np.asarray(rescore(pdf), dtype=np.float64)
+                yield pdf.assign(rescore_score=ns)
+
+        ddl = (
+            "doc_id long, score float, conv_id string, turn_idx int, "
+            "is_rollup boolean, rescore_score double"
+        )
+        out = base.select(
+            "doc_id", "score", "conv_id", "turn_idx", "is_rollup"
+        ).mapInPandas(_apply, schema=ddl)
+        final = F.lit(float(query_weight)) * F.col("score").cast("double") + F.lit(
+            float(rescore_weight)
+        ) * F.col("rescore_score")
+        w = Window.orderBy(F.desc("final_score"), F.asc("doc_id"))
+        return (
+            out.withColumn("final_score", final)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "rank", "doc_id", "score", "rescore_score", "final_score",
+                "conv_id", "turn_idx", "is_rollup",
+            )
+            .orderBy("rank")
+        )
+
     def top_k_batch(self, queries: pd.DataFrame) -> DataFrame:
         """ES _msearch analogue: answer many queries in ONE job.
 
