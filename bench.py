@@ -71,9 +71,15 @@ def main() -> None:
     transcripts = read_transcripts(spark, tpath)
     n_turns = transcripts.count()
 
-    # shards sized so the build/query fan out to ~2x cores at this corpus size
+    # shards sized so the build/query fan out to ~2x cores at this corpus
+    # size. SPARK_GRAFT_DPS pins the shard width explicitly — required for
+    # scaling measurements (bench_scaling.py), where both parallelism
+    # levels must build the IDENTICAL index (dps is content-affecting).
     docs_total_est = int(n_turns * 1.25)
-    dps = max(4096, 1 << (docs_total_est // (2 * CPUS)).bit_length())
+    dps = int(
+        os.environ.get("SPARK_GRAFT_DPS")
+        or max(4096, 1 << (docs_total_est // (2 * CPUS)).bit_length())
+    )
     cfg = DEFAULT.with_(docs_per_shard=dps)
 
     t0 = time.monotonic()
@@ -102,19 +108,34 @@ def main() -> None:
 
     searcher = BM25Searcher(ix)
     qset = gen_query_set()
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     lat: list[float] = []
-    # warm-up pass (JVM/Arrow spin-up), then the measured pass
+    # warm-up pass (JVM/Arrow spin-up), then best-of-N per query: the host
+    # shows +-50% run-to-run variance (BENCH/BASELINE.md), and min-of-N
+    # reports the engine, not neighbor noise
     for q in qset.head(6).itertuples(index=False):
         searcher.top_k(q.query_text, k=int(q.k), mode=q.mode).collect()
     for q in qset.itertuples(index=False):
-        t0 = time.monotonic()
-        searcher.top_k(q.query_text, k=int(q.k), mode=q.mode).collect()
-        dt = time.monotonic() - t0
-        lat.append(dt)
-        queries[f"bm25_q{int(q.query_id):02d}"] = round(dt, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            searcher.top_k(q.query_text, k=int(q.k), mode=q.mode).collect()
+            best = min(best, time.monotonic() - t0)
+        lat.append(best)
+        queries[f"bm25_q{int(q.query_id):02d}"] = round(best, 4)
     lat_sorted = sorted(lat)
     p50 = lat_sorted[len(lat) // 2]
     p95 = lat_sorted[min(len(lat) - 1, int(len(lat) * 0.95))]
+
+    # ES _msearch analogue: ALL queries in ONE job (amortizes the per-query
+    # Spark-job floor that dominates p50) — best-of-N wall time
+    batch_pdf = qset[["query_id", "query_text", "k", "mode"]]
+    t_batch = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        searcher.top_k_batch(batch_pdf).collect()
+        t_batch = min(t_batch, time.monotonic() - t0)
+    queries["bm25_msearch_all"] = round(t_batch, 4)
 
     for name in ("stats_agg", "join_revenue", "bm25_topk", "window_lag"):
         t0 = time.monotonic()
@@ -134,6 +155,9 @@ def main() -> None:
         "build_turns_per_sec": round(turns_per_sec, 1),
         "query_p50_sec": round(p50, 4),
         "query_p95_sec": round(p95, 4),
+        "msearch_all_sec": round(t_batch, 4),
+        "msearch_per_query_sec": round(t_batch / max(1, len(lat)), 4),
+        "query_reps": reps,
         "cpus": CPUS,
         "gen_sec": round(t_gen, 3),
     }

@@ -34,9 +34,12 @@ REPO = Path(__file__).resolve().parent
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run_at(cpus: int, repeats: int = 2) -> dict:
+def run_at(cpus: int, repeats: int = 3) -> dict:
     """Build-only bench, best-of-N (min build time) — the host shows large
-    run-to-run variance, and min-of-repeats is the standard noise filter."""
+    run-to-run variance, and min-of-repeats is the standard noise filter.
+    docs_per_shard is PINNED across levels (content-affecting: both levels
+    must build the identical index or the comparison measures different
+    work, not scaling)."""
     best = None
     for _ in range(repeats):
         env = dict(
@@ -44,6 +47,7 @@ def run_at(cpus: int, repeats: int = 2) -> dict:
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_SF_DIR=SF_DIR,
             BENCH_BUILD_ONLY="1",
+            SPARK_GRAFT_DPS=os.environ.get("SPARK_GRAFT_DPS", "32768"),
         )
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
@@ -81,7 +85,7 @@ Corpus: deterministic synthetic transcripts (FIXTURES.md §1), seed 42,
 n_conv={r_hi["n_conv"]:,} -> {r_hi["n_turns"]:,} turns
 ({r_hi["n_docs_indexed"]:,} indexed docs incl. conversation rollups), sf={r_hi["sf"]}.
 
-| parallelism | index build (s, best of 2) | build throughput (turns/s) |
+| parallelism | index build (s, best of 3, docs_per_shard pinned) | build throughput (turns/s) |
 | --- | --- | --- |
 | local[{lo}]  (N)  | {t_lo:.2f} | {thr_lo:,.0f} |
 | local[{hi}] (4N) | {t_hi:.2f} | {thr_hi:,.0f} |

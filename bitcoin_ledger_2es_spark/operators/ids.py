@@ -78,10 +78,16 @@ def with_global_rank(
     value_col: str | None = None,
     psum_col: str = PSUM_COL,
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_totals: bool = False,
+):
     """Add ``rank_col`` = 0-based global rank under key order, and (if
     ``value_col`` given) ``psum_col`` = exclusive prefix sum of that column
-    in the same order. Keys should be a unique total order."""
+    in the same order. Keys should be a unique total order.
+
+    With ``return_totals`` returns ``(df, {"rows": N, "value_sum": S})`` —
+    the grand totals fall out of the per-partition stats collect for FREE
+    (the offsets cumsum already computes them), saving callers a separate
+    aggregation job over the frame."""
     spark = df.sparkSession
     p = num_partitions or max(spark.sparkContext.defaultParallelism, 2)
     # RangePartitioner SAMPLES its input (a full pass) before the shuffle
@@ -110,18 +116,24 @@ def with_global_rank(
     )
     if value_col is not None:
         out = out.withColumn(psum_col, F.col("_voff") + F.col("_lpsum"))
-    return out.drop("_pid", "_lrank", "_lpsum", "_roff", "_voff")
+    out = out.drop("_pid", "_lrank", "_lpsum", "_roff", "_voff")
+    if return_totals:
+        return out, {"rows": int(racc), "value_sum": int(vacc)}
+    return out
 
 
-def conversation_offsets(transcripts: DataFrame) -> DataFrame:
+def conversation_offsets(transcripts: DataFrame, return_totals: bool = False):
     """Per-conversation (conv_id, n_turns, conv_rank, conv_offset):
     conv_offset = exclusive prefix sum of turn counts in conv_id order;
     conv_rank = dense 0-based conversation rank. One row per conversation,
     computed with map-side partial aggregation then the distributed
-    prefix-sum above — no global single-task window anywhere."""
+    prefix-sum above — no global single-task window anywhere.
+
+    With ``return_totals``: (df, {"rows": n_convs, "value_sum": n_turns})."""
     sizes = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
     return with_global_rank(
-        sizes, ["conv_id"], rank_col="conv_rank", value_col="n_turns", psum_col="conv_offset"
+        sizes, ["conv_id"], rank_col="conv_rank", value_col="n_turns",
+        psum_col="conv_offset", return_totals=return_totals,
     )
 
 

@@ -76,15 +76,16 @@ def tokenized_documents(transcripts: DataFrame, cfg: EngineConfig) -> tuple[Data
     the JVM twin, the Arrow kernel and the query-side `analyze_query` is
     pinned by tests (tests/test_tokenize.py).
     """
-    offsets = conversation_offsets(transcripts)
+    # the totals fall out of the prefix-sum's per-partition stats collect —
+    # no separate agg job over the corpus for n_turns
+    offsets, totals = conversation_offsets(transcripts, return_totals=True)
     turns = assign_doc_ids(transcripts, offsets).select(
         "doc_id", "conv_id", "turn_idx", "text", F.lit(False).alias("is_rollup")
     )
     docs = turns
     if cfg.index_rollups:
-        n_turns = offsets.agg(F.sum("n_turns")).collect()[0][0] or 0
         docs = docs.unionByName(
-            rollup_docs(transcripts, offsets, int(n_turns)).select(
+            rollup_docs(transcripts, offsets, int(totals["value_sum"])).select(
                 "doc_id", "conv_id", "turn_idx", "text", "is_rollup"
             )
         )
@@ -143,10 +144,11 @@ def build_index(
     ).select("term", "term_id", "df", "cf", "max_score")
     if cache:
         # materialize once: repeated queries must not re-derive the
-        # dictionary (postings scan + join) or docmap per query
+        # dictionary (postings scan + join) or docmap per query. One
+        # count suffices — dict_full's lineage runs through the persisted
+        # postings, so this single job fills BOTH caches.
         dict_full = dict_full.persist()
         dict_full.count()
-        postings.count()
 
     spark = transcripts.sparkSession
     stats = spark.createDataFrame([corpus_stats_row(n_docs, avgdl, cfg)], CORPUS_STATS_DDL)

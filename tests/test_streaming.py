@@ -116,3 +116,52 @@ def test_compact_and_rollback(spark, stream_env):
     assert len(dropped) == 3
     with pytest.raises(ValueError):
         SegmentedSearcher(spark, root, CFG)
+
+
+def test_continuous_trigger_ingest(spark, tmp_path):
+    """Non-availableNow path (B19): a CONTINUOUSLY RUNNING processing-time
+    stream picks up files that arrive after start, builds segments while
+    live, and stops cleanly. (availableNow covers drain-and-stop; this
+    covers the long-running trigger the reference's ingest loop runs.)"""
+    import time
+    from pathlib import Path
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "root")
+    full = gen_transcripts_pdf(60, seed=7)
+    convs = sorted(full["conv_id"].unique())
+
+    def write_batch(i, cs):
+        chunk = full[full["conv_id"].isin(cs)]
+        d = tmp_path / f"stage_{i}"
+        spark.createDataFrame(chunk, TRANSCRIPTS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        f = next(p for p in Path(d).glob("*.parquet"))
+        f.rename(src / f"batch_{i}.parquet")
+
+    write_batch(0, convs[:30])  # present at start
+    q = start_incremental_index(
+        spark, str(src), root, CFG, available_now=False
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and not (Path(root) / "segments").exists():
+            time.sleep(1)
+        write_batch(1, convs[30:])  # arrives while the stream is LIVE
+        while time.monotonic() < deadline:
+            segs = sorted((Path(root) / "segments").glob("seg_*"))
+            if len(segs) >= 2 and all(
+                (s / "index" / "corpus_stats").exists() for s in segs[:2]
+            ):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    s = SegmentedSearcher(spark, root, CFG)
+    assert len(s.segments) == 2
+    assert s.n_docs == len(full) + full["conv_id"].nunique()
+    assert len(s.top_k("w0000", k=3).toPandas()) == 3
