@@ -110,10 +110,39 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
     return fn
 
 
+def _aligned_kernel(shard_fn):
+    """Wrap a per-shard kernel for the partition-aligned (zero-exchange)
+    scan: one mapInPandas task sees whole shards (possibly several —
+    Spark bin-packs small per-shard files into one input split), groups
+    them in pandas, and runs the shard kernel on each. Correct because the
+    on-disk layout (write_index) stores each shard's postings in exactly
+    one file under its shard_id= directory, and a parquet file is never
+    split below spark.sql.files.maxPartitionBytes."""
+
+    def fn(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        for _, g in pdf.groupby("shard_id", sort=False):
+            out = shard_fn(g.reset_index(drop=True))
+            if len(out):
+                yield out
+
+    return fn
+
+
 class BM25Searcher:
-    def __init__(self, ix: IndexFrames, use_wand: bool = True):
+    def __init__(self, ix: IndexFrames, use_wand: bool = True, aligned: bool = False):
+        """``aligned=True`` (for indexes opened with read_index): score
+        shards inside the pruned postings SCAN itself — mapInPandas over
+        the partition-aligned on-disk layout — instead of groupBy +
+        applyInPandas, removing the only wide exchange on the query path.
+        Requires the write_index layout (one file per shard directory);
+        results are identical either way (tests pin this)."""
         self.ix = ix
         self.use_wand = use_wand
+        self.aligned = aligned
         self._spark = ix.docmap.sparkSession
         # driver-side term lookup memo (term -> (term_id, df) or None):
         # the dictionary is immutable for an index, so repeated queries
@@ -179,6 +208,10 @@ class BM25Searcher:
                 .cogroup(docmap_lite.groupBy("shard_id"))
                 .applyInPandas(kernel, schema=_CAND_DDL)
             )
+        elif self.aligned:
+            # zero-exchange path: shards are whole within input splits, so
+            # the kernel runs inside the scan stage itself
+            cands = cand_postings.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
         else:
             cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
@@ -248,11 +281,12 @@ class BM25Searcher:
                 [by_tid[tid] for tid in slot_tids], sum_idf, base, k, avgdl, k1, b
             )
 
-        cands = (
-            ix.postings.filter(F.col("term_id").isin(uniq_tids))
-            .groupBy("shard_id")
-            .applyInPandas(kernel, schema="doc_id long, score float, phrase_freq long")
-        )
+        pruned = ix.postings.filter(F.col("term_id").isin(uniq_tids))
+        phrase_ddl = "doc_id long, score float, phrase_freq long"
+        if self.aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=phrase_ddl)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=phrase_ddl)
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))

@@ -47,6 +47,17 @@ def main() -> None:
     sections.append(
         ("BM25 top-k over the on-disk index (query-then-fetch)", explain_str(res))
     )
+    res_aligned = BM25Searcher(on_disk, aligned=True).top_k(
+        "w0004 w0123 w0200", k=10, with_meta=False
+    )
+    sections.append(
+        (
+            "Partition-aligned query path (aligned=True): kernel inside the "
+            "scan stage — NO shard exchange (the only Exchanges left are the "
+            "k-row top-k merge)",
+            explain_str(res_aligned),
+        )
+    )
     pruned = on_disk.postings.filter(F.col("term_id").isin([5, 123, 200])).select(
         "shard_id", "term_id", "n_docs"
     )
