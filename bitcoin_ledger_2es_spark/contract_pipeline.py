@@ -214,6 +214,11 @@ def q_ann_lsh_topk(spark, sf_dir):  # approximate -> rows-only
     return S.ann_lsh_topk(v, q, k=10, n_planes=6, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):  # approximate -> rows-only
+    v, q = _qv(spark, sf_dir)
+    return S.ann_ivf_topk(v, q, k=10, n_centroids=8, nprobe=3)
+
+
 def q_embedding_dedup(spark, sf_dir):  # approximate -> rows-only
     v, _ = _qv(spark, sf_dir)
     return S.embedding_cosine_dedup(v, threshold=0.3, n_planes=4, dim=64)
@@ -283,6 +288,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_dedup": q_embedding_dedup,
     "hll_cardinality": q_hll_cardinality,
     "multimodal_meta": q_multimodal_meta,

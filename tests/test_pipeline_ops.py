@@ -233,3 +233,27 @@ def test_minhash_verify_is_candidate_scoped(spark, docs):
 
     plan = D.minhash_lsh_pairs(docs, threshold=0.7, num_perm=64, bands=32)._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"Join\s+\[gram#\d+\],\s+\[gram#\d+\]", plan), plan
+
+
+def test_ann_ivf_recall_and_verified_cosines(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    v = e.filter(F.col("vec_id") >= 5)
+    exact = S.cosine_topk_bruteforce(v, q, k=10).toPandas()
+    approx = S.ann_ivf_topk(v, q, k=10, n_centroids=8, nprobe=3).toPandas()
+    hits = 0
+    for qi in range(5):
+        t = set(exact[exact["q_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["q_id"] == qi]["neighbor_id"])
+        hits += len(t & a)
+    assert hits >= 15  # >= 30% recall probing 3/8 cells of random vectors
+    # candidates' cosines are exact (verified against brute force)
+    merged = approx.merge(exact, on=["q_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+    # determinism: same call -> same result
+    again = S.ann_ivf_topk(v, q, k=10, n_centroids=8, nprobe=3).toPandas()
+    pd.testing.assert_frame_equal(approx, again)
