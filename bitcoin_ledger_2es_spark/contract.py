@@ -650,6 +650,92 @@ SQL_MATCH_PHRASE = "\nUNION ALL\n".join(
 
 
 # ---------------------------------------------------------------------------
+# Multi-term expansions (ES prefix / wildcard / fuzzy, rewrite=
+# scoring_boolean): expand against the corpus vocabulary — top
+# max_expansions terms by (df desc, term asc), ES's top_terms pick — then
+# score as a weight-1-per-term BM25 OR. The engine path lives on
+# BM25Searcher (prefix_query/wildcard_query/fuzzy_query, dictionary-
+# pruned); this relational twin proves the semantics against DuckDB.
+
+MAX_EXPANSIONS = 50
+
+
+def _expanded_terms(spark, sf_dir, cond, max_exp: int = MAX_EXPANSIONS) -> list[str]:
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", F.explode("toks").alias("term"))
+    rows = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(cond)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_exp)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def _sql_bm25_expanded(cond_sql: str, k: int, max_exp: int = MAX_EXPANSIONS) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.tok AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+),
+expansion AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS xdf FROM toks WHERE {cond_sql}
+    GROUP BY term ORDER BY xdf DESC, term ASC LIMIT {max_exp}
+  )
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+  WHERE t.term IN (SELECT term FROM expansion) GROUP BY t.doc_id, t.term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+  FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+def q_prefix_query(spark, sf_dir):
+    terms = _expanded_terms(spark, sf_dir, F.col("term").startswith("wor"))
+    return _bm25_relational(spark, sf_dir, terms, "or", 10)
+
+
+SQL_PREFIX_QUERY = _sql_bm25_expanded("term LIKE 'wor%'", 10)
+
+
+def q_wildcard_query(spark, sf_dir):
+    terms = _expanded_terms(spark, sf_dir, F.col("term").like("d%ta"))
+    return _bm25_relational(spark, sf_dir, terms, "or", 10)
+
+
+SQL_WILDCARD_QUERY = _sql_bm25_expanded("term LIKE 'd%ta'", 10)
+
+
+def q_fuzzy_query(spark, sf_dir):
+    terms = _expanded_terms(
+        spark, sf_dir, F.levenshtein(F.col("term"), F.lit("tables")) <= 1
+    )
+    return _bm25_relational(spark, sf_dir, terms, "or", 10)
+
+
+SQL_FUZZY_QUERY = _sql_bm25_expanded("levenshtein(term, 'tables') <= 1", 10)
+
+
+# ---------------------------------------------------------------------------
 # B18 highlight: token-stream highlighter over the BM25 top hits
 
 
@@ -732,6 +818,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_indexed_engine": q_bm25_indexed_engine,
     "match_phrase": q_match_phrase,
     "highlight": q_highlight,
+    "prefix_query": q_prefix_query,
+    "wildcard_query": q_wildcard_query,
+    "fuzzy_query": q_fuzzy_query,
     "term_query": q_term_query,
     "bool_and_query": q_bool_and_query,
     "tokenize_term_counts": q_tokenize_term_counts,
@@ -760,6 +849,9 @@ ORACLE: dict[str, str] = {
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
     "match_phrase": SQL_MATCH_PHRASE,
     "highlight": SQL_HIGHLIGHT,
+    "prefix_query": SQL_PREFIX_QUERY,
+    "wildcard_query": SQL_WILDCARD_QUERY,
+    "fuzzy_query": SQL_FUZZY_QUERY,
     "term_query": SQL_TERM_QUERY,
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,

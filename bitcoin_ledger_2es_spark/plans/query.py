@@ -176,14 +176,28 @@ class BM25Searcher:
         """Exact BM25 top-k. ``doc_filter``: optional non-scoring predicate
         over docmap columns (ES bool.filter / range-query context) — e.g.
         ``F.col("is_rollup") == False`` or a doc_id/conv_id range."""
-        ix, cfg = self.ix, self.ix.cfg
-        terms = analyze_query(query_text, cfg)
+        terms = analyze_query(query_text, self.ix.cfg)
         if not terms:
             return self._empty()
         weights = Counter(terms)
         found = self._lookup_terms(list(weights))
         if mode == "and" and len(found) < len(weights):
             return self._empty()  # a required term matches nothing
+        return self._scored_top_k(found, weights, k, mode, doc_filter, with_meta)
+
+    def _scored_top_k(
+        self,
+        found: dict[str, tuple[int, int]],
+        weights: Counter,
+        k: int,
+        mode: str,
+        doc_filter: Column | None,
+        with_meta: bool,
+    ) -> DataFrame:
+        """Shared scoring core: ``found`` maps term -> (term_id, df),
+        ``weights`` gives per-term clause weights (occurrence counts for
+        match queries, 1 for multi-term expansions)."""
+        ix, cfg = self.ix, self.ix.cfg
         if not found:
             return self._empty()
         term_meta = [
@@ -236,6 +250,51 @@ class BM25Searcher:
     def term_query(self, term: str, k: int = 10) -> DataFrame:
         """ES term-query analogue (B2): single exact term, BM25-ranked."""
         return self.top_k(term, k=k, mode="or")
+
+    # ---- multi-term query expansion (ES prefix / wildcard / fuzzy with
+    # rewrite=scoring_boolean: expand against the dictionary, cap at
+    # max_expansions picking the highest-df terms — ES's default
+    # top_terms blending — then score as a weight-1-per-term OR query)
+
+    def _expanded(self, cond: Column, max_expansions: int) -> dict[str, tuple[int, int]]:
+        rows = (
+            self.ix.dictionary.filter(cond)
+            .select("term", "term_id", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        found = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows}
+        self._term_cache.update(found)
+        return found
+
+    def prefix_query(self, prefix: str, k: int = 10, max_expansions: int = 50,
+                     with_meta: bool = True) -> DataFrame:
+        """ES prefix query: all dictionary terms starting with ``prefix``."""
+        found = self._expanded(F.col("term").startswith(prefix.lower()), max_expansions)
+        return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
+
+    def wildcard_query(self, pattern: str, k: int = 10, max_expansions: int = 50,
+                       with_meta: bool = True) -> DataFrame:
+        """ES wildcard query: ``*`` = any run, ``?`` = one char (anchored)."""
+        import re as _re
+
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in pattern.lower()
+        ) + "$"
+        found = self._expanded(F.col("term").rlike(rx), max_expansions)
+        return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
+
+    def fuzzy_query(self, term: str, fuzziness: int = 1, k: int = 10,
+                    max_expansions: int = 50, with_meta: bool = True) -> DataFrame:
+        """ES fuzzy query: terms within ``fuzziness`` Levenshtein edits
+        (JVM-side levenshtein over the dictionary scan)."""
+        found = self._expanded(
+            F.levenshtein(F.col("term"), F.lit(term.lower())) <= fuzziness,
+            max_expansions,
+        )
+        return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
 
     def phrase_query(self, query_text: str, k: int = 10, with_meta: bool = False) -> DataFrame:
         """ES match_phrase analogue (B5, slop=0): the analyzed terms must

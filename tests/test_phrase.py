@@ -97,3 +97,58 @@ def test_positions_roundtrip_invariants(spark, pix, tiny_df):
             off += tf
             checked += 1
     assert checked > 1000
+
+
+# ---------------------------------------------------------------------------
+# multi-term expansions (ES prefix / wildcard / fuzzy): engine expansion +
+# weight-1 OR scoring vs the same expansion fed to the brute-force oracle
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _oracle_expand(oracle, cond, max_exp=50):
+    cands = [(t, len(oracle.postings[t][0])) for t in oracle.postings if cond(t)]
+    cands.sort(key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in cands[:max_exp]]
+
+
+def test_expansion_queries_match_oracle(spark, pix, oracle):
+    from bitcoin_ledger_2es_spark import BM25Searcher
+
+    s = BM25Searcher(pix)
+    import re
+
+    wc = re.compile("^w0.1.*$")
+    cases = [
+        (s.prefix_query("w00", k=15, with_meta=False),
+         _oracle_expand(oracle, lambda t: t.startswith("w00"))),
+        (s.wildcard_query("w0?1*", k=15, with_meta=False),
+         _oracle_expand(oracle, lambda t: bool(wc.match(t)))),
+        (s.fuzzy_query("w0001", fuzziness=1, k=15, with_meta=False),
+         _oracle_expand(oracle, lambda t: _lev(t, "w0001") <= 1)),
+    ]
+    for got_df, terms in cases:
+        assert terms, "expansion must be non-empty on the synthetic vocab"
+        got = got_df.toPandas()
+        exp = oracle.top_k(" ".join(terms), k=15, mode="or")
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_expansion_cap_is_df_ordered(spark, pix, oracle):
+    """max_expansions keeps the HIGHEST-df terms (ES top_terms rewrite)."""
+    from bitcoin_ledger_2es_spark import BM25Searcher
+
+    s = BM25Searcher(pix)
+    got = s.prefix_query("w0", k=10, max_expansions=5, with_meta=False).toPandas()
+    exp_terms = _oracle_expand(oracle, lambda t: t.startswith("w0"), max_exp=5)
+    exp = oracle.top_k(" ".join(exp_terms), k=10, mode="or")
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
