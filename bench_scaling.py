@@ -47,6 +47,7 @@ def run_at(cpus: int, repeats: int = 3) -> dict:
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_SF_DIR=SF_DIR,
             BENCH_BUILD_ONLY="1",
+            BENCH_BUILD_REPS="1",  # repeats happen at this level (best-of-3)
             SPARK_GRAFT_DPS=os.environ.get("SPARK_GRAFT_DPS", "32768"),
         )
         out = subprocess.run(
