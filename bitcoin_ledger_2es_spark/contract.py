@@ -648,6 +648,70 @@ SQL_MATCH_PHRASE = "\nUNION ALL\n".join(
     _sql_phrase_allmatch(qid, text.split()) for qid, text in PHRASE_QUERIES
 )
 
+# slop variant (bigram, ordered within window): pf counts start positions
+# p0 of term0 with SOME term1 occurrence in (p0, p0 + 1 + slop]
+SLOP_PHRASE = ("spark", "table")
+SLOP = 2
+
+
+def q_match_phrase_slop(spark, sf_dir):
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DEFAULT.with_(
+        docs_per_shard=256, block_size=64, index_rollups=False, store_positions=True
+    )
+    s = BM25Searcher(build_index(_docs_as_transcripts(docs), cfg))
+    return s.phrase_query(" ".join(SLOP_PHRASE), k=1_000_000, slop=SLOP).select(
+        "doc_id",
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        "phrase_freq",
+    )
+
+
+def _sql_phrase_slop(t0: str, t1: str, slop: int) -> str:
+    idf_terms = " + ".join(
+        "ln(1.0 + (c.n_docs - "
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}')"
+        " + 0.5) / ("
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}')"
+        " + 0.5))"
+        for t in (t0, t1)
+    )
+    return f"""
+SELECT doc_id, round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3, phrase_freq
+FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  dls AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
+  ),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dls) AS avgdl
+  ),
+  sumidf AS (SELECT ({idf_terms}) AS sidf FROM corpus c),
+  pf AS (
+    SELECT t0.doc_id, count(*) AS phrase_freq
+    FROM toks t0
+    WHERE t0.tok = '{t0}' AND EXISTS (
+      SELECT 1 FROM toks t1 WHERE t1.doc_id = t0.doc_id AND t1.tok = '{t1}'
+        AND t1.pos > t0.pos AND t1.pos <= t0.pos + 1 + {slop})
+    GROUP BY t0.doc_id
+  )
+  SELECT pf.doc_id,
+         s.sidf * pf.phrase_freq * 2.2
+           / (pf.phrase_freq + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS score,
+         pf.phrase_freq
+  FROM pf JOIN dls USING (doc_id), corpus c, sumidf s
+)
+"""
+
+
+SQL_MATCH_PHRASE_SLOP = _sql_phrase_slop(*SLOP_PHRASE, SLOP)
+
 
 # ---------------------------------------------------------------------------
 # Multi-term expansions (ES prefix / wildcard / fuzzy, rewrite=
@@ -817,6 +881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_indexed_engine": q_bm25_indexed_engine,
     "match_phrase": q_match_phrase,
+    "match_phrase_slop": q_match_phrase_slop,
     "highlight": q_highlight,
     "prefix_query": q_prefix_query,
     "wildcard_query": q_wildcard_query,
@@ -848,6 +913,7 @@ ORACLE: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
     "match_phrase": SQL_MATCH_PHRASE,
+    "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
     "highlight": SQL_HIGHLIGHT,
     "prefix_query": SQL_PREFIX_QUERY,
     "wildcard_query": SQL_WILDCARD_QUERY,

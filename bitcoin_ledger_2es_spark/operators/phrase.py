@@ -56,6 +56,41 @@ def _slot_keys(blocks: pd.DataFrame, slot: int, n_slots: int, base: int):
     return keys, local, dls
 
 
+def _sloppy_starts(slot_blocks: list[pd.DataFrame], base: int, slop: int):
+    """Ordered-within-window matching (Lucene ordered SpanNear semantics):
+    positions p_0 < p_1 < ... < p_{n-1} with total span
+    p_{n-1} - p_0 - (n-1) <= slop. Greedy-earliest chaining is exact here
+    (a smaller p_i only loosens the constraint on p_{i+1}), and it is
+    fully vectorized: one searchsorted per slot over (doc, pos) keys.
+
+    Returns int64 keys ``doc_local * 2^B + p_0`` of the surviving phrase
+    START positions (p_0 unique -> phrase freq = starts per doc), plus
+    slot-0's posting-level (docs, dls) for the dl lookup."""
+    n = len(slot_blocks)
+    kk0, docs0, dls0 = _slot_keys(slot_blocks[0], 0, n, base)
+    # undo the slot encoding: keys hold doc*2^B + pos + n
+    cur_pos = (kk0 & np.int64((1 << _POS_BITS) - 1)) - n
+    doc = (kk0 >> np.int64(_POS_BITS)).astype(np.int64)
+    p0 = cur_pos.copy()
+    alive = np.ones(doc.size, dtype=bool)
+    for slot in range(1, n):
+        kk, _, _ = _slot_keys(slot_blocks[slot], slot, n, base)
+        spos = (kk & np.int64((1 << _POS_BITS) - 1)) - n + slot
+        sdoc = (kk >> np.int64(_POS_BITS)).astype(np.int64)
+        skey = sdoc * np.int64(1 << _POS_BITS) + spos  # sorted (from kk order)
+        # minimal q with q > cur_pos in the same doc
+        probe = doc * np.int64(1 << _POS_BITS) + cur_pos
+        j = np.searchsorted(skey, probe, side="right")
+        ok = j < skey.size
+        jc = np.minimum(j, skey.size - 1)
+        ok &= sdoc[jc] == doc
+        q = spos[jc]
+        ok &= q <= p0 + slot + slop
+        alive &= ok
+        cur_pos = np.where(alive, q, cur_pos)
+    return (doc[alive] * np.int64(1 << _POS_BITS) + p0[alive]), docs0, dls0
+
+
 def score_shard_phrase(
     slot_blocks: list[pd.DataFrame],
     sum_idf: float,
@@ -64,12 +99,16 @@ def score_shard_phrase(
     avgdl: float,
     k1: float,
     b: float,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """Top-k phrase matches within one shard.
 
     ``slot_blocks``: one blocks-DataFrame per phrase slot, in query order
-    (the same term may appear at several slots). Returns (doc_id, score,
-    phrase_freq) — at most k rows, (score desc, doc_id asc)-ordered ties.
+    (the same term may appear at several slots). ``slop=0`` is exact
+    adjacency (fast path: running position-set intersection); ``slop>0``
+    is ordered-within-window matching via the greedy chain above — the
+    two agree exactly at slop=0 (pinned by tests). Returns (doc_id,
+    score, phrase_freq) — at most k rows, (score desc, doc_id asc) ties.
     """
     empty = pd.DataFrame(
         {
@@ -79,18 +118,24 @@ def score_shard_phrase(
         }
     )
     n_slots = len(slot_blocks)
-    keys = None
-    dl_docs = dl_vals = None
-    for slot, blocks in enumerate(slot_blocks):
-        if blocks.empty:
-            return empty
-        kk, docs_local, dls = _slot_keys(blocks, slot, n_slots, base)
-        if slot == 0:
-            keys, dl_docs, dl_vals = kk, docs_local, dls
-        else:
-            keys = np.intersect1d(keys, kk, assume_unique=True)
+    if any(b_.empty for b_ in slot_blocks):
+        return empty
+    if slop > 0:
+        keys, dl_docs, dl_vals = _sloppy_starts(slot_blocks, base, slop)
+        keys = np.sort(keys)
         if keys.size == 0:
             return empty
+    else:
+        keys = None
+        dl_docs = dl_vals = None
+        for slot, blocks in enumerate(slot_blocks):
+            kk, docs_local, dls = _slot_keys(blocks, slot, n_slots, base)
+            if slot == 0:
+                keys, dl_docs, dl_vals = kk, docs_local, dls
+            else:
+                keys = np.intersect1d(keys, kk, assume_unique=True)
+            if keys.size == 0:
+                return empty
 
     match_local = (keys >> np.int64(_POS_BITS)).astype(np.int64)
     # phrase freq per doc: keys are sorted, so run-length over the doc part

@@ -96,11 +96,13 @@ class PandasOracle:
             }
         )
 
-    def phrase_topk(self, query_text: str, k: int = 10) -> pd.DataFrame:
-        """match_phrase oracle (B5, slop=0): brute-force scan of every
-        doc's token stream for consecutive occurrences of the analyzed
-        terms; BM25 with tf = phrase freq, idf = sum of per-term idfs in
-        query order (same contract as operators/phrase.py)."""
+    def phrase_topk(self, query_text: str, k: int = 10, slop: int = 0) -> pd.DataFrame:
+        """match_phrase oracle (B5): brute-force scan of every doc's token
+        stream — slop=0 requires consecutive occurrences; slop>0 counts
+        start positions p0 from which the terms appear in order with total
+        span <= len + slop. BM25 with tf = phrase freq, idf = sum of
+        per-term idfs in query order (same contract as
+        operators/phrase.py)."""
         cfg = self.cfg
         terms = analyze_query(query_text, cfg)
         empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
@@ -114,12 +116,31 @@ class PandasOracle:
             sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
         rows, pfs = [], []
         n = len(terms)
+
+        def _window_match(ts, i):  # ordered within span <= n + slop, from p0=i
+            if ts[i] != terms[0]:
+                return False
+            cur = i
+            for j in range(1, n):
+                q = next(
+                    (p for p in range(cur + 1, i + j + slop + 1)
+                     if p < len(ts) and ts[p] == terms[j]),
+                    None,
+                )
+                if q is None:
+                    return False
+                cur = q
+            return True
+
         for row, ts in enumerate(self._toks):
-            pf = sum(
-                1
-                for i in range(len(ts) - n + 1)
-                if all(ts[i + j] == terms[j] for j in range(n))
-            )
+            if slop == 0:
+                pf = sum(
+                    1
+                    for i in range(len(ts) - n + 1)
+                    if all(ts[i + j] == terms[j] for j in range(n))
+                )
+            else:
+                pf = sum(1 for i in range(len(ts)) if _window_match(ts, i))
             if pf:
                 rows.append(row)
                 pfs.append(pf)

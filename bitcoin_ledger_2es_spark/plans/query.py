@@ -296,11 +296,15 @@ class BM25Searcher:
         )
         return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
 
-    def phrase_query(self, query_text: str, k: int = 10, with_meta: bool = False) -> DataFrame:
-        """ES match_phrase analogue (B5, slop=0): the analyzed terms must
-        occur at consecutive positions. Requires an index built with
-        ``store_positions=True``. Scoring = BM25 with tf = phrase
-        frequency, idf = sum of per-term idfs in query order (Lucene
+    def phrase_query(
+        self, query_text: str, k: int = 10, with_meta: bool = False, slop: int = 0
+    ) -> DataFrame:
+        """ES match_phrase analogue (B5): the analyzed terms must occur at
+        consecutive positions (``slop=0``) or in order within a window of
+        total span <= len + slop (``slop>0``, Lucene ordered-SpanNear
+        semantics). Requires an index built with ``store_positions=True``.
+        Scoring = BM25 with tf = phrase frequency (count of matching start
+        positions), idf = sum of per-term idfs in query order (Lucene
         PhraseQuery semantics; operators/phrase.py)."""
         from ..operators.phrase import score_shard_phrase
 
@@ -337,7 +341,8 @@ class BM25Searcher:
                 return empty  # this shard lacks a phrase term entirely
             base = int(pdf["shard_id"].iloc[0]) * dps
             return score_shard_phrase(
-                [by_tid[tid] for tid in slot_tids], sum_idf, base, k, avgdl, k1, b
+                [by_tid[tid] for tid in slot_tids], sum_idf, base, k, avgdl, k1, b,
+                slop=slop,
             )
 
         pruned = ix.postings.filter(F.col("term_id").isin(uniq_tids))

@@ -152,3 +152,22 @@ def test_expansion_cap_is_df_ordered(spark, pix, oracle):
     exp_terms = _oracle_expand(oracle, lambda t: t.startswith("w0"), max_exp=5)
     exp = oracle.top_k(" ".join(exp_terms), k=10, mode="or")
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+def test_sloppy_phrase_matches_oracle(spark, pix, oracle):
+    from bitcoin_ledger_2es_spark import BM25Searcher
+
+    s = BM25Searcher(pix)
+    cases = [
+        ("w0000 w0001", 1), ("w0000 w0001", 2), ("w0003 w0000", 3),
+        ("w0000 w0001 w0002", 2), ("w0000 w0000", 1),
+    ]
+    for q, slop in cases:
+        got = s.phrase_query(q, k=25, slop=slop).toPandas()
+        exp = oracle.phrase_topk(q, k=25, slop=slop)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), (q, slop)
+        assert got["score"].tolist() == exp["score"].tolist(), (q, slop)
+        assert got["phrase_freq"].tolist() == exp["phrase_freq"].tolist(), (q, slop)
+        # slop matches are a superset of exact matches
+        exact_docs = set(oracle.phrase_topk(q, k=10_000, slop=0)["doc_id"])
+        assert exact_docs <= set(oracle.phrase_topk(q, k=10_000, slop=slop)["doc_id"])
