@@ -173,6 +173,94 @@ class SegmentedSearcher:
             sum(s.avgdl * s.n_docs for s in self.segments) / self.n_docs if self.n_docs else 0.0
         )
 
+    def phrase_query(self, query_text: str, k: int = 10, slop: int = 0) -> DataFrame:
+        """match_phrase over the segment union with GLOBAL stats (df summed
+        across segments, corpus-wide n_docs/avgdl) — same re-weighting
+        rationale as top_k. Requires segments built with
+        store_positions=True."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import Window
+
+        from ..operators.phrase import score_shard_phrase
+
+        cfg = self.cfg
+        if not cfg.store_positions:
+            raise ValueError(
+                "phrase_query needs positional segments: ingest with "
+                "EngineConfig(store_positions=True)"
+            )
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score float, phrase_freq long"
+        )
+        terms = analyze_query(query_text, cfg)
+        if not terms:
+            return empty
+        uniq = list(dict.fromkeys(terms))
+        global_df: dict[str, int] = {}
+        seg_tids: list[dict[str, int]] = []
+        for seg in self.segments:
+            rows = (
+                seg.dictionary.filter(F.col("term").isin(uniq))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            seg_tids.append({r["term"]: int(r["term_id"]) for r in rows})
+            for r in rows:
+                global_df[r["term"]] = global_df.get(r["term"], 0) + int(r["df"])
+        if any(t not in global_df for t in uniq):
+            return empty  # a phrase term matches nothing anywhere
+        sum_idf = 0.0
+        for t in terms:
+            sum_idf += float(idf_fn(float(global_df[t]), self.n_docs))
+        avgdl, k1, b, dps = self.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        ddl = "doc_id long, score float, phrase_freq long"
+
+        cands = None
+        for seg, tids in zip(self.segments, seg_tids):
+            if any(t not in tids for t in uniq):
+                continue  # this segment cannot contain the phrase
+            slot_tids = [tids[t] for t in terms]
+
+            def make_kernel(_slots):
+                # ONE positional arg only: grouped applyInPandas treats a
+                # 2-arg function as (key, pdf) — arity must be exact
+                def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                    e = pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype=np.int64),
+                         "score": pd.Series([], dtype=np.float32),
+                         "phrase_freq": pd.Series([], dtype=np.int64)}
+                    )
+                    if pdf.empty:
+                        return e
+                    by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+                    if any(tid not in by_tid for tid in _slots):
+                        return e
+                    base = int(pdf["shard_id"].iloc[0]) * dps
+                    return score_shard_phrase(
+                        [by_tid[tid] for tid in _slots], sum_idf, base, k,
+                        avgdl, k1, b, slop=slop,
+                    )
+
+                return kernel
+
+            kernel = make_kernel(tuple(slot_tids))
+            part = (
+                seg.postings.filter(F.col("term_id").isin(sorted(set(slot_tids))))
+                .groupBy("shard_id")
+                .applyInPandas(kernel, schema=ddl)
+            )
+            cands = part if cands is None else cands.unionByName(part)
+        if cands is None:
+            return empty
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "score", "phrase_freq")
+            .orderBy("rank")
+        )
+
     def top_k(self, query_text: str, k: int = 10, mode: str = "or") -> DataFrame:
         cfg = self.cfg
         terms = analyze_query(query_text, cfg)

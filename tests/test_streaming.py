@@ -173,3 +173,39 @@ def test_continuous_trigger_ingest(spark, tmp_path):
     assert len(s.segments) == 2
     assert s.n_docs == len(full) + full["conv_id"].nunique()
     assert len(s.top_k("w0000", k=3).toPandas()) == 3
+
+
+def test_segmented_phrase_query_global_stats(spark, tmp_path):
+    """match_phrase over the segment union: rank/score/freq identical to
+    the brute-force oracle over the combined corpus (global df/avgdl)."""
+    PCFG = CFG.with_(store_positions=True)
+    root = str(tmp_path / "proot")
+    full = gen_transcripts_pdf(80, seed=9)
+    convs = sorted(full["conv_id"].unique())
+    for i, cs in enumerate([convs[:40], convs[40:]]):
+        chunk = full[full["conv_id"].isin(cs)]
+        build_segment(spark, spark.createDataFrame(chunk, TRANSCRIPTS_DDL), root, i, PCFG)
+    s = SegmentedSearcher(spark, root, PCFG)
+
+    docmaps = pd.concat([seg.docmap.toPandas() for seg in s.segments])
+    turns = full.set_index(["conv_id", "turn_idx"])["text"]
+    texts = []
+    for r in docmaps.itertuples():
+        if r.is_rollup:
+            conv = full[full["conv_id"] == r.conv_id].sort_values("turn_idx")
+            texts.append(" ".join(conv["text"]))
+        else:
+            texts.append(turns.loc[(r.conv_id, r.turn_idx)])
+    from bitcoin_ledger_2es_spark import PandasOracle
+
+    oracle = PandasOracle(
+        pd.DataFrame({"doc_id": docmaps["doc_id"].to_numpy(), "text": texts}), PCFG
+    )
+    for q, slop in [("w0000 w0001", 0), ("w0000 w0001", 2), ("w0002 w0000", 1)]:
+        got = s.phrase_query(q, k=20, slop=slop).toPandas()
+        exp = oracle.phrase_topk(q, k=20, slop=slop)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), (q, slop)
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+        )
+        assert got["phrase_freq"].tolist() == exp["phrase_freq"].tolist(), (q, slop)
