@@ -648,6 +648,72 @@ SQL_MATCH_PHRASE = "\nUNION ALL\n".join(
     _sql_phrase_allmatch(qid, text.split()) for qid, text in PHRASE_QUERIES
 )
 
+def q_bm25_msearch(spark, sf_dir):
+    """ES _msearch analogue under the driver gate: top_k_batch answers all
+    ENGINE_QUERIES in ONE job over the real index; the oracle ranks each
+    query's full scoring by the EXACT f32-cast score (CAST AS REAL) with
+    doc_id tie-break — the same ordering key the engine uses."""
+    import pandas as pd
+
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
+    s = BM25Searcher(build_index(_docs_as_transcripts(docs), cfg))
+    qset = pd.DataFrame(
+        [(qid, text, 20, mode) for qid, text, mode in ENGINE_QUERIES],
+        columns=["query_id", "query_text", "k", "mode"],
+    )
+    return s.top_k_batch(qset).select(
+        "query_id", "rank", "doc_id",
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+    )
+
+
+def _sql_msearch_one(qid: int, terms: list[str], mode: str, k: int) -> str:
+    # rank by the exact f32 score (CAST(score AS REAL)) then doc_id — the
+    # engine's ordering key — so both engines select identical rows even
+    # at tie boundaries; emit the 3dp-rounded score for hashing
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    and_filter = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+SELECT query_id, rank, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+    WHERE t.term IN ({term_list}) GROUP BY t.doc_id, t.term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  ),
+  agg AS (SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id {and_filter})
+  SELECT {qid} AS query_id, doc_id, score,
+         row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+SQL_BM25_MSEARCH = "\nUNION ALL\n".join(
+    _sql_msearch_one(qid, text.split(), mode, 20) for qid, text, mode in ENGINE_QUERIES
+)
+
+
 # slop variant (bigram, ordered within window): pf counts start positions
 # p0 of term0 with SOME term1 occurrence in (p0, p0 + 1 + slop]
 SLOP_PHRASE = ("spark", "table")
@@ -880,6 +946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "bm25_topk": q_bm25_topk,
     "bm25_indexed_engine": q_bm25_indexed_engine,
+    "bm25_msearch": q_bm25_msearch,
     "match_phrase": q_match_phrase,
     "match_phrase_slop": q_match_phrase_slop,
     "highlight": q_highlight,
@@ -912,6 +979,7 @@ ORACLE: dict[str, str] = {
     "set_ops": SQL_SET_OPS,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
+    "bm25_msearch": SQL_BM25_MSEARCH,
     "match_phrase": SQL_MATCH_PHRASE,
     "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
     "highlight": SQL_HIGHLIGHT,
