@@ -156,6 +156,69 @@ FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM 
 """
 
 
+def q_clean_text(spark, sf_dir):
+    return T.clean_text(_t(spark, sf_dir, "documents"))
+
+
+SQL_CLEAN_TEXT = r"""
+WITH c AS (
+  SELECT doc_id, coalesce(text, '') AS raw,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(coalesce(text, ''), 'https?://[^\s]+', '', 'g'),
+             '[^\s@]+@[^\s@]+\.[^\s@]+', '', 'g'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       length(raw) - length(clean_text) AS n_removed_chars
+FROM c
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM t
+),
+tt AS (
+  SELECT doc_id, max(c) AS top_token_count FROM (
+    SELECT doc_id, u.tok, count(*) AS c FROM b, unnest(toks) AS u(tok)
+    GROUP BY doc_id, u.tok
+  ) GROUP BY doc_id
+),
+bb AS (
+  SELECT doc_id, max(c) AS top_bigram_count FROM (
+    SELECT doc_id, u.bg, count(*) AS c FROM b, unnest(bigrams) AS u(bg)
+    GROUP BY doc_id, u.bg
+  ) GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id, b.n_tokens,
+         coalesce(tt.top_token_count, 0) AS top_token_count,
+         coalesce(bb.top_bigram_count, 0) AS top_bigram_count,
+         CASE WHEN b.n_tokens > 0
+              THEN coalesce(tt.top_token_count, 0) * 1.0 / b.n_tokens ELSE 0.0 END AS ttf,
+         CASE WHEN b.n_tokens >= 2
+              THEN coalesce(bb.top_bigram_count, 0) * 1.0 / (b.n_tokens - 1) ELSE 0.0 END AS tbf
+  FROM b LEFT JOIN tt ON tt.doc_id = b.doc_id LEFT JOIN bb ON bb.doc_id = b.doc_id
+)
+SELECT doc_id, n_tokens, top_token_count, top_bigram_count,
+       round(ttf, 6) AS top_token_frac, round(tbf, 6) AS top_bigram_frac,
+       (n_tokens >= 3 AND ttf <= 0.2 AND tbf <= 0.18) AS keep
+FROM j
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -285,6 +348,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "clean_text": q_clean_text,
+    "repetition_stats": q_repetition_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -301,6 +366,8 @@ PIPELINE_ORACLE: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
+    "clean_text": SQL_CLEAN_TEXT,
+    "repetition_stats": SQL_REPETITION_STATS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,

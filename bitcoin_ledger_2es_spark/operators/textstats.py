@@ -82,6 +82,97 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return d.select("doc_id", pred.alias("pred_lang"), best.alias("marker_hits"))
 
 
+URL_RX = r"https?://[^\s]+"
+EMAIL_RX = r"[^\s@]+@[^\s@]+\.[^\s@]+"
+
+
+def clean_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Curation scrub stage: drop URLs and e-mail addresses, collapse
+    whitespace runs, trim. Pure codegen regexp_replace chain (scan-speed
+    at 100 TB); the same RE2-compatible patterns run in the DuckDB oracle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cleaned = F.regexp_replace(t, URL_RX, "")
+    cleaned = F.regexp_replace(cleaned, EMAIL_RX, "")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        (F.length(t) - F.length(cleaned)).alias("n_removed_chars"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_token_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Gopher/C4-style repetition filters: per doc, the fraction of tokens
+    taken by the most frequent token and by the most frequent bigram, plus
+    the keep/drop decision. Two bounded hash aggregations (token- and
+    bigram-keyed with map-side partial agg) — no all-pairs, no Python."""
+    toks = _toks(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bigrams"),
+    )
+    top_tok = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_token_count"))
+    )
+    top_bg = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_count"))
+    )
+    out = (
+        base.select("doc_id", "n_tokens")
+        .join(top_tok, "doc_id", "left")
+        .join(top_bg, "doc_id", "left")
+        .withColumn("top_token_count", F.coalesce("top_token_count", F.lit(0)))
+        .withColumn("top_bigram_count", F.coalesce("top_bigram_count", F.lit(0)))
+        .withColumn(
+            "top_token_frac",
+            F.when(F.col("n_tokens") > 0, F.col("top_token_count") / F.col("n_tokens")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(F.col("n_tokens") >= 2, F.col("top_bigram_count") / (F.col("n_tokens") - 1)).otherwise(F.lit(0.0)),
+        )
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_count",
+        "top_bigram_count",
+        duck_round("top_token_frac", 6).alias("top_token_frac"),
+        duck_round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        keep.alias("keep"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Positional polynomial fingerprint over the token stream:
     fp = sum_i (i+1) * (31*len(tok_i) + ascii(first char)) mod 1e9+7 —

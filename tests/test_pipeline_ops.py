@@ -257,3 +257,40 @@ def test_ann_ivf_recall_and_verified_cosines(spark):
     # determinism: same call -> same result
     again = S.ann_ivf_topk(v, q, k=10, n_centroids=8, nprobe=3).toPandas()
     pd.testing.assert_frame_equal(approx, again)
+
+
+def test_clean_text_and_repetition_vs_pandas(spark):
+    import re as _re
+
+    from bitcoin_ledger_2es_spark.operators import textstats as T
+
+    texts = [
+        "Visit https://example.com/x?y=1 now or mail a@b.co  thanks",
+        "the the the the the the the the the the",
+        "one two",
+        "",
+        "plain text with no noise at all here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = T.clean_text(df).toPandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        c = _re.sub(r"https?://[^\s]+", "", t)
+        c = _re.sub(r"[^\s@]+@[^\s@]+\.[^\s@]+", "", c)
+        c = _re.sub(r"\s+", " ", c).strip()
+        assert got.loc[i, "clean_text"] == c, i
+        assert got.loc[i, "n_removed_chars"] == len(t) - len(c), i
+
+    rep = T.repetition_stats(df).toPandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        toks = _re.findall(r"[a-z0-9_]+", t.lower())
+        n = len(toks)
+        assert rep.loc[i, "n_tokens"] == n
+        top = max((toks.count(x) for x in set(toks)), default=0)
+        assert rep.loc[i, "top_token_count"] == top
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        topb = max((bgs.count(x) for x in set(bgs)), default=0)
+        assert rep.loc[i, "top_bigram_count"] == topb
+    # the degenerate repeated-token doc is dropped, the plain one kept
+    assert not rep.loc[1, "keep"] and rep.loc[4, "keep"]
