@@ -500,11 +500,12 @@ class BM25Searcher:
                 )
             return pd.concat(outs, ignore_index=True)
 
-        cands = (
-            ix.postings.filter(F.col("term_id").isin(list(union_tids)))
-            .groupBy("shard_id")
-            .applyInPandas(kernel, schema="query_id long, doc_id long, score float")
-        )
+        pruned_union = ix.postings.filter(F.col("term_id").isin(list(union_tids)))
+        batch_ddl = "query_id long, doc_id long, score float"
+        if self.aligned:
+            cands = pruned_union.mapInPandas(_aligned_kernel(kernel), schema=batch_ddl)
+        else:
+            cands = pruned_union.groupBy("shard_id").applyInPandas(kernel, schema=batch_ddl)
         kmap = {qid: k for qid, k, _, _ in per_query}
         kdf = self._spark.createDataFrame(
             [(qid, k) for qid, k in kmap.items()], "query_id long, qk int"

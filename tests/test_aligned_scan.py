@@ -51,3 +51,27 @@ def test_aligned_removes_shard_exchange(spark, on_disk):
     assert "FlatMapGroupsInPandas" not in p_fast
     # the aligned plan drops exactly the shard_id hash exchange
     assert p_fast.count("Exchange") == p_base.count("Exchange") - 1
+
+
+def test_aligned_msearch_identical(spark, on_disk):
+    qset = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "query_text": ["w0000 w0003", "w0001", "w0000 w0002"],
+            "k": [10, 5, 10],
+            "mode": ["or", "or", "and"],
+        }
+    )
+    a = (
+        BM25Searcher(on_disk, aligned=False)
+        .top_k_batch(qset)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    b = (
+        BM25Searcher(on_disk, aligned=True)
+        .top_k_batch(qset)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
