@@ -625,7 +625,8 @@ FROM (
     SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
   ),
   corpus AS (
-    SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dls) AS avgdl
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
   ),
   sumidf AS (SELECT ({idf_terms}) AS sidf FROM corpus c),
   pf AS (
@@ -756,7 +757,8 @@ FROM (
     SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
   ),
   corpus AS (
-    SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT avg(dl) FROM dls) AS avgdl
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
   ),
   sumidf AS (SELECT ({idf_terms}) AS sidf FROM corpus c),
   pf AS (

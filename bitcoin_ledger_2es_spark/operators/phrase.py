@@ -49,9 +49,14 @@ def _slot_keys(blocks: pd.DataFrame, slot: int, n_slots: int, base: int):
     dls = np.concatenate(dl_parts)
     pos = np.concatenate(pos_parts)
     local = (docs - base).astype(np.int64)
-    assert pos.size == 0 or int(pos.max()) + n_slots < (1 << _POS_BITS), (
-        "token position exceeds the phrase-key budget (2^21 per doc)"
-    )
+    if pos.size and int(pos.max()) + n_slots >= (1 << _POS_BITS):
+        # a real error, not an assert: under python -O an assert is
+        # stripped and overflow would silently corrupt the packed keys
+        raise ValueError(
+            f"token position {int(pos.max())} + phrase len {n_slots} exceeds "
+            f"the phrase-key budget (2^{_POS_BITS} per doc); "
+            "build-time validation should have rejected this corpus"
+        )
     keys = (np.repeat(local, tfs) << np.int64(_POS_BITS)) + (pos - slot + n_slots)
     return keys, local, dls
 

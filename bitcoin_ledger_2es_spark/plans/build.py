@@ -63,6 +63,11 @@ class IndexFrames:
     n_docs: int
     avgdl: float
     cfg: EngineConfig
+    # filesystem root for on-disk indexes (read_index sets it); None for
+    # in-memory indexes. Lets the query layer validate the partition-aligned
+    # scan precondition (every postings file <= maxPartitionBytes) instead
+    # of assuming it.
+    path: str | None = None
 
 
 def tokenized_documents(transcripts: DataFrame, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
@@ -100,6 +105,21 @@ def tokenized_documents(transcripts: DataFrame, cfg: EngineConfig) -> tuple[Data
     return docs, offsets
 
 
+def check_positions_budget(cfg: EngineConfig, max_doc_len: int) -> None:
+    """Positional indexes pack (doc, position) into one int64 phrase key
+    with 2^21 position bits (operators/phrase.py); reject over-long docs at
+    BUILD time so phrase queries can't hit the budget later."""
+    from ..operators.phrase import _POS_BITS
+
+    if cfg.store_positions and max_doc_len + 64 >= (1 << _POS_BITS):
+        raise ValueError(
+            f"store_positions=True but a document has {max_doc_len} tokens — "
+            f"over the 2^{_POS_BITS} per-doc position budget of the phrase "
+            "kernel. Split over-long documents (e.g. index turns, not rollups "
+            "of huge conversations) or index without positions."
+        )
+
+
 def build_index(
     transcripts: DataFrame,
     cfg: EngineConfig = DEFAULT,
@@ -123,10 +143,11 @@ def build_index(
     )
     if cache:
         docmap = docmap.persist()
-    n_docs, avgdl = docmap.agg(
-        F.count("*"), F.avg("doc_len")
+    n_docs, avgdl, max_dl = docmap.agg(
+        F.count("*"), F.avg("doc_len"), F.max("doc_len")
     ).collect()[0]
     n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+    check_positions_budget(cfg, int(max_dl or 0))
     if cache:
         src.unpersist()  # docs materialized above; the raw text copy can go
 
@@ -186,6 +207,22 @@ def write_index(ix: IndexFrames, path: str, mode: str = "overwrite") -> None:
     ix.corpus_stats.coalesce(1).write.mode(mode).parquet(f"{path}/corpus_stats")
 
 
+def cfg_from_stats_row(row: dict, cfg: EngineConfig) -> EngineConfig:
+    """Adopt every content-affecting knob from a persisted corpus_stats row
+    onto ``cfg`` (execution-only knobs keep the caller's values)."""
+    cfg = cfg.with_(k1=float(row["k1"]), b=float(row["b"]))
+    if "docs_per_shard" in row:  # full stats row (round-2+ layout)
+        cfg = cfg.with_(
+            docs_per_shard=int(row["docs_per_shard"]),
+            block_size=int(row["block_size"]),
+            token_pattern=row["token_pattern"],
+            lowercase=bool(row["lowercase"]),
+            index_rollups=bool(row["index_rollups"]),
+            store_positions=bool(row.get("store_positions", False)),
+        )
+    return cfg
+
+
 def read_index(spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT) -> IndexFrames:
     """Open an on-disk index. The persisted corpus_stats row is
     authoritative for every content-affecting knob (k1/b, docs_per_shard,
@@ -198,16 +235,8 @@ def read_index(spark: SparkSession, path: str, cfg: EngineConfig = DEFAULT) -> I
     dictionary = spark.read.parquet(f"{path}/dictionary")
     stats = spark.read.parquet(f"{path}/corpus_stats")
     row = stats.collect()[0].asDict()
-    cfg = cfg.with_(k1=float(row["k1"]), b=float(row["b"]))
-    if "docs_per_shard" in row:  # full stats row (round-2+ layout)
-        cfg = cfg.with_(
-            docs_per_shard=int(row["docs_per_shard"]),
-            block_size=int(row["block_size"]),
-            token_pattern=row["token_pattern"],
-            lowercase=bool(row["lowercase"]),
-            index_rollups=bool(row["index_rollups"]),
-            store_positions=bool(row.get("store_positions", False)),
-        )
+    cfg = cfg_from_stats_row(row, cfg)
     return IndexFrames(
-        docmap, stats, dictionary, postings, int(row["n_docs"]), float(row["avgdl"]), cfg
+        docmap, stats, dictionary, postings, int(row["n_docs"]), float(row["avgdl"]), cfg,
+        path=path,
     )

@@ -45,6 +45,8 @@ from ..operators.postings import (
 from .build import (
     CORPUS_STATS_DDL,
     IndexFrames,
+    cfg_from_stats_row,
+    check_positions_budget,
     corpus_stats_row,
     read_index,
     tokenized_documents,
@@ -84,18 +86,19 @@ def _completed(lineage: DataFrame, stage: str) -> set[int]:
 
 def _shard_checksums(postings_on_disk: DataFrame, shards: list[int]) -> dict[int, tuple[int, str]]:
     """(rows, checksum) per shard from the committed parquet — validates the
-    write and produces the lineage checksum in one columnar pass."""
+    write and produces the lineage checksum in one columnar pass. ``poss``
+    joins the hash only when present, so partial indexes written before the
+    positions stream existed still resume (their checksums stay stable)."""
+    cols = ["term_id", "block_id", "first_doc_id", "last_doc_id",
+            "n_docs", "doc_id_deltas", "tfs", "dls"]
+    if "poss" in postings_on_disk.columns:
+        cols.append("poss")
     rows = (
         postings_on_disk.filter(F.col("shard_id").isin(shards))
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n"),
-            F.bit_xor(
-                F.xxhash64(
-                    "term_id", "block_id", "first_doc_id", "last_doc_id",
-                    "n_docs", "doc_id_deltas", "tfs", "dls", "poss",
-                )
-            ).alias("h"),
+            F.bit_xor(F.xxhash64(*cols)).alias("h"),
         )
         .collect()
     )
@@ -118,6 +121,23 @@ def build_index_resumable(
     sides of the commit point.
     """
     lineage = read_lineage(spark, path)
+
+    # RESUME GUARD: a prior (partial) build persisted its content config in
+    # corpus_stats at the docmap stage. Resuming with a DIFFERENT
+    # content-affecting config (docs_per_shard, analyzer, block_size, ...)
+    # would mix shards built under two configs into one index silently —
+    # committed shards are skipped, pending ones rebuilt with the new cfg.
+    # Fail loudly instead; execution-only knobs may differ freely.
+    if -1 in _completed(lineage, "docmap"):
+        row = spark.read.parquet(f"{path}/corpus_stats").collect()[0].asDict()
+        persisted = cfg_from_stats_row(row, cfg)
+        if persisted.content_key() != cfg.content_key():
+            raise ValueError(
+                "resume with a different content config than the original "
+                f"build: persisted {persisted.content_key()} vs caller "
+                f"{cfg.content_key()}. Finish the build with the original "
+                "config, or delete the partial index to rebuild."
+            )
 
     # clean any uncommitted temporary output from a killed wave
     tmp = Path(path) / "postings" / "_temporary"
@@ -149,8 +169,11 @@ def build_index_resumable(
     docs = docs.persist()
     docmap = with_shard(docs.select("doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"), cfg)
     rows_in = src.count()
-    n_docs, avgdl = docmap.agg(F.count("*"), F.avg("doc_len")).collect()[0]
+    n_docs, avgdl, max_dl = docmap.agg(
+        F.count("*"), F.avg("doc_len"), F.max("doc_len")
+    ).collect()[0]
     n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+    check_positions_budget(cfg, int(max_dl or 0))
     src.unpersist()
 
     # ---- stage: docmap + corpus_stats

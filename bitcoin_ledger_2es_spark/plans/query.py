@@ -110,6 +110,47 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
     return fn
 
 
+def _parse_byte_size(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+                   ("b", 1), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s)) * mult
+
+
+def aligned_layout_ok(ix) -> bool:
+    """True iff the zero-exchange (aligned) scan is provably safe for this
+    index: it is on disk in the write_index layout AND every postings file
+    is <= spark.sql.files.maxPartitionBytes. Spark splits parquet files
+    LARGER than that at row-group boundaries, so an over-sized shard file
+    would be scored by several mapInPandas tasks each seeing only part of
+    the shard's postings — silently understated scores. Files at or below
+    the threshold are never split (bin-packing only merges whole files)."""
+    from pathlib import Path
+
+    if ix.path is None:
+        return False
+    pdir = Path(ix.path) / "postings"
+    try:
+        if not pdir.is_dir():
+            return False  # non-local FS: can't cheaply verify -> grouped path
+        files = [f for f in pdir.glob("shard_id=*/*.parquet")]
+        if not files:
+            return False
+        max_file = max(f.stat().st_size for f in files)
+    except OSError:
+        return False
+    spark = ix.postings.sparkSession
+    cap = _parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    return max_file <= cap
+
+
 def _aligned_kernel(shard_fn):
     """Wrap a per-shard kernel for the partition-aligned (zero-exchange)
     scan: one mapInPandas task sees whole shards (possibly several —
@@ -117,7 +158,8 @@ def _aligned_kernel(shard_fn):
     them in pandas, and runs the shard kernel on each. Correct because the
     on-disk layout (write_index) stores each shard's postings in exactly
     one file under its shard_id= directory, and a parquet file is never
-    split below spark.sql.files.maxPartitionBytes."""
+    split below spark.sql.files.maxPartitionBytes (``aligned_layout_ok``
+    verifies both preconditions at searcher construction)."""
 
     def fn(batches):
         parts = list(batches)
@@ -133,16 +175,39 @@ def _aligned_kernel(shard_fn):
 
 
 class BM25Searcher:
-    def __init__(self, ix: IndexFrames, use_wand: bool = True, aligned: bool = False):
-        """``aligned=True`` (for indexes opened with read_index): score
-        shards inside the pruned postings SCAN itself — mapInPandas over
-        the partition-aligned on-disk layout — instead of groupBy +
-        applyInPandas, removing the only wide exchange on the query path.
-        Requires the write_index layout (one file per shard directory);
-        results are identical either way (tests pin this)."""
+    def __init__(
+        self, ix: IndexFrames, use_wand: bool = True, aligned: bool | None = None
+    ):
+        """``aligned``: score shards inside the pruned postings SCAN itself
+        — mapInPandas over the partition-aligned on-disk layout — instead
+        of groupBy + applyInPandas, removing the only wide exchange on the
+        query path. Results are identical either way (tests pin this).
+
+        * ``None`` (default): auto — use the aligned path iff the index is
+          on disk in the write_index layout and every postings file fits in
+          one input split (``aligned_layout_ok``); otherwise the grouped
+          path. On-disk indexes therefore get the zero-exchange plan by
+          default, in-memory ones stay on groupBy.
+        * ``True``: require it — raises if the precondition fails (a shard
+          file larger than spark.sql.files.maxPartitionBytes would be
+          SPLIT across tasks and scored partially — silent wrong results).
+        * ``False``: always the grouped path."""
         self.ix = ix
         self.use_wand = use_wand
-        self.aligned = aligned
+        if aligned is None:
+            self.aligned = aligned_layout_ok(ix)
+        elif aligned:
+            if not aligned_layout_ok(ix):
+                raise ValueError(
+                    "aligned=True requires an on-disk write_index layout whose "
+                    "largest postings file fits spark.sql.files.maxPartitionBytes "
+                    "(larger files get split across scan tasks -> partial shard "
+                    "scores). Raise maxPartitionBytes, rewrite the index with a "
+                    "smaller docs_per_shard, or use aligned=None/False."
+                )
+            self.aligned = True
+        else:
+            self.aligned = False
         self._spark = ix.docmap.sparkSession
         # driver-side term lookup memo (term -> (term_id, df) or None):
         # the dictionary is immutable for an index, so repeated queries

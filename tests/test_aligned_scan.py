@@ -53,6 +53,32 @@ def test_aligned_removes_shard_exchange(spark, on_disk):
     assert p_fast.count("Exchange") == p_base.count("Exchange") - 1
 
 
+def test_aligned_guard_oversized_file(spark, on_disk, tiny_df):
+    """A postings file larger than maxPartitionBytes would be SPLIT across
+    scan tasks -> partial shard scores. The guard must refuse aligned=True,
+    auto mode must fall back to the grouped path, and with a normal
+    threshold auto mode must pick the aligned path for on-disk indexes."""
+    from bitcoin_ledger_2es_spark.plans.query import aligned_layout_ok
+
+    assert aligned_layout_ok(on_disk)
+    assert BM25Searcher(on_disk).aligned  # auto: on-disk layout -> aligned
+    # in-memory index: no on-disk layout -> grouped, aligned=True refused
+    mem = build_index(tiny_df, CFG)
+    assert not BM25Searcher(mem).aligned
+    with pytest.raises(ValueError, match="aligned=True requires"):
+        BM25Searcher(mem, aligned=True)
+    # shrink the split threshold below the postings file size
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+        assert not aligned_layout_ok(on_disk)
+        assert not BM25Searcher(on_disk).aligned  # auto falls back
+        with pytest.raises(ValueError, match="maxPartitionBytes"):
+            BM25Searcher(on_disk, aligned=True)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_aligned_msearch_identical(spark, on_disk):
     qset = pd.DataFrame(
         {

@@ -93,6 +93,41 @@ def test_kill_between_commit_and_log_resumes_byte_identical(spark, tiny_df, tmp_
     assert not post.duplicated(["term_id", "shard_id", "block_id"]).any()
 
 
+def test_resume_with_changed_content_config_is_refused(spark, tiny_df, tmp_path):
+    """Resuming a partial build with a different content-affecting config
+    would mix shards built under two configs into one index silently
+    (committed shards skipped, pending ones rebuilt with the new cfg).
+    The resume guard must fail loudly instead."""
+    path = str(tmp_path / "part")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index_resumable(spark, tiny_df, path, CFG, _fail_after_wave=2)
+
+    with pytest.raises(ValueError, match="different content config"):
+        build_index_resumable(spark, tiny_df, path, CFG.with_(docs_per_shard=256))
+    with pytest.raises(ValueError, match="different content config"):
+        build_index_resumable(spark, tiny_df, path, CFG.with_(store_positions=True))
+
+    # execution-only knobs may differ freely: resume completes
+    ix = build_index_resumable(spark, tiny_df, path, CFG.with_(n_waves=2))
+    assert ix.n_docs > 0
+
+
+def test_oversized_doc_rejected_for_positional_build(spark, tmp_path):
+    """store_positions=True must reject docs over the 2^21 position budget
+    at BUILD time (the phrase kernel packs positions into int64 keys)."""
+    from bitcoin_ledger_2es_spark import build_index
+
+    big = spark.createDataFrame(
+        [("c0", 0, "user", "tok " * (1 << 21), None, "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="position budget"):
+        build_index(big, CFG.with_(store_positions=True, index_rollups=False))
+    # without positions the same corpus builds fine
+    ix = build_index(big, CFG.with_(index_rollups=False))
+    assert ix.n_docs == 1
+
+
 def test_read_index_adopts_persisted_content_config(spark, tiny_df, tmp_path):
     """Opening an index with a WRONG docs_per_shard must not corrupt
     queries: read_index adopts the persisted content knobs."""
