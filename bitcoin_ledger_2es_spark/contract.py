@@ -649,6 +649,98 @@ SQL_MATCH_PHRASE = "\nUNION ALL\n".join(
     _sql_phrase_allmatch(qid, text.split()) for qid, text in PHRASE_QUERIES
 )
 
+# ---------------------------------------------------------------------------
+# B4 full bool surface: must_not (postings-derived exclusion) and
+# should + minimum_should_match, answered by the REAL indexed engine
+# (score_shard_bool kernel) with k unbounded (no selection boundary), vs a
+# DuckDB full-scoring oracle with conditional clause counts. Terms are
+# chosen non-overlapping across clauses so occurrence weights are all 1.
+
+BOOL_QUERIES = [
+    # (qid, must, should, must_not, minimum_should_match)
+    (0, "spark table", "", "join", None),
+    (1, "window", "", "the", None),
+    (2, "", "spark join scan table", "", 2),
+    (3, "", "the data row", "window", 2),
+    (4, "data", "spark join", "scan", 1),
+]
+
+
+def q_bool_must_not_query(spark, sf_dir):
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
+    s = BM25Searcher(build_index(_docs_as_transcripts(docs), cfg))
+    out = None
+    for qid, must, should, must_not, min_m in BOOL_QUERIES:
+        r = s.bool_query(
+            must=must, should=should, must_not=must_not, k=1_000_000,
+            minimum_should_match=min_m, with_meta=False,
+        ).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _sql_bool_allmatch(qid, must, should, must_not, min_m) -> str:
+    musts, shoulds, nots = must.split(), should.split(), must_not.split()
+    if min_m is None:
+        min_m = 1 if (shoulds and not musts) else 0
+    scoring = ", ".join(f"'{t}'" for t in dict.fromkeys(musts + shoulds))
+    conds = []
+    if musts:
+        mlist = ", ".join(f"'{t}'" for t in musts)
+        conds.append(f"count(CASE WHEN term IN ({mlist}) THEN 1 END) = {len(set(musts))}")
+    if min_m > 0:
+        slist = ", ".join(f"'{t}'" for t in shoulds)
+        conds.append(f"count(CASE WHEN term IN ({slist}) THEN 1 END) >= {min_m}")
+    having = "HAVING " + " AND ".join(conds) if conds else ""
+    excl = ""
+    if nots:
+        nlist = ", ".join(f"'{t}'" for t in nots)
+        excl = f"WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term IN ({nlist}))"
+    return f"""
+SELECT {qid} AS query_id, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+    WHERE t.term IN ({scoring}) GROUP BY t.doc_id, t.term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id, tf.term,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  ),
+  agg AS (
+    SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id {having}
+  )
+  SELECT doc_id, score FROM agg {excl}
+)
+"""
+
+
+SQL_BOOL_MUST_NOT_QUERY = "\nUNION ALL\n".join(
+    _sql_bool_allmatch(*q) for q in BOOL_QUERIES
+)
+
+
 def q_bm25_msearch(spark, sf_dir):
     """ES _msearch analogue under the driver gate: top_k_batch answers all
     ENGINE_QUERIES in ONE job over the real index; the oracle ranks each
@@ -957,6 +1049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_query": q_fuzzy_query,
     "term_query": q_term_query,
     "bool_and_query": q_bool_and_query,
+    "bool_must_not_query": q_bool_must_not_query,
     "tokenize_term_counts": q_tokenize_term_counts,
 }
 
@@ -990,6 +1083,7 @@ ORACLE: dict[str, str] = {
     "fuzzy_query": SQL_FUZZY_QUERY,
     "term_query": SQL_TERM_QUERY,
     "bool_and_query": SQL_BOOL_AND_QUERY,
+    "bool_must_not_query": SQL_BOOL_MUST_NOT_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,
 }
 

@@ -224,6 +224,101 @@ def score_shard_conjunction(
     return _emit(heap)
 
 
+def _decode_term_blocks(blocks: pd.DataFrame, shard_base: int):
+    """Decode one term's blocks -> (local_docs, tfs, dls) numpy arrays."""
+    docs_parts, tf_parts, dl_parts = [], [], []
+    for r in blocks.itertuples(index=False):
+        docs_parts.append(decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)))
+        tf_parts.append(decode_tfs(r.tfs))
+        dl_parts.append(decode_tfs(r.dls))
+    if not docs_parts:
+        return None
+    return (
+        np.concatenate(docs_parts) - shard_base,
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )
+
+
+def score_shard_bool(
+    must_meta: list[tuple[int, float, float, pd.DataFrame]],
+    should_meta: list[tuple[int, float, float, pd.DataFrame]],
+    excl_blocks: list[pd.DataFrame],
+    shard_base: int,
+    span: int,
+    allowed: np.ndarray | None,
+    k: int,
+    min_should: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """ES bool query within one shard (B4 full surface): ``must`` clauses
+    all required and scoring, ``should`` clauses scoring with at least
+    ``min_should`` matching (Lucene minimum_should_match), ``must_not``
+    postings building a non-scoring forbidden mask — the same exclusion
+    shape as the ``allowed`` filter mask, derived from postings instead of
+    docmap columns. Scores accumulate f64 in ascending term_id order over
+    the union of scoring clauses (the engine's standard determinism
+    contract); ties (score_f32 desc, doc_id asc)."""
+    scores = np.zeros(span, dtype=np.float64)
+    seen_must = np.zeros(span, dtype=np.int32)
+    seen_should = np.zeros(span, dtype=np.int32)
+
+    # scoring pass: one combined weight per term_id (a term in both must
+    # and should scores once per clause — ES sums clause scores), strict
+    # ascending-term_id accumulation across the union
+    by_tid: dict[int, dict] = {}
+    for role, metas in (("must", must_meta), ("should", should_meta)):
+        for tid, t_idf, w, blocks in metas:
+            e = by_tid.setdefault(tid, {"idf": t_idf, "w": 0.0, "blocks": blocks,
+                                        "must": False, "should": False})
+            e["w"] += w
+            e[role] = True
+    for tid in sorted(by_tid):
+        e = by_tid[tid]
+        dec = _decode_term_blocks(e["blocks"], shard_base)
+        if dec is None:
+            continue
+        docs, tfs, dls = dec
+        scores[docs] += e["w"] * contrib(tfs, dls, e["idf"], avgdl, k1, b)
+        if e["must"]:
+            seen_must[docs] += 1
+        if e["should"]:
+            seen_should[docs] += 1
+
+    n_must = sum(1 for _ in must_meta)
+    mask = seen_must == n_must if n_must else np.ones(span, dtype=bool)
+    if min_should > 0:
+        mask &= seen_should >= min_should
+    elif n_must == 0 and should_meta:
+        mask &= seen_should > 0  # pure-should bool: at least one clause
+    for blocks in excl_blocks:
+        dec = _decode_term_blocks(blocks, shard_base)
+        if dec is not None:
+            mask[dec[0]] = False
+    if allowed is not None:
+        mask &= allowed
+
+    cand = np.flatnonzero(mask)
+    if cand.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float32)})
+    s32 = scores[cand].astype(np.float32)
+    if cand.size > k:
+        kth = np.partition(-s32, k - 1)[k - 1]
+        sup = np.flatnonzero(-s32 <= kth)
+        order = sup[np.lexsort((cand[sup], -s32[sup].astype(np.float64)))][:k]
+    else:
+        order = np.lexsort((cand, -s32.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (cand[order] + shard_base).astype(np.int64),
+            "score": s32[order],
+        }
+    )
+
+
 def score_shard_exact(
     term_meta: list[tuple[int, float, float, pd.DataFrame]],
     shard_base: int,

@@ -96,6 +96,79 @@ class PandasOracle:
             }
         )
 
+    def bool_topk(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = 10,
+        minimum_should_match: int | None = None,
+    ) -> pd.DataFrame:
+        """ES bool query oracle (mirrors BM25Searcher.bool_query /
+        operators/wand.py score_shard_bool, same determinism contract):
+        must all required + scoring, should scoring with >= min_m matching,
+        must_not a non-scoring exclusion; a term in both must and should
+        scores once per clause (summed weights)."""
+        cfg = self.cfg
+        must_terms = analyze_query(must, cfg)
+        should_terms = analyze_query(should, cfg)
+        not_terms = analyze_query(must_not, cfg)
+        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32)})
+        if not must_terms and not should_terms:
+            return empty
+        w_must, w_should = Counter(must_terms), Counter(should_terms)
+        if any(t not in self.postings for t in w_must):
+            return empty
+        min_m = minimum_should_match
+        if min_m is None:
+            min_m = 1 if (should_terms and not must_terms) else 0
+        should_in = [t for t in w_should if t in self.postings]
+        if min_m > len(should_in):
+            return empty
+        if not w_must and not should_in:
+            return empty
+
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        seen_must = np.zeros(self.n_docs, dtype=np.int64)
+        seen_should = np.zeros(self.n_docs, dtype=np.int64)
+        weights = {t: 0.0 for t in {*w_must, *should_in}}
+        for t, w in w_must.items():
+            weights[t] += w
+        for t in should_in:
+            weights[t] += w_should[t]
+        for t in sorted(weights, key=lambda t: self.term_id[t]):
+            rows, tfs = self.postings[t]
+            t_idf = idf(float(len(rows)), self.n_docs)
+            scores[rows] += weights[t] * contrib(
+                tfs, self.doc_len[rows], t_idf, self.avgdl, cfg.k1, cfg.b
+            )
+            if t in w_must:
+                seen_must[rows] += 1
+            if t in should_in or (t in w_should):
+                seen_should[rows] += 1
+        mask = seen_must == len(w_must) if w_must else np.ones(self.n_docs, dtype=bool)
+        if min_m > 0:
+            mask &= seen_should >= min_m
+        elif not w_must and should_in:
+            mask &= seen_should > 0
+        for t in set(not_terms):
+            if t in self.postings:
+                mask[self.postings[t][0]] = False
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return empty
+        s32 = scores[cand].astype(np.float32)
+        order = np.lexsort((self.doc_ids[cand], -s32.astype(np.float64)))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": self.doc_ids[cand][order],
+                "score": s32[order],
+            }
+        )
+
     def phrase_topk(self, query_text: str, k: int = 10, slop: int = 0) -> pd.DataFrame:
         """match_phrase oracle (B5): brute-force scan of every doc's token
         stream — slop=0 requires consecutive occurrences; slop>0 counts

@@ -33,6 +33,7 @@ from ..functions.bm25 import idf as idf_fn
 from ..operators.wand import (
     _TermList,
     score_shard_bmw,
+    score_shard_bool,
     score_shard_conjunction,
     score_shard_exact,
 )
@@ -305,6 +306,133 @@ class BM25Searcher:
         # BuildRight over k rows: docmap is scan-only at any corpus size
         # (a right-outer join could only build/broadcast the docmap side,
         # which is broadcast-OOM at 10^12 docs).
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "inner")
+            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )
+
+    def bool_query(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = 10,
+        minimum_should_match: int | None = None,
+        doc_filter: Column | None = None,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Full ES bool query (B4): ``must`` clauses all required (scoring),
+        ``should`` clauses scoring with at least ``minimum_should_match``
+        matching, ``must_not`` excluding docs CONTAINING those terms
+        (non-scoring, postings-derived — unlike ``doc_filter`` which
+        filters on docmap columns), ``doc_filter`` the ES filter context.
+
+        ``minimum_should_match`` defaults to ES semantics: 1 when there are
+        should clauses and no must clauses, else 0. Clause texts run
+        through the analyzer; per-term clause weights are occurrence
+        counts, as in ``top_k``. One pruned scan over the union of all
+        three clause sets; must_not postings become a forbidden mask in
+        the same shard kernel — no extra job or join."""
+        ix, cfg = self.ix, self.ix.cfg
+        must_terms = analyze_query(must, cfg)
+        should_terms = analyze_query(should, cfg)
+        not_terms = analyze_query(must_not, cfg)
+        if not must_terms and not should_terms:
+            if not_terms:
+                # a match-all + exclusion has no ranking signal; the dense
+                # kernel would emit ghost doc_ids for unfilled shard slots
+                raise ValueError(
+                    "bool_query needs at least one scoring clause (must or "
+                    "should); for match-all-except semantics use doc_filter "
+                    "over docmap columns or an anti-join on the id set"
+                )
+            return self._empty()
+        w_must, w_should = Counter(must_terms), Counter(should_terms)
+        uniq_not = sorted(set(not_terms))
+        found = self._lookup_terms(
+            sorted({*w_must, *w_should, *uniq_not})
+        )
+        if len([t for t in w_must if t in found]) < len(w_must):
+            return self._empty()  # an OOV must term matches nothing
+        min_m = minimum_should_match
+        if min_m is None:
+            min_m = 1 if (should_terms and not must_terms) else 0
+        should_found = [t for t in w_should if t in found]
+        if min_m > len(should_found):
+            return self._empty()  # cannot reach the should threshold
+
+        def metas(weights, names):
+            return [
+                (found[t][0], float(idf_fn(float(found[t][1]), ix.n_docs)), float(weights[t]))
+                for t in names
+            ]
+
+        must_meta = metas(w_must, [t for t in w_must if t in found])
+        should_meta = metas(w_should, should_found)
+        not_tids = sorted(found[t][0] for t in uniq_not if t in found)
+        if not must_meta and not should_meta:
+            return self._empty()  # no in-vocab scoring clause at all
+
+        must_tids = sorted(m[0] for m in must_meta)
+        scan_tids = sorted(
+            {m[0] for m in must_meta} | {m[0] for m in should_meta} | set(not_tids)
+        )
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        has_filter = doc_filter is not None
+        mm, sm, nt = list(must_meta), list(should_meta), list(not_tids)
+
+        def _run(left: pd.DataFrame, right: pd.DataFrame | None) -> pd.DataFrame:
+            if left.empty:
+                return _EMPTY_CAND
+            by_tid = {tid: g for tid, g in left.groupby("term_id")}
+            if any(tid not in by_tid for tid in must_tids):
+                return _EMPTY_CAND  # this shard lacks a required term
+            base = int(left["shard_id"].iloc[0]) * dps
+            allowed = None
+            if has_filter:
+                if right is None or right.empty:
+                    return _EMPTY_CAND
+                allowed = np.zeros(dps, dtype=bool)
+                allowed[right["doc_id"].to_numpy(np.int64) - base] = (
+                    right["_allowed"].to_numpy(bool)
+                )
+            pick = lambda ms: [
+                (tid, t_idf, w, by_tid[tid]) for tid, t_idf, w in ms if tid in by_tid
+            ]
+            return score_shard_bool(
+                pick(mm), pick(sm), [by_tid[t] for t in nt if t in by_tid],
+                base, dps, allowed, k, min_m, avgdl, k1, b,
+            )
+
+        if has_filter:
+            def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                return _run(left, right)
+        else:
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _run(pdf, None)
+
+        cand_postings = ix.postings.filter(F.col("term_id").isin(scan_tids))
+        if has_filter:
+            docmap_lite = ix.docmap.withColumn("_allowed", doc_filter).select(
+                "shard_id", "doc_id", "_allowed"
+            )
+            cands = (
+                cand_postings.groupBy("shard_id")
+                .cogroup(docmap_lite.groupBy("shard_id"))
+                .applyInPandas(kernel, schema=_CAND_DDL)
+            )
+        elif self.aligned:
+            cands = cand_postings.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        if not with_meta:
+            return top.select("rank", "doc_id", "score").orderBy("rank")
         return (
             self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
             .join(F.broadcast(top), "doc_id", "inner")

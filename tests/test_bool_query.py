@@ -1,0 +1,118 @@
+"""ES bool query surface (B4 full): must / should+minimum_should_match /
+must_not / doc_filter — rank-identical to the pandas oracle's bool_topk
+(both sides share the engine's determinism contract)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_ledger_2es_spark import BM25Searcher, PandasOracle, build_index
+from bitcoin_ledger_2es_spark.config import DEFAULT
+from bitcoin_ledger_2es_spark.plans.build import read_index, write_index
+
+from .test_end_to_end import corpus_docs_pdf
+
+CFG = DEFAULT.with_(docs_per_shard=256, block_size=32)
+
+# (must, should, must_not, min_should) — w0000 is the most frequent synth
+# term, w09xx the rarest; mixes of OOV, overlap, and pure-should cases
+CASES = [
+    ("w0000 w0003", "", "w0001", None),
+    ("w0000", "", "w0000", None),               # self-exclusion -> empty
+    ("", "w0000 w0005 w0010", "", None),        # pure should, default min 1
+    ("", "w0000 w0005 w0010 w0002", "", 2),
+    ("", "w0000 w0005 w0010 w0002", "w0001", 3),
+    ("w0002", "w0000 w0005", "", 1),            # must + should with min
+    ("w0002", "w0000 w0005", "w0003", 2),
+    ("w0000 w0000", "", "", None),              # duplicate must term (2x weight)
+    ("w0000", "w0000 w0004", "", 1),            # term in both clauses
+    ("w0000 zzzznotaterm", "", "", None),       # OOV must -> empty
+    ("", "zzzz yyyy", "", None),                # all-OOV should -> empty
+    ("w0000", "", "zzzznotaterm", None),        # OOV must_not ignored
+]
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tiny_df):
+    return build_index(tiny_df, CFG)
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_pdf):
+    return PandasOracle(corpus_docs_pdf(tiny_pdf), CFG)
+
+
+def _check(searcher, oracle, must, should, must_not, min_m, k=20):
+    golden = oracle.bool_topk(must, should, must_not, k=k, minimum_should_match=min_m)
+    got = (
+        searcher.bool_query(must, should, must_not, k=k, minimum_should_match=min_m,
+                            with_meta=False)
+        .toPandas()
+    )
+    case = (must, should, must_not, min_m)
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist(), case
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(np.float32), golden["score"].to_numpy(np.float32)
+    )
+
+
+def test_bool_query_matches_oracle(ix, oracle):
+    s = BM25Searcher(ix)
+    for must, should, must_not, min_m in CASES:
+        _check(s, oracle, must, should, must_not, min_m)
+
+
+def test_bool_query_aligned_identical(spark, tiny_df, ix, oracle, tmp_path):
+    path = str(tmp_path / "ix")
+    write_index(ix, path)
+    s = BM25Searcher(read_index(spark, path, CFG), aligned=True)
+    for must, should, must_not, min_m in CASES[:6]:
+        _check(s, oracle, must, should, must_not, min_m)
+
+
+def test_must_not_actually_excludes(ix, oracle):
+    s = BM25Searcher(ix)
+    base = s.bool_query(must="w0003", k=1000, with_meta=False).toPandas()
+    excl = s.bool_query(must="w0003", must_not="w0000", k=1000, with_meta=False).toPandas()
+    assert len(excl) < len(base)
+    # every excluded doc really contains w0000; every kept doc doesn't
+    w0000_docs = set(oracle.doc_ids[oracle.postings["w0000"][0]].tolist())
+    assert set(excl["doc_id"]).isdisjoint(w0000_docs)
+    assert set(base["doc_id"]) - set(excl["doc_id"]) <= w0000_docs
+
+
+def test_min_should_match_threshold(ix, oracle):
+    """Raising min_should monotonically shrinks the hit set; scores of
+    surviving docs are unchanged (min_m selects, never rescores)."""
+    s = BM25Searcher(ix)
+    prev = None
+    for m in (1, 2, 3):
+        r = s.bool_query(should="w0000 w0005 w0010", k=100000,
+                         minimum_should_match=m, with_meta=False).toPandas()
+        if prev is not None:
+            assert set(r["doc_id"]) <= set(prev["doc_id"])
+            merged = r.merge(prev, on="doc_id", suffixes=("_hi", "_lo"))
+            np.testing.assert_array_equal(
+                merged["score_hi"].to_numpy(np.float32),
+                merged["score_lo"].to_numpy(np.float32),
+            )
+        prev = r
+
+
+def test_bool_with_doc_filter(ix, oracle, tiny_pdf):
+    """doc_filter (ES filter context) composes with must_not."""
+    s = BM25Searcher(ix)
+    r = s.bool_query(
+        must="w0000", must_not="w0003", k=1000,
+        doc_filter=~F.col("is_rollup"),
+    ).toPandas()
+    assert len(r) > 0
+    assert not r["is_rollup"].any()
+    w0003_docs = set(oracle.doc_ids[oracle.postings["w0003"][0]].tolist())
+    assert set(r["doc_id"]).isdisjoint(w0003_docs)
+
+
+def test_pure_must_not_raises(ix):
+    with pytest.raises(ValueError, match="scoring clause"):
+        BM25Searcher(ix).bool_query(must_not="w0000")
