@@ -35,8 +35,9 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, EngineConfig
 from ..functions.analyze import analyze_query
 from ..functions.bm25 import idf as idf_fn
+from ..operators.wand import score_shard_exact
 from ..plans.build import IndexFrames, build_index, read_index, write_index
-from ..plans.query import _CAND_DDL, _RESULT_DDL, _shard_kernel
+from ..plans.query import _CAND_DDL, _RESULT_DDL
 
 SEG_BASE = 1 << 40  # doc_id space per segment
 
@@ -155,13 +156,24 @@ def compact(spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT) -> Inde
 
 
 class SegmentedSearcher:
-    """Exact BM25 top-k over the union of segments with global stats."""
+    """Exact BM25 top-k over the union of segments with global stats.
+
+    Driver work per query is INDEPENDENT of segment count: all per-segment
+    dictionaries are unioned (tagged with seg_id) so term lookup is ONE
+    collect, and scoring is ONE kernel pass over the unioned postings —
+    each shard's kernel resolves its segment from shard_id (segment doc-id
+    bases are multiples of SEG_BASE, so seg = shard_id // shards_per_seg)
+    and applies that segment's term_id -> global-idf mapping. At NRT steady
+    state (hundreds of segments between compactions) query latency stays
+    flat instead of growing linearly in driver round-trips."""
 
     def __init__(self, spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT):
         self.spark = spark
-        self.segments = [read_index(spark, str(s / "index"), cfg) for s in _seg_dirs(root)]
+        dirs = _seg_dirs(root)
+        self.segments = [read_index(spark, str(s / "index"), cfg) for s in dirs]
         if not self.segments:
             raise ValueError(f"no segments under {root}")
+        self.seg_ids = [int(d.name.split("_", 1)[1]) for d in dirs]
         # content-affecting knobs come from the segments' persisted stats
         # (read_index adopts them); all segments must agree
         keys = {s.cfg.content_key() for s in self.segments}
@@ -172,6 +184,60 @@ class SegmentedSearcher:
         self.avgdl = (
             sum(s.avgdl * s.n_docs for s in self.segments) / self.n_docs if self.n_docs else 0.0
         )
+        self._shards_per_seg = SEG_BASE // self.cfg.docs_per_shard
+        # ONE lazy union of all segment dictionaries / postings / docmaps:
+        # per-query driver work no longer scales with segment count
+        self._dict_all = None
+        for sid, seg in zip(self.seg_ids, self.segments):
+            d = seg.dictionary.select(
+                F.lit(sid).alias("seg_id"), "term", "term_id", "df"
+            )
+            self._dict_all = d if self._dict_all is None else self._dict_all.unionByName(d)
+        self._postings_all = None
+        for seg in self.segments:
+            p = seg.postings
+            self._postings_all = (
+                p if self._postings_all is None else self._postings_all.unionByName(p)
+            )
+        self._docmap_all = None
+        for seg in self.segments:
+            d = seg.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            self._docmap_all = (
+                d if self._docmap_all is None else self._docmap_all.unionByName(d)
+            )
+
+    def _lookup_all(self, terms: list[str]):
+        """ONE dictionary job for every (segment, term) pair.
+
+        Returns (global_df, seg_tids): corpus-wide df per term string, and
+        per-segment term -> local term_id maps keyed by actual seg_id."""
+        rows = (
+            self._dict_all.filter(F.col("term").isin(terms))
+            .select("seg_id", "term", "term_id", "df")
+            .collect()
+        )
+        global_df: dict[str, int] = {}
+        seg_tids: dict[int, dict[str, int]] = {sid: {} for sid in self.seg_ids}
+        for r in rows:
+            global_df[r["term"]] = global_df.get(r["term"], 0) + int(r["df"])
+            seg_tids[int(r["seg_id"])][r["term"]] = int(r["term_id"])
+        return global_df, seg_tids
+
+    def _scan_filter(self, seg_scan: dict[int, list[int]]):
+        """Pushdown predicate over the unioned postings: OR of per-segment
+        (shard-range AND term_id IN local_tids) conjuncts — shard_id prunes
+        partitions, term_id prunes row groups, both segment-locally."""
+        cond = None
+        for sid, tids in seg_scan.items():
+            lo = sid * self._shards_per_seg
+            hi = lo + self._shards_per_seg - 1
+            c = (
+                (F.col("shard_id") >= lo)
+                & (F.col("shard_id") <= hi)
+                & F.col("term_id").isin(tids)
+            )
+            cond = c if cond is None else cond | c
+        return cond
 
     def phrase_query(self, query_text: str, k: int = 10, slop: int = 0) -> DataFrame:
         """match_phrase over the segment union with GLOBAL stats (df summed
@@ -197,17 +263,7 @@ class SegmentedSearcher:
         if not terms:
             return empty
         uniq = list(dict.fromkeys(terms))
-        global_df: dict[str, int] = {}
-        seg_tids: list[dict[str, int]] = []
-        for seg in self.segments:
-            rows = (
-                seg.dictionary.filter(F.col("term").isin(uniq))
-                .select("term", "term_id", "df")
-                .collect()
-            )
-            seg_tids.append({r["term"]: int(r["term_id"]) for r in rows})
-            for r in rows:
-                global_df[r["term"]] = global_df.get(r["term"], 0) + int(r["df"])
+        global_df, seg_tids = self._lookup_all(uniq)  # ONE dictionary job
         if any(t not in global_df for t in uniq):
             return empty  # a phrase term matches nothing anywhere
         sum_idf = 0.0
@@ -216,43 +272,45 @@ class SegmentedSearcher:
         avgdl, k1, b, dps = self.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
         ddl = "doc_id long, score float, phrase_freq long"
 
-        cands = None
-        for seg, tids in zip(self.segments, seg_tids):
+        # per-segment slot term_ids; segments missing any phrase term are
+        # excluded (no doc there can contain the phrase)
+        slots_by_seg: dict[int, list[int]] = {}
+        seg_scan: dict[int, list[int]] = {}
+        for sid in self.seg_ids:
+            tids = seg_tids[sid]
             if any(t not in tids for t in uniq):
-                continue  # this segment cannot contain the phrase
-            slot_tids = [tids[t] for t in terms]
-
-            def make_kernel(_slots):
-                # ONE positional arg only: grouped applyInPandas treats a
-                # 2-arg function as (key, pdf) — arity must be exact
-                def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                    e = pd.DataFrame(
-                        {"doc_id": pd.Series([], dtype=np.int64),
-                         "score": pd.Series([], dtype=np.float32),
-                         "phrase_freq": pd.Series([], dtype=np.int64)}
-                    )
-                    if pdf.empty:
-                        return e
-                    by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
-                    if any(tid not in by_tid for tid in _slots):
-                        return e
-                    base = int(pdf["shard_id"].iloc[0]) * dps
-                    return score_shard_phrase(
-                        [by_tid[tid] for tid in _slots], sum_idf, base, k,
-                        avgdl, k1, b, slop=slop,
-                    )
-
-                return kernel
-
-            kernel = make_kernel(tuple(slot_tids))
-            part = (
-                seg.postings.filter(F.col("term_id").isin(sorted(set(slot_tids))))
-                .groupBy("shard_id")
-                .applyInPandas(kernel, schema=ddl)
-            )
-            cands = part if cands is None else cands.unionByName(part)
-        if cands is None:
+                continue
+            slots_by_seg[sid] = [tids[t] for t in terms]
+            seg_scan[sid] = sorted({tids[t] for t in uniq})
+        if not slots_by_seg:
             return empty
+        sps = self._shards_per_seg
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            e = pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "score": pd.Series([], dtype=np.float32),
+                 "phrase_freq": pd.Series([], dtype=np.int64)}
+            )
+            if pdf.empty:
+                return e
+            slots = slots_by_seg.get(int(pdf["shard_id"].iloc[0]) // sps)
+            if slots is None:
+                return e
+            by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+            if any(tid not in by_tid for tid in slots):
+                return e
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            return score_shard_phrase(
+                [by_tid[tid] for tid in slots], sum_idf, base, k,
+                avgdl, k1, b, slop=slop,
+            )
+
+        cands = (
+            self._postings_all.filter(self._scan_filter(seg_scan))
+            .groupBy("shard_id")
+            .applyInPandas(kernel, schema=ddl)
+        )
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (
@@ -262,66 +320,76 @@ class SegmentedSearcher:
         )
 
     def top_k(self, query_text: str, k: int = 10, mode: str = "or") -> DataFrame:
+        """Two Spark jobs total, whatever the segment count: one unioned
+        dictionary lookup, one unioned-postings kernel pass (plus the tiny
+        k-row merge + broadcast fetch of the final action)."""
+        import numpy as np
+        import pandas as pd
+        from collections import Counter
+        from pyspark.sql import Window
+
         cfg = self.cfg
         terms = analyze_query(query_text, cfg)
         if not terms:
             return self.spark.createDataFrame([], _RESULT_DDL)
-        from collections import Counter
-
         weights = Counter(terms)
-        # global df per term string across segments
-        global_df: dict[str, int] = {}
-        seg_term_ids: list[dict[str, int]] = []
-        for seg in self.segments:
-            rows = (
-                seg.dictionary.filter(F.col("term").isin(list(weights)))
-                .select("term", "term_id", "df")
-                .collect()
-            )
-            seg_term_ids.append({r["term"]: int(r["term_id"]) for r in rows})
-            for r in rows:
-                global_df[r["term"]] = global_df.get(r["term"], 0) + int(r["df"])
+        global_df, seg_tids = self._lookup_all(list(weights))
         found_terms = [t for t in weights if t in global_df]
         if not found_terms or (mode == "and" and len(found_terms) < len(weights)):
             return self.spark.createDataFrame([], _RESULT_DDL)
 
-        cands = None
-        for seg, tids in zip(self.segments, seg_term_ids):
+        # per-segment [(local_tid, global_idf, weight)]; segments missing a
+        # required term are excluded up front (no doc there can match)
+        n_req = len(found_terms)
+        meta_by_seg: dict[int, list[tuple[int, float, float]]] = {}
+        seg_scan: dict[int, list[int]] = {}
+        for sid in self.seg_ids:
+            tids = seg_tids[sid]
             present = [t for t in found_terms if t in tids]
-            if not present:
+            if not present or (mode == "and" and len(present) < n_req):
                 continue
-            if mode == "and" and len(present) < len(found_terms):
-                continue  # this segment cannot contain all required terms
-            term_meta = [
+            meta_by_seg[sid] = sorted(
                 (tids[t], float(idf_fn(float(global_df[t]), self.n_docs)), float(weights[t]))
                 for t in present
-            ]
-            kernel = _shard_kernel(
-                term_meta, k, mode, self.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard,
-                use_wand=False, wand_min=0, has_filter=False,
             )
-            part = (
-                seg.postings.filter(F.col("term_id").isin([m[0] for m in term_meta]))
-                .groupBy("shard_id")
-                .applyInPandas(kernel, schema=_CAND_DDL)
-            )
-            cands = part if cands is None else cands.unionByName(part)
-        if cands is None:
+            seg_scan[sid] = sorted(tids[t] for t in present)
+        if not meta_by_seg:
             return self.spark.createDataFrame([], _RESULT_DDL)
-        from pyspark.sql import Window
 
+        avgdl, k1, b, dps = self.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        sps, kk, md = self._shards_per_seg, k, mode
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                  "score": pd.Series([], dtype=np.float32)})
+            if pdf.empty:
+                return empty
+            sid = int(pdf["shard_id"].iloc[0]) // sps
+            metas = meta_by_seg.get(sid)
+            if metas is None:
+                return empty
+            by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+            blocks = [
+                (tid, t_idf, w, by_tid[tid]) for tid, t_idf, w in metas if tid in by_tid
+            ]
+            if not blocks or (md == "and" and len(blocks) < n_req):
+                return empty
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            return score_shard_exact(blocks, base, dps, None, kk, md, avgdl, k1, b)
+
+        cands = (
+            self._postings_all.filter(self._scan_filter(seg_scan))
+            .groupBy("shard_id")
+            .applyInPandas(kernel, schema=_CAND_DDL)
+        )
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))
-        docmaps = None
-        for seg in self.segments:
-            d = seg.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
-            docmaps = d if docmaps is None else docmaps.unionByName(d)
         # inner+broadcast(top): BuildRight over <= k winners; the unioned
         # docmaps stay scan-only (winners always exist in some segment's
         # docmap, so inner loses nothing — see BM25Searcher.top_k)
         return (
-            docmaps.join(F.broadcast(top), "doc_id", "inner")
+            self._docmap_all.join(F.broadcast(top), "doc_id", "inner")
             .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
             .orderBy("rank")
         )

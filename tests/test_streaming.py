@@ -209,3 +209,65 @@ def test_segmented_phrase_query_global_stats(spark, tmp_path):
             got["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
         )
         assert got["phrase_freq"].tolist() == exp["phrase_freq"].tolist(), (q, slop)
+
+
+def test_segmented_query_jobs_independent_of_segment_count(spark, tmp_path):
+    """The NRT scale contract: driver job count per segmented query must
+    NOT grow with the number of segments (one unioned dictionary lookup +
+    one unioned kernel pass, not a per-segment loop)."""
+    full = gen_transcripts_pdf(100, seed=11)
+    convs = sorted(full["conv_id"].unique())
+
+    def build_root(n_segs: int) -> str:
+        root = str(tmp_path / f"root_{n_segs}")
+        chunk = len(convs) // n_segs
+        for i in range(n_segs):
+            cs = convs[i * chunk : (i + 1) * chunk] if i < n_segs - 1 else convs[(n_segs - 1) * chunk :]
+            df = spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL)
+            from bitcoin_ledger_2es_spark.streaming.incremental import build_segment
+
+            build_segment(spark, df, root, i, CFG)
+        return root
+
+    def jobs_for_query(root: str, tag: str) -> int:
+        s = SegmentedSearcher(spark, root, CFG)
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            s.top_k("w0000 w0005", k=10, mode="or").collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    n2 = jobs_for_query(build_root(2), "segq2")
+    n5 = jobs_for_query(build_root(5), "segq5")
+    assert n2 > 0
+    assert n5 == n2, f"jobs grew with segment count: 2 segs -> {n2}, 5 segs -> {n5}"
+
+
+def test_segmented_search_matches_across_segment_counts(spark, tmp_path):
+    """Same corpus split into 1 vs 4 segments must give identical results
+    (global stats make segmentation invisible)."""
+    from bitcoin_ledger_2es_spark.streaming.incremental import build_segment
+
+    full = gen_transcripts_pdf(80, seed=13)
+    convs = sorted(full["conv_id"].unique())
+    roots = {}
+    for n_segs in (1, 4):
+        root = str(tmp_path / f"r{n_segs}")
+        chunk = -(-len(convs) // n_segs)
+        for i in range(n_segs):
+            cs = convs[i * chunk : (i + 1) * chunk]
+            if not cs:
+                continue
+            df = spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL)
+            build_segment(spark, df, root, i, CFG)
+        roots[n_segs] = root
+    s1 = SegmentedSearcher(spark, roots[1], CFG)
+    s4 = SegmentedSearcher(spark, roots[4], CFG)
+    for q, mode in [("w0000 w0005", "or"), ("w0001", "or"), ("w0000 w0002", "and")]:
+        a = s1.top_k(q, k=10, mode=mode).select("score").toPandas()
+        b = s4.top_k(q, k=10, mode=mode).select("score").toPandas()
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+        )
