@@ -1,0 +1,311 @@
+"""Posting-level segment compaction (ES/Lucene-style segment merge).
+
+``compact()``'s original path rebuilt the full index from the retained raw
+micro-batch sources — O(corpus re-tokenize) per compaction, and it required
+keeping every raw batch forever. This module merges segments from their
+*postings*, the way Lucene merges segments:
+
+  * new dense doc_ids are derived from the union of segment DOCMAPS alone
+    (conv ranks + turn ranks — the same two-level stable-ID spec the
+    builder uses, recomputed relationally; no text is read);
+  * per-segment term_ids are translated through a merged dictionary
+    (df/cf summed, term_id = rank in the merged sorted vocab);
+  * posting blocks are DECODED (docs/tfs/dls/positions), doc_ids remapped,
+    and re-cut into blocks of ``block_size`` under the new doc order;
+    per-posting position streams are within-doc and carry over as exact
+    byte slices (LEB128 is canonical, so slices == re-encodings);
+  * block max scores are recomputed from the merged corpus stats
+    (global df, n_docs, exact-integer avgdl), reproducing the from-scratch
+    floats bit-for-bit.
+
+The merged index is BYTE-IDENTICAL to ``build_index`` over the concatenated
+raw sources (pinned by tests), but needs only the segments' index files.
+
+Preconditions (validated): all segments share one content config, and no
+conv_id spans two segments — a split conversation cannot be re-rolled-up
+without its text (the segment model already treats conversations as atomic
+per micro-batch).
+
+Scale shape: two posting-granularity shuffles (the old->new doc_id join and
+the re-shard), vs the raw path's tokenize + SPIMI shuffle — and no raw-text
+retention. Tiered policies (merge only the k smallest segments) can reuse
+``merge_postings_frames`` on a subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..functions.bm25 import block_upper_bound, contrib, idf
+from ..functions.codec import (
+    decode_doc_gaps,
+    decode_tfs,
+    decode_varints,
+    encode_varints,
+    varint_lengths,
+)
+from ..operators.ids import with_global_rank
+from ..operators.postings import POSTINGS_DDL
+from ..plans.build import CORPUS_STATS_DDL, IndexFrames, corpus_stats_row, with_shard
+
+_DECODED_DDL = (
+    "term_id long, df long, doc_id long, tf int, dl int, possb binary"
+)
+
+
+def _decode_kernel():
+    """Joined blocks (old postings + new term_id + global df) -> one row per
+    posting: (new term_id, df, OLD doc_id, tf, dl, per-posting position
+    bytes). Position slices are exact byte ranges of the block's stream —
+    LEB128 is canonical, so re-concatenation under the new blocking equals
+    a fresh encoding."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        for bt in batches:
+            pdf = bt.to_pandas()
+            if pdf.empty:
+                continue
+            tids, dfs, docs, tfs, dls, possb = [], [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_docs)
+                d = decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), n)
+                t = decode_tfs(r.tfs)
+                ln = decode_tfs(r.dls)
+                docs.append(d)
+                tfs.append(t)
+                dls.append(ln)
+                tids.append(np.full(n, int(r.new_term_id), dtype=np.int64))
+                dfs.append(np.full(n, int(r.df), dtype=np.int64))
+                buf = bytes(r.poss)
+                if buf:
+                    vals = decode_varints(buf)
+                    ends = np.cumsum(varint_lengths(vals))
+                    occ_ends = np.cumsum(t)  # occurrences per posting
+                    byte_ends = ends[occ_ends - 1]
+                    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+                    mv = memoryview(buf)
+                    possb.extend(
+                        bytes(mv[s:e]) for s, e in zip(byte_starts, byte_ends)
+                    )
+                else:
+                    possb.extend(b"" for _ in range(n))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(tids)),
+                    pa.array(np.concatenate(dfs)),
+                    pa.array(np.concatenate(docs)),
+                    pa.array(np.concatenate(tfs).astype(np.int32)),
+                    pa.array(np.concatenate(dls).astype(np.int32)),
+                    pa.array(possb, type=pa.binary()),
+                ],
+                names=["term_id", "df", "doc_id", "tf", "dl", "possb"],
+            )
+
+    return fn
+
+
+def _reblock_kernel(n_docs: int, avgdl: float, cfg: EngineConfig):
+    """One shard's remapped postings -> finalized blocks (POSTINGS_DDL),
+    identical to the from-scratch SPIMI + finalize output: sort by
+    (term_id, doc_id), cut blocks of block_size, delta+varint encode,
+    recompute safe block max from the MERGED corpus stats."""
+    block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        parts = [bt.to_pandas() for bt in batches]
+        parts = [p for p in parts if not p.empty]
+        if not parts:
+            return
+        import pandas as pd
+
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf.sort_values(["shard_id", "term_id", "doc_id"], kind="mergesort")
+        shard = pdf["shard_id"].to_numpy(np.int64)
+        tid = pdf["term_id"].to_numpy(np.int64)
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        dfreq = pdf["df"].to_numpy(np.int64)
+        possb = pdf["possb"].tolist()
+        n = len(pdf)
+
+        seg_break = np.zeros(n, dtype=bool)
+        seg_break[0] = True
+        if n > 1:
+            seg_break[1:] = (np.diff(tid) != 0) | (np.diff(shard) != 0)
+        seg_starts = np.flatnonzero(seg_break)
+        seg_ends = np.concatenate((seg_starts[1:], [n]))
+        bstarts = np.concatenate(
+            [np.arange(int(s0), int(s1), block_size) for s0, s1 in zip(seg_starts, seg_ends)]
+        )
+        bends = np.concatenate((bstarts[1:], [n]))
+        seg_of_block = np.searchsorted(seg_starts, bstarts, side="right") - 1
+        block_ids = (bstarts - seg_starts[seg_of_block]) // block_size
+
+        out = {k: [] for k in (
+            "shard_id", "term_id", "block_id", "first_doc_id", "last_doc_id",
+            "n_docs", "doc_id_deltas", "tfs", "dls", "poss", "block_max_score",
+        )}
+        for bs, be, bi in zip(bstarts, bends, block_ids):
+            d = doc[bs:be]
+            t = tf[bs:be]
+            ln = dl[bs:be]
+            t_idf = idf(float(dfreq[bs]), n_docs)
+            sc = contrib(t, ln, t_idf, avgdl, k1, b)
+            out["shard_id"].append(int(shard[bs]))
+            out["term_id"].append(int(tid[bs]))
+            out["block_id"].append(int(bi))
+            out["first_doc_id"].append(int(d[0]))
+            out["last_doc_id"].append(int(d[-1]))
+            out["n_docs"].append(int(be - bs))
+            out["doc_id_deltas"].append(
+                encode_varints(np.diff(d).astype(np.uint64)) if be - bs > 1 else b""
+            )
+            out["tfs"].append(encode_varints(t.astype(np.uint64)))
+            out["dls"].append(encode_varints(ln.astype(np.uint64)))
+            out["poss"].append(b"".join(possb[bs:be]))
+            out["block_max_score"].append(np.float32(block_upper_bound(sc)))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out["shard_id"], type=pa.int64()),
+                pa.array(out["term_id"], type=pa.int64()),
+                pa.array(out["block_id"], type=pa.int32()),
+                pa.array(out["first_doc_id"], type=pa.int64()),
+                pa.array(out["last_doc_id"], type=pa.int64()),
+                pa.array(out["n_docs"], type=pa.int32()),
+                pa.array(out["doc_id_deltas"], type=pa.binary()),
+                pa.array(out["tfs"], type=pa.binary()),
+                pa.array(out["dls"], type=pa.binary()),
+                pa.array(out["poss"], type=pa.binary()),
+                pa.array(np.array(out["block_max_score"], dtype=np.float32)),
+            ],
+            names=list(out),
+        )
+
+    return fn
+
+
+def merged_docmap(docmap_all: DataFrame) -> DataFrame:
+    """Union of segment docmaps -> new dense doc_ids under the builder's
+    stable spec: turns ranked by (conv_id, turn_idx) via conv offsets,
+    rollups at n_turns + conv_rank. Returns (old_doc_id, doc_id, conv_id,
+    turn_idx, doc_len, is_rollup)."""
+    turns = docmap_all.filter(~F.col("is_rollup"))
+    sizes = turns.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    offs, totals = with_global_rank(
+        sizes, ["conv_id"], rank_col="conv_rank", value_col="n_turns",
+        psum_col="conv_offset", return_totals=True,
+    )
+    n_turns_total = int(totals["value_sum"])
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    new_turns = (
+        turns.withColumnRenamed("doc_id", "old_doc_id")
+        .join(offs.select("conv_id", "conv_offset"), "conv_id")
+        .withColumn("doc_id", (F.col("conv_offset") + F.row_number().over(w) - 1).cast("long"))
+        .select("old_doc_id", "doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup")
+    )
+    new_rolls = (
+        docmap_all.filter(F.col("is_rollup"))
+        .withColumnRenamed("doc_id", "old_doc_id")
+        .join(offs.select("conv_id", "conv_rank"), "conv_id")
+        .withColumn("doc_id", (F.lit(n_turns_total) + F.col("conv_rank")).cast("long"))
+        .select("old_doc_id", "doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup")
+    )
+    return new_turns.unionByName(new_rolls)
+
+
+def merge_postings_frames(
+    spark: SparkSession,
+    segments: list[IndexFrames],
+    cfg: EngineConfig,
+) -> IndexFrames:
+    """Merge segment indexes from their postings/dictionaries/docmaps into
+    one in-memory IndexFrames, byte-identical to a from-scratch build over
+    the concatenated sources. No raw text is read."""
+    # -- precondition: a conversation must not span segments (its rollup
+    # doc could not be reconstructed without the text)
+    docmap_all = None
+    for seg in segments:
+        d = seg.docmap.select("doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup")
+        docmap_all = d if docmap_all is None else docmap_all.unionByName(d)
+    dup = (
+        docmap_all.filter(F.col("is_rollup"))
+        .groupBy("conv_id").count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"conv_id {dup[0]['conv_id']} spans multiple segments; "
+            "posting-level compaction cannot re-rollup a split conversation "
+            "— re-ingest it whole or compact from raw sources"
+        )
+
+    idmap = merged_docmap(docmap_all).persist()
+    n_docs, avgdl = idmap.agg(F.count("*"), F.avg("doc_len")).collect()[0]
+    n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+
+    # -- merged dictionary: df/cf summed over segments, term_id = rank in
+    # the merged sorted vocab (the builder's dense stable id)
+    dict_all = None
+    for seg in segments:
+        d = seg.dictionary.select("term", "term_id", "df", "cf")
+        dict_all = d if dict_all is None else dict_all.unionByName(d)
+    merged_stats = dict_all.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    new_dict = with_global_rank(merged_stats, ["term"], rank_col="term_id").select(
+        "term", "term_id", "df", "cf"
+    ).persist()
+
+    # -- decode postings with translated term ids, remap doc ids, re-block
+    decoded = None
+    for seg in segments:
+        trans = (
+            seg.dictionary.select("term", F.col("term_id").alias("old_term_id"))
+            .join(new_dict.select("term", F.col("term_id").alias("new_term_id"), "df"), "term")
+            .select("old_term_id", "new_term_id", "df")
+        )
+        joined = seg.postings.join(
+            trans, seg.postings["term_id"] == trans["old_term_id"]
+        ).select(
+            "new_term_id", "df", "first_doc_id", "n_docs",
+            "doc_id_deltas", "tfs", "dls", "poss",
+        )
+        part = joined.mapInArrow(_decode_kernel(), schema=_DECODED_DDL)
+        decoded = part if decoded is None else decoded.unionByName(part)
+
+    remapped = (
+        decoded.withColumnRenamed("doc_id", "old_doc_id")
+        .join(idmap.select("old_doc_id", "doc_id"), "old_doc_id")
+        .drop("old_doc_id")
+    )
+    remapped = with_shard(remapped, cfg)
+    p = spark.sparkContext.defaultParallelism * 2
+    postings = (
+        remapped.repartition(p, "shard_id")
+        .mapInArrow(_reblock_kernel(n_docs, avgdl, cfg), schema=POSTINGS_DDL)
+        .persist()
+    )
+
+    dict_full = new_dict.join(
+        postings.groupBy("term_id").agg(F.max("block_max_score").alias("max_score")),
+        "term_id",
+        "left",
+    ).select("term", "term_id", "df", "cf", "max_score")
+
+    docmap = with_shard(
+        idmap.select("doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"), cfg
+    )
+    stats = spark.createDataFrame([corpus_stats_row(n_docs, avgdl, cfg)], CORPUS_STATS_DDL)
+    return IndexFrames(docmap, stats, dict_full, postings, n_docs, avgdl, cfg)

@@ -142,15 +142,39 @@ def rollback(root: str, from_ts) -> list[str]:
     return dropped
 
 
-def compact(spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT) -> IndexFrames:
-    """Merge all segments into one full index (restores WAND block maxes).
-    Reads the retained per-segment source batches, rebuilds, and leaves the
-    result at {root}/compacted."""
-    srcs = [str(s / "transcripts") for s in _seg_dirs(root)]
-    if not srcs:
-        raise ValueError("no segments to compact")
-    full = spark.read.parquet(*srcs)
-    ix = build_index(full, cfg)
+def compact(
+    spark: SparkSession,
+    root: str,
+    cfg: EngineConfig = DEFAULT,
+    from_postings: bool = True,
+) -> IndexFrames:
+    """Merge all segments into one full index (restores WAND block maxes),
+    left at {root}/compacted.
+
+    ``from_postings=True`` (default): Lucene-style posting-level merge
+    (streaming/compaction.py) — decodes segment postings, remaps doc ids,
+    re-blocks; byte-identical to a from-scratch rebuild but needs NO raw
+    sources, so retained micro-batch transcripts can be dropped after
+    segment build. ``from_postings=False``: legacy raw rebuild (re-reads
+    and re-tokenizes every retained transcripts/ dir) — the fallback when
+    a conversation spans segments."""
+    if from_postings:
+        from .compaction import merge_postings_frames
+
+        dirs = _seg_dirs(root)
+        if not dirs:
+            raise ValueError("no segments to compact")
+        segments = [read_index(spark, str(s / "index"), cfg) for s in dirs]
+        keys = {s.cfg.content_key() for s in segments}
+        if len(keys) != 1:
+            raise ValueError(f"segments built with differing content configs: {keys}")
+        ix = merge_postings_frames(spark, segments, segments[0].cfg)
+    else:
+        srcs = [str(s / "transcripts") for s in _seg_dirs(root)]
+        if not srcs:
+            raise ValueError("no segments to compact")
+        full = spark.read.parquet(*srcs)
+        ix = build_index(full, cfg)
     write_index(ix, f"{root}/compacted")
     return ix
 

@@ -1,0 +1,97 @@
+"""Posting-level segment compaction: merging segments from their POSTINGS
+(no raw text) must be byte-identical to a from-scratch build over the
+concatenated sources — the engine's determinism machinery makes this a
+full-content equality check on postings, dictionary, and docmap."""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+from bitcoin_ledger_2es_spark.config import DEFAULT
+from bitcoin_ledger_2es_spark.sources.synth import TRANSCRIPTS_DDL, gen_transcripts_pdf
+from bitcoin_ledger_2es_spark.streaming.incremental import build_segment, compact
+
+CFG = DEFAULT.with_(docs_per_shard=256, block_size=32, store_positions=True)
+
+
+def _canon_postings(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    for c in ("doc_id_deltas", "tfs", "dls", "poss"):
+        pdf[c] = pdf[c].apply(bytes)
+    cols = ["term_id", "shard_id", "block_id", "first_doc_id", "last_doc_id",
+            "n_docs", "doc_id_deltas", "tfs", "dls", "poss", "block_max_score"]
+    return pdf.sort_values(["term_id", "shard_id", "block_id"]).reset_index(drop=True)[cols]
+
+
+def _canon(df, key) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf.sort_values(key).reset_index(drop=True)[sorted(pdf.columns)]
+
+
+@pytest.fixture(scope="module")
+def seg_env(spark, tmp_path_factory):
+    """3 segments over disjoint conversation sets + the full corpus df."""
+    root = str(tmp_path_factory.mktemp("compact_root"))
+    full = gen_transcripts_pdf(90, seed=21)
+    convs = sorted(full["conv_id"].unique())
+    for i, cs in enumerate([convs[:30], convs[30:60], convs[60:]]):
+        df = spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL)
+        build_segment(spark, df, root, i, CFG)
+    full_df = spark.createDataFrame(full, TRANSCRIPTS_DDL)
+    return root, full_df
+
+
+def test_posting_level_compact_byte_identical(spark, seg_env):
+    root, full_df = seg_env
+    scratch = build_index(full_df, CFG)
+
+    # the point of posting-level merge: raw sources are NOT needed
+    for d in (Path(root) / "segments").iterdir():
+        t = d / "transcripts"
+        if t.exists():
+            shutil.rmtree(t)
+
+    merged = compact(spark, root, CFG, from_postings=True)
+
+    pd.testing.assert_frame_equal(
+        _canon_postings(merged.postings), _canon_postings(scratch.postings)
+    )
+    pd.testing.assert_frame_equal(
+        _canon(merged.dictionary, ["term_id"]), _canon(scratch.dictionary, ["term_id"])
+    )
+    pd.testing.assert_frame_equal(
+        _canon(merged.docmap, ["doc_id"]), _canon(scratch.docmap, ["doc_id"])
+    )
+    assert merged.n_docs == scratch.n_docs
+    assert merged.avgdl == scratch.avgdl
+
+    # queries over the compacted index are rank-identical to from-scratch
+    for q, mode in [("w0000 w0005", "or"), ("w0000 w0002", "and")]:
+        a = BM25Searcher(merged).top_k(q, k=10, mode=mode, with_meta=False).toPandas()
+        b = BM25Searcher(scratch).top_k(q, k=10, mode=mode, with_meta=False).toPandas()
+        pd.testing.assert_frame_equal(a, b)
+    # positional path survives the merge byte-exactly too
+    pa_ = BM25Searcher(merged).phrase_query("w0000 w0001", k=10).toPandas()
+    pb = BM25Searcher(scratch).phrase_query("w0000 w0001", k=10).toPandas()
+    pd.testing.assert_frame_equal(pa_, pb)
+
+
+def test_split_conversation_refused(spark, tmp_path):
+    """A conv_id spanning two segments cannot be re-rolled-up from postings
+    — compaction must refuse loudly, and the raw path still works."""
+    root = str(tmp_path / "root")
+    full = gen_transcripts_pdf(10, seed=5)
+    conv = sorted(full["conv_id"].unique())[0]
+    rows = full[full["conv_id"] == conv]
+    assert len(rows) >= 2
+    half = len(rows) // 2
+    build_segment(spark, spark.createDataFrame(rows.iloc[:half], TRANSCRIPTS_DDL), root, 0, CFG)
+    build_segment(spark, spark.createDataFrame(rows.iloc[half:], TRANSCRIPTS_DDL), root, 1, CFG)
+    with pytest.raises(ValueError, match="spans multiple segments"):
+        compact(spark, root, CFG, from_postings=True)
+    ix = compact(spark, root, CFG.with_(store_positions=True), from_postings=False)
+    assert ix.n_docs > 0
