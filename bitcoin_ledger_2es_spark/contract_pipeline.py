@@ -84,6 +84,69 @@ def q_dedup_simhash(spark, sf_dir):  # approximate -> rows-only
 # text analysis
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> connected components -> per-doc representative (the
+    actionable dedup output a pipeline needs beyond pair lists). Candidate
+    pairs come from TWO overlapping fingerprint keys — same first-2-token
+    prefix OR same last-2-token suffix — so cliques from different keys
+    chain transitively (doc A ~ B via prefix, B ~ C via suffix) and the
+    component minimum genuinely exercises multi-hop contraction. The
+    DuckDB oracle computes the same closure with a recursive CTE;
+    adversarial chain/star graphs are additionally pinned by
+    tests/test_clustering.py against a union-find reference."""
+    from .operators.clustering import cluster_representatives
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(r"[a-z0-9_]+"), 0
+    )
+    keyed = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.array_join(F.slice("tk", 1, 2), " ").alias("pre"),
+        F.array_join(F.slice("tk", -2, 2), " ").alias("suf"),
+    )
+
+    def pairs_on(col):
+        other = keyed.select(F.col("doc_id").alias("doc_b"), F.col(col).alias("_k"))
+        return (
+            keyed.select("doc_id", F.col(col).alias("_k"))
+            .join(other, "_k")
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        )
+
+    pairs = pairs_on("pre").unionByName(pairs_on("suf")).distinct()
+    return cluster_representatives(docs, pairs).select("doc_id", "rep_id", "is_rep")
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS tk
+  FROM documents
+),
+k AS (
+  SELECT doc_id, array_to_string(tk[1:2], ' ') AS pre,
+         array_to_string(tk[-2:], ' ') AS suf
+  FROM t WHERE len(tk) >= 2
+),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM k a JOIN k b
+    ON a.pre = b.pre AND a.doc_id <> b.doc_id
+  UNION
+  SELECT a.doc_id AS u, b.doc_id AS v FROM k a JOIN k b
+    ON a.suf = b.suf AND a.doc_id <> b.doc_id
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u
+)
+SELECT src AS doc_id, min(dst) AS rep_id, min(dst) = src AS is_rep
+FROM reach GROUP BY src
+"""
+
+
 def q_text_quality(spark, sf_dir):
     return T.quality_features(_t(spark, sf_dir, "documents"))
 
@@ -345,6 +408,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
@@ -363,6 +427,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 PIPELINE_ORACLE: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -182,6 +182,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_bucket: int = 2000,
     verify_exact: bool = True,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation.
 
@@ -189,8 +190,12 @@ def minhash_lsh_pairs(
     band land in a candidate bucket; candidates are verified with the
     estimated (or exact) Jaccard. ``max_bucket`` caps pathological buckets
     (e.g. empty/boilerplate texts) — the explicit skew guard: a bucket over
-    the cap is dropped with its size logged in the plan rather than
-    quadratically exploding a task.
+    the cap is dropped rather than quadratically exploding a task. Pass
+    ``metrics_out={}`` to make the truncation OBSERVABLE: it is filled with
+    dropped_buckets / dropped_bucket_rows (one tiny extra aggregation job)
+    so a boilerplate-heavy corpus can't silently lose its most duplicated
+    cluster. The signature frame is persisted for reuse across the branches
+    — call :func:`release_cached` on the result when done to unpersist.
     """
     rows = num_perm // bands
     assert bands * rows == num_perm
@@ -210,6 +215,7 @@ def minhash_lsh_pairs(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
     sizes = buckets.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    _record_drops(sizes, "n", max_bucket, metrics_out)
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band", "bh")
     b1 = buckets.join(ok, ["band", "bh"])
     b2 = b1.select("band", "bh", F.col("doc_id").alias("doc_b"))
@@ -237,7 +243,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", duck_round("jaccard_est", 6).alias("jaccard_est"))
     )
     if not verify_exact:
-        return est.filter(F.col("jaccard_est") >= threshold)
+        return _with_cached(est.filter(F.col("jaccard_est") >= threshold), sig)
     # exact verification scoped to the LSH candidates ONLY: join each
     # candidate pair to its two token sets and count the intersection.
     # Cost is bounded by |candidates| x tokens-per-doc — never the full
@@ -255,7 +261,7 @@ def minhash_lsh_pairs(
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         est.join(inter, ["doc_a", "doc_b"])
         .join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
@@ -268,6 +274,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard", "jaccard_est")
     )
+    return _with_cached(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +319,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n_tables: int = 4,
     max_bucket: int = 2000,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -321,7 +329,9 @@ def simhash_pairs(
     join per chunk, then exact popcount verification. ``max_bucket`` is the
     skew guard (same contract as minhash_lsh_pairs): a degenerate chunk
     bucket — e.g. a corpus of identical boilerplate — is dropped instead of
-    exploding one task quadratically.
+    exploding one task quadratically; pass ``metrics_out={}`` to observe
+    dropped_buckets / dropped_bucket_rows. Call :func:`release_cached` on
+    the result to unpersist the hash frame.
     """
     docs_h = docs.select(
         F.col(id_col).alias("doc_id"), simhash_udf()(F.col(text_col)).alias("sh")
@@ -344,12 +354,9 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "sh", F.col("c.tbl").alias("tbl"), F.col("c.ck").alias("ck"))
-    ok = (
-        chunks.groupBy("tbl", "ck")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .select("tbl", "ck")
-    )
+    bsizes = chunks.groupBy("tbl", "ck").agg(F.count("*").alias("_n"))
+    _record_drops(bsizes, "_n", max_bucket, metrics_out)
+    ok = bsizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("tbl", "ck")
     chunks = chunks.join(ok, ["tbl", "ck"])
     c2 = chunks.select("tbl", "ck", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     cand = (
@@ -358,8 +365,42 @@ def simhash_pairs(
         .select(F.col("doc_id").alias("doc_a"), "doc_b", F.col("sh").alias("sh_a"), "sh_b")
         .distinct()
     )
-    return (
+    return _with_cached(
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming"),
+        docs_h,
     )
+
+# ---------------------------------------------------------------------------
+# shared plumbing: skew-drop observability + cache lifecycle
+
+
+def _record_drops(sizes: DataFrame, n_col: str, max_bucket: int, metrics_out: dict | None) -> None:
+    """Fill ``metrics_out`` with how much the max_bucket skew guard dropped
+    (bucket-stats-sized aggregation — one tiny job, only when requested)."""
+    if metrics_out is None:
+        return
+    row = (
+        sizes.filter(F.col(n_col) > max_bucket)
+        .agg(F.count("*").alias("b"), F.coalesce(F.sum(n_col), F.lit(0)).alias("r"))
+        .collect()[0]
+    )
+    metrics_out["dropped_buckets"] = int(row["b"])
+    metrics_out["dropped_bucket_rows"] = int(row["r"])
+
+
+def _with_cached(df: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Track the persisted intermediates a result depends on, so callers
+    can free them once the result is consumed (the frames must stay cached
+    until then — the returned plan reads them)."""
+    df._graft_cached = list(cached)
+    return df
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the intermediates a pair-generation result pinned
+    (signature / hash frames). Call after the result is materialized;
+    prevents cache leaks across many pipeline invocations in one session."""
+    for c in getattr(df, "_graft_cached", []):
+        c.unpersist()

@@ -230,23 +230,24 @@ def embedding_cosine_dedup(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket: int = 10_000,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
     self-join + exact verification. ``max_bucket`` is the skew guard: a
     degenerate bucket (e.g. all-zero vectors) would otherwise go quadratic
     in one task — buckets over the cap are dropped, matching the
-    minhash_lsh_pairs contract."""
+    minhash_lsh_pairs contract; pass ``metrics_out={}`` to observe
+    dropped_buckets / dropped_bucket_rows."""
+    from .dedup import _record_drops
+
     dim = _require_dim(dim)
     planes = _hyperplanes(dim, n_planes)
     v = vectors.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes)).select(
         "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
-    ok = (
-        v.groupBy("_bucket")
-        .agg(F.count("*").alias("_n"))
-        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .select("_bucket")
-    )
+    bsizes = v.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    _record_drops(bsizes, "_n", max_bucket, metrics_out)
+    ok = bsizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("_bucket")
     v = v.join(F.broadcast(ok), "_bucket")
     v2 = v.select("_bucket", F.col("id_a").alias("id_b"), F.col("va").alias("vb"))
     pairs = v.join(v2, "_bucket").filter(F.col("id_a") < F.col("id_b"))

@@ -294,3 +294,54 @@ def test_clean_text_and_repetition_vs_pandas(spark):
         assert rep.loc[i, "top_bigram_count"] == topb
     # the degenerate repeated-token doc is dropped, the plain one kept
     assert not rep.loc[1, "keep"] and rep.loc[4, "keep"]
+
+
+def test_lsh_bucket_drops_observable_and_caches_released(spark):
+    """Adversarial constant-text corpus: every doc identical -> one bucket
+    over max_bucket -> dropped. The drop must be observable via
+    metrics_out (a silent empty result would hide losing the MOST
+    duplicated cluster), and release_cached must leave no cached frames."""
+    import pandas as pd
+
+    from bitcoin_ledger_2es_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_cached,
+        simhash_pairs,
+    )
+    from bitcoin_ledger_2es_spark.operators.similarity import embedding_cosine_dedup
+
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "text": ["same boilerplate text here"] * 40})
+    )
+    m = {}
+    pairs = minhash_lsh_pairs(docs, max_bucket=10, metrics_out=m)
+    assert pairs.count() == 0  # dropped, by policy...
+    assert m["dropped_buckets"] > 0 and m["dropped_bucket_rows"] >= 40  # ...but observable
+    release_cached(pairs)
+
+    m2 = {}
+    pairs2 = simhash_pairs(docs, max_bucket=10, metrics_out=m2)
+    assert pairs2.count() == 0
+    assert m2["dropped_buckets"] > 0
+    release_cached(pairs2)
+
+    # a normal corpus drops nothing and the counters say so
+    normal = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": [f"doc {i} unique tokens t{i}" for i in range(20)]})
+    )
+    m3 = {}
+    release_cached(minhash_lsh_pairs(normal, max_bucket=2000, metrics_out=m3))
+    assert m3 == {"dropped_buckets": 0, "dropped_bucket_rows": 0}
+
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(30), "embedding": [[0.0, 0.0, 0.0, 0.0]] * 30})
+    )
+    m4 = {}
+    out = embedding_cosine_dedup(vecs, dim=4, max_bucket=5, metrics_out=m4)
+    out.count()
+    assert m4["dropped_buckets"] == 1 and m4["dropped_bucket_rows"] == 30
+
+    # no NET persisted RDDs left behind by this test after release
+    leaked = spark.sparkContext._jsc.sc().getPersistentRDDs().size() - baseline
+    assert leaked <= 0, f"{leaked} cached RDDs leaked"
