@@ -873,6 +873,99 @@ FROM (
 SQL_MATCH_PHRASE_SLOP = _sql_phrase_slop(*SLOP_PHRASE, SLOP)
 
 
+# unordered (ES match_phrase shape) sloppy bigram: minimal windows over
+# slot-adjusted positions, each weighted 1/(1+width) — Lucene's sloppy-freq
+# weighting. For a bigram the minimal windows are the mutually-nearest
+# occurrence pairs, which DuckDB can enumerate with correlated min/max
+# subqueries (general n-term closure is pinned by tests/test_phrase.py
+# against the combinatorial oracle instead).
+USLOP = 3
+
+
+def q_match_phrase_slop_unordered(spark, sf_dir):
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DEFAULT.with_(
+        docs_per_shard=256, block_size=64, index_rollups=False, store_positions=True
+    )
+    s = BM25Searcher(build_index(_docs_as_transcripts(docs), cfg))
+    return s.phrase_query(
+        " ".join(SLOP_PHRASE), k=1_000_000, slop=USLOP, ordered=False
+    ).select(
+        "doc_id",
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        duck_round(F.col("phrase_freq"), 6).alias("sloppy_freq"),
+    )
+
+
+def _sql_phrase_slop_unordered(t0: str, t1: str, slop: int) -> str:
+    idf_terms = " + ".join(
+        "ln(1.0 + (c.n_docs - "
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}')"
+        " + 0.5) / ("
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{t}')"
+        " + 0.5))"
+        for t in (t0, t1)
+    )
+    return f"""
+SELECT doc_id, round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       round(pf, 6) AS sloppy_freq
+FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  dls AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
+  ),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  sumidf AS (SELECT ({idf_terms}) AS sidf FROM corpus c),
+  A AS (SELECT doc_id, pos AS p FROM toks WHERE tok = '{t0}'),
+  B AS (SELECT doc_id, pos - 1 AS p FROM toks WHERE tok = '{t1}'),
+  w1 AS (  -- windows led by an A occurrence: nearest B at/after it
+    SELECT a.doc_id, a.p AS l,
+           (SELECT min(b.p) FROM B b WHERE b.doc_id = a.doc_id AND b.p >= a.p) AS r
+    FROM A a
+  ),
+  w1m AS (
+    SELECT doc_id, l, r FROM w1
+    WHERE r IS NOT NULL
+      AND l = (SELECT max(a2.p) FROM A a2 WHERE a2.doc_id = w1.doc_id AND a2.p <= w1.r)
+  ),
+  w2 AS (  -- windows led by a B occurrence: nearest A at/after it (an A at
+           -- the same position makes the W1 zero-width window the minimal
+           -- one, so those are excluded by r > l below)
+    SELECT b.doc_id, b.p AS l,
+           (SELECT min(a.p) FROM A a WHERE a.doc_id = b.doc_id AND a.p >= b.p) AS r
+    FROM B b
+  ),
+  w2m AS (
+    SELECT doc_id, l, r FROM w2
+    WHERE r IS NOT NULL AND r > l
+      AND l = (SELECT max(b2.p) FROM B b2 WHERE b2.doc_id = w2.doc_id AND b2.p <= w2.r)
+  ),
+  wins AS (SELECT doc_id, l, r FROM w1m UNION SELECT doc_id, l, r FROM w2m),
+  -- f64 summation order is part of the contract: sum windows left-to-right
+  pfreq AS (
+    SELECT doc_id, sum(1.0 / (1 + r - l) ORDER BY l, r) AS pf
+    FROM wins WHERE r - l <= {slop} GROUP BY doc_id
+  )
+  SELECT pfreq.doc_id,
+         s.sidf * pf * 2.2 / (pf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS score,
+         pf
+  FROM pfreq JOIN dls USING (doc_id), corpus c, sumidf s
+)
+"""
+
+
+SQL_MATCH_PHRASE_SLOP_UNORDERED = _sql_phrase_slop_unordered(*SLOP_PHRASE, USLOP)
+
+
 # ---------------------------------------------------------------------------
 # Multi-term expansions (ES prefix / wildcard / fuzzy, rewrite=
 # scoring_boolean): expand against the corpus vocabulary — top
@@ -1043,6 +1136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_msearch": q_bm25_msearch,
     "match_phrase": q_match_phrase,
     "match_phrase_slop": q_match_phrase_slop,
+    "match_phrase_slop_unordered": q_match_phrase_slop_unordered,
     "highlight": q_highlight,
     "prefix_query": q_prefix_query,
     "wildcard_query": q_wildcard_query,
@@ -1077,6 +1171,7 @@ ORACLE: dict[str, str] = {
     "bm25_msearch": SQL_BM25_MSEARCH,
     "match_phrase": SQL_MATCH_PHRASE,
     "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
+    "match_phrase_slop_unordered": SQL_MATCH_PHRASE_SLOP_UNORDERED,
     "highlight": SQL_HIGHLIGHT,
     "prefix_query": SQL_PREFIX_QUERY,
     "wildcard_query": SQL_WILDCARD_QUERY,

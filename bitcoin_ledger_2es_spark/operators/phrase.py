@@ -96,6 +96,138 @@ def _sloppy_starts(slot_blocks: list[pd.DataFrame], base: int, slop: int):
     return (doc[alive] * np.int64(1 << _POS_BITS) + p0[alive]), docs0, dls0
 
 
+def _minimal_windows_freq(events_pos: np.ndarray, events_slot: np.ndarray, n_slots: int, slop: int) -> float:
+    """Sloppy frequency of ONE doc under unordered minimal-window
+    semantics: events = (adjusted position, slot) sorted by position.
+    A window is a position interval containing >= one occurrence of every
+    slot; minimal windows contain no smaller window; each contributes
+    1/(1 + width) when width <= slop — Lucene's sloppy-freq weighting
+    (SloppyPhraseScorer docs: matchLength-weighted), with the window set
+    given by the published minimal-interval semantics (Clarke & Cormack,
+    "Shortest-substring retrieval and ranking", TOIS 2000)."""
+    latest = np.full(n_slots, np.iinfo(np.int64).min, dtype=np.int64)
+    seen = 0
+    # candidate per event once covered: [min(latest), pos]; minimal set =
+    # candidates reduced to strictly-increasing (l, r) (same-left: keep
+    # first; same-right: keep largest left)
+    kept_l: list[int] = []
+    kept_r: list[int] = []
+    lo = np.iinfo(np.int64).min
+    for p, s in zip(events_pos, events_slot):
+        if latest[s] == lo:
+            seen += 1
+        latest[s] = p
+        if seen < n_slots:
+            continue
+        l = int(latest.min())
+        if kept_l and kept_l[-1] == l:
+            continue  # same left, earlier (smaller) right already kept
+        if kept_r and kept_r[-1] == p and l > kept_l[-1]:
+            kept_l[-1] = l  # same right, tighter left supersedes
+            continue
+        kept_l.append(l)
+        kept_r.append(int(p))
+    freq = 0.0
+    for l, r in zip(kept_l, kept_r):
+        w = r - l
+        if w <= slop:
+            freq += 1.0 / (1.0 + w)
+    return freq
+
+
+def _unordered_freqs(slot_blocks: list[pd.DataFrame], base: int, slop: int):
+    """Unordered sloppy matching across a shard: per-slot postings decoded
+    to (doc, adjusted position) streams, candidate docs = docs containing
+    every slot, then the per-doc minimal-window scan. Returns
+    (docs_local, freqs_f64, dl_docs, dl_vals)."""
+    n = len(slot_blocks)
+    per_slot = []
+    cand = None
+    dl_docs = dl_vals = None
+    for slot, blocks in enumerate(slot_blocks):
+        kk, docs_local, dls = _slot_keys(blocks, slot, n, base)
+        pos = (kk & np.int64((1 << _POS_BITS) - 1)) - n  # adjusted pos - slot... see _slot_keys
+        doc = (kk >> np.int64(_POS_BITS)).astype(np.int64)
+        per_slot.append((doc, pos))
+        u = np.unique(doc)
+        cand = u if cand is None else np.intersect1d(cand, u, assume_unique=True)
+        if slot == 0:
+            dl_docs, dl_vals = docs_local, dls
+    if cand is None or cand.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64), dl_docs, dl_vals)
+    docs_all, pos_all, slot_all = [], [], []
+    for slot, (doc, pos) in enumerate(per_slot):
+        m = np.isin(doc, cand)
+        docs_all.append(doc[m])
+        pos_all.append(pos[m])
+        slot_all.append(np.full(int(m.sum()), slot, dtype=np.int64))
+    doc = np.concatenate(docs_all)
+    pos = np.concatenate(pos_all)
+    slot = np.concatenate(slot_all)
+    order = np.lexsort((slot, pos, doc))
+    doc, pos, slot = doc[order], pos[order], slot[order]
+    starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+    ends = np.concatenate((starts[1:], [doc.size]))
+    out_docs, out_freqs = [], []
+    for s, e in zip(starts, ends):
+        f = _minimal_windows_freq(pos[s:e], slot[s:e], n, slop)
+        if f > 0.0:
+            out_docs.append(doc[s])
+            out_freqs.append(f)
+    return (
+        np.asarray(out_docs, dtype=np.int64),
+        np.asarray(out_freqs, dtype=np.float64),
+        dl_docs,
+        dl_vals,
+    )
+
+
+def score_shard_phrase_unordered(
+    slot_blocks: list[pd.DataFrame],
+    sum_idf: float,
+    base: int,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    slop: int,
+) -> pd.DataFrame:
+    """Unordered sloppy phrase top-k within one shard (ES match_phrase slop
+    semantics shape: terms may appear in any order within the window, a
+    transposed bigram matches at slop >= 2 with weight 1/3). tf for BM25 is
+    the WEIGHTED sloppy freq (float), per Lucene. Repeated query terms are
+    rejected by the caller (injective slot assignment is not defined here).
+    Returns (doc_id, score, phrase_freq double)."""
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float32),
+            "phrase_freq": pd.Series([], dtype=np.float64),
+        }
+    )
+    if any(b_.empty for b_ in slot_blocks):
+        return empty
+    docs, pf, dl_docs, dl_vals = _unordered_freqs(slot_blocks, base, slop)
+    if docs.size == 0:
+        return empty
+    dl = dl_vals[np.searchsorted(dl_docs, docs)].astype(np.float64)
+    denom = pf + k1 * (1.0 - b + b * dl / avgdl)
+    s32 = (sum_idf * pf * (k1 + 1.0) / denom).astype(np.float32)
+    if docs.size > k:
+        kth = np.partition(-s32, k - 1)[k - 1]
+        sup = np.flatnonzero(-s32 <= kth)
+        order = sup[np.lexsort((docs[sup], -s32[sup].astype(np.float64)))][:k]
+    else:
+        order = np.lexsort((docs, -s32.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (docs[order] + base).astype(np.int64),
+            "score": s32[order],
+            "phrase_freq": pf[order],
+        }
+    )
+
+
 def score_shard_phrase(
     slot_blocks: list[pd.DataFrame],
     sum_idf: float,

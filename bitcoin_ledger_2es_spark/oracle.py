@@ -96,6 +96,77 @@ class PandasOracle:
             }
         )
 
+    def _phrase_topk_unordered(self, terms, k, slop, empty) -> pd.DataFrame:
+        """Unordered minimal-window sloppy phrase oracle: for every
+        candidate right endpoint (any slot occurrence), the tightest window
+        ending there uses each slot's latest occurrence <= it; minimal
+        windows are the containment-minimal of those candidates (explicit
+        pairwise filter — independent of the engine's streaming reduce,
+        so the two implementations pin each other)."""
+        if len(set(terms)) < len(terms):
+            raise ValueError("unordered slop oracle: repeated terms unsupported")
+        cfg = self.cfg
+        sum_idf = 0.0
+        for t in terms:
+            sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
+        rows, pfs = [], []
+        for row, ts in enumerate(self._toks):
+            occ = []
+            for slot, t in enumerate(terms):
+                ps = [i - slot for i, x in enumerate(ts) if x == t]
+                if not ps:
+                    occ = None
+                    break
+                occ.append(ps)
+            if occ is None:
+                continue
+            occ_np = [np.asarray(ps, dtype=np.int64) for ps in occ]
+            allpos = np.unique(np.concatenate(occ_np))
+            wins = set()
+            for p in allpos:
+                lefts = []
+                for ps in occ_np:
+                    i = int(np.searchsorted(ps, p, side="right")) - 1
+                    if i < 0:
+                        lefts = None
+                        break
+                    lefts.append(int(ps[i]))
+                if lefts is not None:
+                    wins.add((min(lefts), int(p)))
+            minimal = [
+                (l, r)
+                for l, r in wins
+                if not any(
+                    (l2, r2) != (l, r) and l2 >= l and r2 <= r for l2, r2 in wins
+                )
+            ]
+            # sum in increasing window order — the engine streams windows
+            # left-to-right, and f64 addition order is part of the contract
+            minimal.sort()
+            pf = 0.0
+            for l, r in minimal:
+                if r - l <= slop:
+                    pf += 1.0 / (1.0 + (r - l))
+            if pf > 0.0:
+                rows.append(row)
+                pfs.append(pf)
+        if not rows:
+            return empty
+        rows = np.asarray(rows, dtype=np.int64)
+        pf = np.asarray(pfs, dtype=np.float64)
+        dl = self.doc_len[rows].astype(np.float64)
+        denom = pf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / self.avgdl)
+        s32 = (sum_idf * pf * (cfg.k1 + 1.0) / denom).astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -s32.astype(np.float64)))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": self.doc_ids[rows][order],
+                "score": s32[order],
+                "phrase_freq": pf[order],
+            }
+        )
+
     def bool_topk(
         self,
         must: str = "",
@@ -169,21 +240,29 @@ class PandasOracle:
             }
         )
 
-    def phrase_topk(self, query_text: str, k: int = 10, slop: int = 0) -> pd.DataFrame:
+    def phrase_topk(
+        self, query_text: str, k: int = 10, slop: int = 0, ordered: bool = True
+    ) -> pd.DataFrame:
         """match_phrase oracle (B5): brute-force scan of every doc's token
-        stream — slop=0 requires consecutive occurrences; slop>0 counts
-        start positions p0 from which the terms appear in order with total
-        span <= len + slop. BM25 with tf = phrase freq, idf = sum of
-        per-term idfs in query order (same contract as
-        operators/phrase.py)."""
+        stream — slop=0 requires consecutive occurrences; slop>0 ordered
+        counts start positions p0 from which the terms appear in order with
+        total span <= len + slop; slop>0 UNordered uses minimal-window
+        semantics with 1/(1+width) weighting (same contract as
+        operators/phrase.py score_shard_phrase_unordered — implemented
+        independently here over raw token streams). BM25 with tf = phrase
+        freq, idf = sum of per-term idfs in query order."""
         cfg = self.cfg
         terms = analyze_query(query_text, cfg)
+        unordered = not ordered and slop > 0
+        freq_np = np.float64 if unordered else np.int64
         empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
                               "doc_id": pd.Series([], dtype=np.int64),
                               "score": pd.Series([], dtype=np.float32),
-                              "phrase_freq": pd.Series([], dtype=np.int64)})
+                              "phrase_freq": pd.Series([], dtype=freq_np)})
         if not terms or any(t not in self.postings for t in terms):
             return empty
+        if unordered:
+            return self._phrase_topk_unordered(terms, k, slop, empty)
         sum_idf = 0.0
         for t in terms:
             sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))

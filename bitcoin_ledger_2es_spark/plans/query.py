@@ -490,16 +490,32 @@ class BM25Searcher:
         return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
 
     def phrase_query(
-        self, query_text: str, k: int = 10, with_meta: bool = False, slop: int = 0
+        self,
+        query_text: str,
+        k: int = 10,
+        with_meta: bool = False,
+        slop: int = 0,
+        ordered: bool = True,
     ) -> DataFrame:
         """ES match_phrase analogue (B5): the analyzed terms must occur at
-        consecutive positions (``slop=0``) or in order within a window of
-        total span <= len + slop (``slop>0``, Lucene ordered-SpanNear
-        semantics). Requires an index built with ``store_positions=True``.
-        Scoring = BM25 with tf = phrase frequency (count of matching start
-        positions), idf = sum of per-term idfs in query order (Lucene
-        PhraseQuery semantics; operators/phrase.py)."""
-        from ..operators.phrase import score_shard_phrase
+        consecutive positions (``slop=0``) or within a slop window.
+        Requires an index built with ``store_positions=True``.
+
+        ``ordered=True`` (default, this engine's documented semantics):
+        terms in query order, total span <= len + slop (Lucene ordered
+        SpanNear); tf = count of matching starts (integer phrase_freq).
+
+        ``ordered=False`` (ES ``match_phrase`` slop shape): terms in ANY
+        order; minimal windows of width <= slop over slot-adjusted
+        positions, each weighted 1/(1+width) — a transposed bigram matches
+        at slop >= 2 with weight 1/3, Lucene's sloppy-freq behavior. tf is
+        the weighted float freq (phrase_freq double). Repeated query terms
+        are not supported unordered (injective slot matching undefined) —
+        use ordered mode.
+
+        Scoring = BM25 with tf = phrase freq, idf = sum of per-term idfs in
+        query order (Lucene PhraseWeight; operators/phrase.py)."""
+        from ..operators.phrase import score_shard_phrase, score_shard_phrase_unordered
 
         ix, cfg = self.ix, self.ix.cfg
         if not cfg.store_positions:
@@ -508,11 +524,19 @@ class BM25Searcher:
                 "EngineConfig(store_positions=True)"
             )
         terms = analyze_query(query_text, cfg)
+        unordered = not ordered and slop > 0
+        freq_t = "double" if unordered else "long"
         if not terms:
-            return self._empty_phrase()
+            return self._empty_phrase(freq_t)
+        if unordered and len(set(terms)) < len(terms):
+            raise ValueError(
+                "unordered sloppy phrase does not support repeated query "
+                "terms (injective slot matching is undefined); use "
+                "ordered=True"
+            )
         found = self._lookup_terms(list(dict.fromkeys(terms)))
         if len(found) < len(set(terms)):
-            return self._empty_phrase()  # a phrase term matches nothing
+            return self._empty_phrase(freq_t)  # a phrase term matches nothing
         # idf summed in QUERY order, duplicates counted (PhraseWeight)
         sum_idf = 0.0
         for t in terms:
@@ -525,7 +549,8 @@ class BM25Searcher:
             empty = pd.DataFrame(
                 {"doc_id": pd.Series([], dtype=np.int64),
                  "score": pd.Series([], dtype=np.float32),
-                 "phrase_freq": pd.Series([], dtype=np.int64)}
+                 "phrase_freq": pd.Series(
+                     [], dtype=np.float64 if unordered else np.int64)}
             )
             if pdf.empty:
                 return empty
@@ -533,13 +558,17 @@ class BM25Searcher:
             if any(tid not in by_tid for tid in slot_tids):
                 return empty  # this shard lacks a phrase term entirely
             base = int(pdf["shard_id"].iloc[0]) * dps
+            slots = [by_tid[tid] for tid in slot_tids]
+            if unordered:
+                return score_shard_phrase_unordered(
+                    slots, sum_idf, base, k, avgdl, k1, b, slop=slop
+                )
             return score_shard_phrase(
-                [by_tid[tid] for tid in slot_tids], sum_idf, base, k, avgdl, k1, b,
-                slop=slop,
+                slots, sum_idf, base, k, avgdl, k1, b, slop=slop
             )
 
         pruned = ix.postings.filter(F.col("term_id").isin(uniq_tids))
-        phrase_ddl = "doc_id long, score float, phrase_freq long"
+        phrase_ddl = f"doc_id long, score float, phrase_freq {freq_t}"
         if self.aligned:
             cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=phrase_ddl)
         else:
@@ -557,9 +586,9 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
-    def _empty_phrase(self) -> DataFrame:
+    def _empty_phrase(self, freq_t: str = "long") -> DataFrame:
         return self._spark.createDataFrame(
-            [], "rank int, doc_id long, score float, phrase_freq long"
+            [], f"rank int, doc_id long, score float, phrase_freq {freq_t}"
         )
 
     def rescore_top_k(

@@ -263,16 +263,23 @@ class SegmentedSearcher:
             cond = c if cond is None else cond | c
         return cond
 
-    def phrase_query(self, query_text: str, k: int = 10, slop: int = 0) -> DataFrame:
+    def phrase_query(
+        self, query_text: str, k: int = 10, slop: int = 0, ordered: bool = True
+    ) -> DataFrame:
         """match_phrase over the segment union with GLOBAL stats (df summed
         across segments, corpus-wide n_docs/avgdl) — same re-weighting
         rationale as top_k. Requires segments built with
-        store_positions=True."""
+        store_positions=True. ``ordered`` as in BM25Searcher.phrase_query
+        (False = ES unordered sloppy semantics, phrase_freq double)."""
         import numpy as np
         import pandas as pd
         from pyspark.sql import Window
 
-        from ..operators.phrase import score_shard_phrase
+        from ..operators.phrase import score_shard_phrase, score_shard_phrase_unordered
+
+        unordered = not ordered and slop > 0
+        freq_t = "double" if unordered else "long"
+        freq_np = np.float64 if unordered else np.int64
 
         cfg = self.cfg
         if not cfg.store_positions:
@@ -281,11 +288,15 @@ class SegmentedSearcher:
                 "EngineConfig(store_positions=True)"
             )
         empty = self.spark.createDataFrame(
-            [], "rank int, doc_id long, score float, phrase_freq long"
+            [], f"rank int, doc_id long, score float, phrase_freq {freq_t}"
         )
         terms = analyze_query(query_text, cfg)
         if not terms:
             return empty
+        if unordered and len(set(terms)) < len(terms):
+            raise ValueError(
+                "unordered sloppy phrase does not support repeated query terms"
+            )
         uniq = list(dict.fromkeys(terms))
         global_df, seg_tids = self._lookup_all(uniq)  # ONE dictionary job
         if any(t not in global_df for t in uniq):
@@ -294,7 +305,7 @@ class SegmentedSearcher:
         for t in terms:
             sum_idf += float(idf_fn(float(global_df[t]), self.n_docs))
         avgdl, k1, b, dps = self.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
-        ddl = "doc_id long, score float, phrase_freq long"
+        ddl = f"doc_id long, score float, phrase_freq {freq_t}"
 
         # per-segment slot term_ids; segments missing any phrase term are
         # excluded (no doc there can contain the phrase)
@@ -314,7 +325,7 @@ class SegmentedSearcher:
             e = pd.DataFrame(
                 {"doc_id": pd.Series([], dtype=np.int64),
                  "score": pd.Series([], dtype=np.float32),
-                 "phrase_freq": pd.Series([], dtype=np.int64)}
+                 "phrase_freq": pd.Series([], dtype=freq_np)}
             )
             if pdf.empty:
                 return e
@@ -325,9 +336,13 @@ class SegmentedSearcher:
             if any(tid not in by_tid for tid in slots):
                 return e
             base = int(pdf["shard_id"].iloc[0]) * dps
+            slot_pdfs = [by_tid[tid] for tid in slots]
+            if unordered:
+                return score_shard_phrase_unordered(
+                    slot_pdfs, sum_idf, base, k, avgdl, k1, b, slop=slop
+                )
             return score_shard_phrase(
-                [by_tid[tid] for tid in slots], sum_idf, base, k,
-                avgdl, k1, b, slop=slop,
+                slot_pdfs, sum_idf, base, k, avgdl, k1, b, slop=slop,
             )
 
         cands = (

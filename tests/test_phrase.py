@@ -171,3 +171,85 @@ def test_sloppy_phrase_matches_oracle(spark, pix, oracle):
         # slop matches are a superset of exact matches
         exact_docs = set(oracle.phrase_topk(q, k=10_000, slop=0)["doc_id"])
         assert exact_docs <= set(oracle.phrase_topk(q, k=10_000, slop=slop)["doc_id"])
+
+
+UNORDERED_CASES = [
+    ("w0000 w0003", 2),
+    ("w0003 w0000", 2),   # reversed query: unordered must equal the above
+    ("w0000 w0005", 4),
+    ("w0001 w0002 w0004", 6),  # trigram window
+]
+
+
+def test_unordered_slop_matches_oracle(spark, pix, oracle):
+    s = BM25Searcher(pix)
+    for q, slop in UNORDERED_CASES:
+        got = s.phrase_query(q, k=50, slop=slop, ordered=False).toPandas()
+        exp = oracle.phrase_topk(q, k=50, slop=slop, ordered=False)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), (q, slop)
+        assert got["score"].tolist() == exp["score"].tolist(), (q, slop)
+        np.testing.assert_allclose(
+            got["phrase_freq"].to_numpy(), exp["phrase_freq"].to_numpy(), rtol=0, atol=0
+        )
+
+
+def test_unordered_slop_monotone_and_supersets_ordered(spark, pix):
+    """Raising slop only adds hits; unordered matching at a given slop is a
+    superset of ordered matching (every ordered match is also an unordered
+    window of no greater width)."""
+    s = BM25Searcher(pix)
+    prev = None
+    for slop in (1, 2, 4):
+        u = set(
+            s.phrase_query("w0000 w0003", k=100000, slop=slop, ordered=False)
+            .toPandas()["doc_id"]
+        )
+        o = set(
+            s.phrase_query("w0000 w0003", k=100000, slop=slop, ordered=True)
+            .toPandas()["doc_id"]
+        )
+        assert o <= u, slop
+        if prev is not None:
+            assert prev <= u, slop
+        prev = u
+
+
+def test_unordered_transposition_fixture(spark):
+    """Lucene's documented slop behavior: a transposed bigram matches at
+    slop >= 2 with sloppy freq 1/(1+2) = 1/3; at slop < 2 it does not."""
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "user", "quick fox", None, "2024-01-01 00:00:00"),
+            ("c1", 0, "user", "fox quick", None, "2024-01-01 00:00:00"),
+            ("c2", 0, "user", "quick brown fox", None, "2024-01-01 00:00:00"),
+        ],
+        "conv_id string, tidx int, role string, text string, tool string, ts string",
+    ).selectExpr(
+        "conv_id", "tidx as turn_idx", "role", "text", "tool", "cast(ts as timestamp) ts"
+    )
+    ix = build_index(docs, CFG.with_(index_rollups=False))
+    s = BM25Searcher(ix)
+
+    def hits(slop, ordered=False):
+        r = s.phrase_query("quick fox", k=10, slop=slop, ordered=ordered).toPandas()
+        return dict(zip(r["doc_id"], r["phrase_freq"]))
+
+    exact = hits(0)
+    assert set(exact) == {0}  # doc c0 only ("quick fox" adjacent)
+    assert exact[0] == 1.0
+
+    h1 = hits(1)
+    assert set(h1) == {0, 2}  # "quick brown fox" = one-gap match, weight 1/2
+    assert h1[2] == pytest.approx(0.5)
+
+    h2 = hits(2)
+    assert set(h2) == {0, 1, 2}  # transposition now matches...
+    assert h2[1] == pytest.approx(1.0 / 3.0)  # ...with Lucene's 1/(1+2)
+
+    # ordered mode never matches the transposed doc
+    assert 1 not in hits(2, ordered=True)
+
+
+def test_unordered_repeated_terms_rejected(spark, pix):
+    with pytest.raises(ValueError, match="repeated query terms"):
+        BM25Searcher(pix).phrase_query("w0000 w0000", slop=1, ordered=False)
