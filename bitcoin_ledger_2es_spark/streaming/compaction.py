@@ -197,6 +197,94 @@ def _reblock_kernel(n_docs: int, avgdl: float, cfg: EngineConfig):
     return fn
 
 
+def merge_segments(
+    spark: SparkSession,
+    root: str,
+    seg_ids: list[int] | None = None,
+    k_smallest: int = 2,
+    cfg: EngineConfig | None = None,
+) -> int:
+    """TIERED merge (Lucene TieredMergePolicy shape): merge a few segments
+    — by default the ``k_smallest`` by on-disk postings size — into ONE
+    segment in place, from their postings (no raw sources). The merged
+    segment takes the smallest participating seg_id (its doc ids re-based
+    there), other participants are deleted; untouched segments stay as-is,
+    so steady-state NRT compaction cost is bounded by the merged segments'
+    size, never the whole corpus. Returns the surviving seg_id.
+
+    The merged segment is byte-identical to ``build_segment`` over the
+    participants' concatenated batches (pinned by tests), so searcher
+    results are unchanged. Raw ``transcripts/`` files, when present, are
+    moved into the surviving segment so the raw-fallback path keeps
+    working; compaction itself never reads them."""
+    import shutil
+    from pathlib import Path
+
+    from ..plans.build import read_index, write_index
+    from .incremental import SEG_BASE, _seg_dirs
+
+    dirs = {int(d.name.split("_", 1)[1]): d for d in _seg_dirs(root)}
+    if seg_ids is None:
+        by_size = sorted(
+            dirs,
+            key=lambda sid: (
+                sum(
+                    f.stat().st_size
+                    for f in (dirs[sid] / "index" / "postings").rglob("*.parquet")
+                ),
+                sid,
+            ),
+        )
+        seg_ids = sorted(by_size[:k_smallest])
+    if len(seg_ids) < 2:
+        raise ValueError("need at least two segments to merge")
+    from ..config import DEFAULT
+
+    segs = [read_index(spark, str(dirs[sid] / "index"), cfg or DEFAULT) for sid in seg_ids]
+    keys = {s.cfg.content_key() for s in segs}
+    if len(keys) != 1:
+        raise ValueError(f"segments built with differing content configs: {keys}")
+    cfg = segs[0].cfg
+    assert SEG_BASE % cfg.docs_per_shard == 0
+
+    merged = merge_postings_frames(spark, segs, cfg)
+    target = min(seg_ids)
+    base = target * SEG_BASE
+    shift = base // cfg.docs_per_shard
+    rebased = IndexFrames(
+        docmap=merged.docmap.withColumn("doc_id", F.col("doc_id") + base).withColumn(
+            "shard_id", (F.col("shard_id") + shift).cast("long")
+        ),
+        corpus_stats=merged.corpus_stats,
+        dictionary=merged.dictionary,
+        postings=merged.postings.withColumn(
+            "first_doc_id", F.col("first_doc_id") + base
+        )
+        .withColumn("last_doc_id", F.col("last_doc_id") + base)
+        .withColumn("shard_id", (F.col("shard_id") + shift).cast("long")),
+        n_docs=merged.n_docs,
+        avgdl=merged.avgdl,
+        cfg=cfg,
+    )
+    tmp_ix = Path(root) / "segments" / f"_merging_{target:06d}"
+    if tmp_ix.exists():
+        shutil.rmtree(tmp_ix)
+    write_index(rebased, str(tmp_ix / "index"))
+    # gather raw batches (if retained) so from_postings=False stays possible
+    tdir = tmp_ix / "transcripts"
+    for sid in seg_ids:
+        src = dirs[sid] / "transcripts"
+        if src.exists():
+            tdir.mkdir(parents=True, exist_ok=True)
+            for f in sorted(src.glob("*.parquet")):
+                shutil.copy2(f, tdir / f"seg{sid:06d}_{f.name}")
+    # swap in: delete participants, rename the merged dir into place
+    for sid in seg_ids:
+        shutil.rmtree(dirs[sid])
+    tmp_ix.rename(Path(root) / "segments" / f"seg_{target:06d}")
+    return target
+
+
 def merged_docmap(docmap_all: DataFrame) -> DataFrame:
     """Union of segment docmaps -> new dense doc_ids under the builder's
     stable spec: turns ranked by (conv_id, turn_idx) via conv offsets,

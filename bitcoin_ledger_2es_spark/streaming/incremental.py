@@ -37,7 +37,7 @@ from ..functions.analyze import analyze_query
 from ..functions.bm25 import idf as idf_fn
 from ..operators.wand import score_shard_exact
 from ..plans.build import IndexFrames, build_index, read_index, write_index
-from ..plans.query import _CAND_DDL, _RESULT_DDL
+from ..plans.query import _CAND_DDL, _RESULT_DDL, _aligned_kernel, aligned_layout_ok
 
 SEG_BASE = 1 << 40  # doc_id space per segment
 
@@ -229,6 +229,13 @@ class SegmentedSearcher:
             self._docmap_all = (
                 d if self._docmap_all is None else self._docmap_all.unionByName(d)
             )
+        # zero-exchange scan over the segment union: every segment is on
+        # disk in the write_index layout, so when no postings file can be
+        # split across input tasks the kernel runs inside the scan itself
+        # (same precondition check as BM25Searcher's aligned path; the
+        # union preserves file boundaries — bin-packing merges only whole
+        # files, and the kernel keys everything off shard_id)
+        self._aligned = all(aligned_layout_ok(seg) for seg in self.segments)
 
     def _lookup_all(self, terms: list[str]):
         """ONE dictionary job for every (segment, term) pair.
@@ -345,11 +352,11 @@ class SegmentedSearcher:
                 slot_pdfs, sum_idf, base, k, avgdl, k1, b, slop=slop,
             )
 
-        cands = (
-            self._postings_all.filter(self._scan_filter(seg_scan))
-            .groupBy("shard_id")
-            .applyInPandas(kernel, schema=ddl)
-        )
+        pruned = self._postings_all.filter(self._scan_filter(seg_scan))
+        if self._aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=ddl)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=ddl)
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (
@@ -416,11 +423,11 @@ class SegmentedSearcher:
             base = int(pdf["shard_id"].iloc[0]) * dps
             return score_shard_exact(blocks, base, dps, None, kk, md, avgdl, k1, b)
 
-        cands = (
-            self._postings_all.filter(self._scan_filter(seg_scan))
-            .groupBy("shard_id")
-            .applyInPandas(kernel, schema=_CAND_DDL)
-        )
+        pruned = self._postings_all.filter(self._scan_filter(seg_scan))
+        if self._aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))

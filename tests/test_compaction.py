@@ -95,3 +95,60 @@ def test_split_conversation_refused(spark, tmp_path):
         compact(spark, root, CFG, from_postings=True)
     ix = compact(spark, root, CFG.with_(store_positions=True), from_postings=False)
     assert ix.n_docs > 0
+
+
+def test_tiered_merge_in_place(spark, tmp_path):
+    """merge_segments merges a subset in place: the merged segment must be
+    byte-identical to build_segment over the participants' concatenated
+    batches, untouched segments survive, and search results over the root
+    are unchanged."""
+    from bitcoin_ledger_2es_spark.plans.build import read_index
+    from bitcoin_ledger_2es_spark.streaming.compaction import merge_segments
+    from bitcoin_ledger_2es_spark.streaming.incremental import SegmentedSearcher
+
+    root = str(tmp_path / "root")
+    ref_root = str(tmp_path / "ref")
+    full = gen_transcripts_pdf(60, seed=31)
+    convs = sorted(full["conv_id"].unique())
+    batches = [convs[:20], convs[20:40], convs[40:]]
+    for i, cs in enumerate(batches):
+        df = spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL)
+        build_segment(spark, df, root, i, CFG)
+
+    before = (
+        SegmentedSearcher(spark, root, CFG)
+        .top_k("w0000 w0003", k=15)
+        .toPandas()
+    )
+
+    survivor = merge_segments(spark, root, seg_ids=[0, 1], cfg=CFG)
+    assert survivor == 0
+    segs = sorted(p.name for p in (Path(root) / "segments").iterdir())
+    assert segs == ["seg_000000", "seg_000002"]
+
+    # reference: one segment built directly from batches 0+1 at seg id 0
+    df01 = spark.createDataFrame(
+        full[full["conv_id"].isin(batches[0] + batches[1])], TRANSCRIPTS_DDL
+    )
+    build_segment(spark, df01, ref_root, 0, CFG)
+    merged_ix = read_index(spark, str(Path(root) / "segments/seg_000000/index"), CFG)
+    ref_ix = read_index(spark, str(Path(ref_root) / "segments/seg_000000/index"), CFG)
+    pd.testing.assert_frame_equal(
+        _canon_postings(merged_ix.postings), _canon_postings(ref_ix.postings)
+    )
+    pd.testing.assert_frame_equal(
+        _canon(merged_ix.docmap, ["doc_id"]), _canon(ref_ix.docmap, ["doc_id"])
+    )
+
+    after = (
+        SegmentedSearcher(spark, root, CFG)
+        .top_k("w0000 w0003", k=15)
+        .toPandas()
+    )
+    # doc_ids are re-based into the surviving segment's id space by design;
+    # the DOCUMENTS and their scores must be unchanged
+    key = ["conv_id", "turn_idx", "is_rollup", "score"]
+    pd.testing.assert_frame_equal(
+        before[key].sort_values(key).reset_index(drop=True),
+        after[key].sort_values(key).reset_index(drop=True),
+    )
