@@ -43,19 +43,32 @@ def main() -> None:
 
     sections: list[tuple[str, str]] = []
 
-    res = BM25Searcher(on_disk).top_k("w0004 w0123 w0200", k=10)
+    res = BM25Searcher(on_disk, aligned=False).top_k("w0004 w0123 w0200", k=10)
     sections.append(
-        ("BM25 top-k over the on-disk index (query-then-fetch)", explain_str(res))
+        ("BM25 top-k, grouped path (aligned=False): query-then-fetch with "
+         "one shard exchange", explain_str(res))
     )
-    res_aligned = BM25Searcher(on_disk, aligned=True).top_k(
+    res_aligned = BM25Searcher(on_disk).top_k(  # auto-aligned on-disk default
         "w0004 w0123 w0200", k=10, with_meta=False
     )
     sections.append(
         (
-            "Partition-aligned query path (aligned=True): kernel inside the "
-            "scan stage — NO shard exchange (the only Exchanges left are the "
-            "k-row top-k merge)",
+            "Partition-aligned query path (the on-disk DEFAULT): kernel "
+            "inside the scan stage — NO shard exchange (the only Exchanges "
+            "left are the k-row top-k merge)",
             explain_str(res_aligned),
+        )
+    )
+    res_bool = BM25Searcher(on_disk).bool_query(
+        must="w0004", should="w0123 w0200", must_not="w0002",
+        minimum_should_match=1, k=10, with_meta=False,
+    )
+    sections.append(
+        (
+            "bool query (must + should/min_should + must_not): ONE pruned "
+            "scan over the union of all clause term_ids — the exclusion is "
+            "a kernel-side mask, not an extra job or anti-join",
+            explain_str(res_bool),
         )
     )
     pruned = on_disk.postings.filter(F.col("term_id").isin([5, 123, 200])).select(
