@@ -741,6 +741,66 @@ SQL_BOOL_MUST_NOT_QUERY = "\nUNION ALL\n".join(
 )
 
 
+def q_search_after(spark, sf_dir):
+    """ES search_after deep pagination on the REAL engine: fetch page 1
+    (k=20), take its last (score_f32, doc_id) as the cursor, return pages
+    2-3 via two stateless cursor queries. The oracle ranks the full
+    scoring and takes rows 21..60 — identical iff cursor paging reproduces
+    the absolute ranking (rank offset re-added for the hash)."""
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
+    s = BM25Searcher(build_index(_docs_as_transcripts(docs), cfg))
+    text, k = " ".join(BM25_QUERY), 20
+    out = None
+    cursor = None
+    for page in range(3):
+        r = s.top_k(text, k=k, mode="or", with_meta=False, search_after=cursor)
+        pdf = r.select("rank", "doc_id", "score").toPandas()
+        if page > 0:  # pages 2-3 are the checked output
+            page_df = r.select(
+                (F.col("rank") + F.lit(page * k)).alias("rank"),
+                "doc_id",
+                duck_round(F.col("score").cast("double"), 3).alias("score3"),
+            )
+            out = page_df if out is None else out.unionByName(page_df)
+        cursor = (float(pdf["score"].iloc[-1]), int(pdf["doc_id"].iloc[-1]))
+    return out
+
+
+SQL_SEARCH_AFTER = f"""
+SELECT rank, doc_id, round(CAST(score AS DOUBLE), 3) AS score3
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+    WHERE t.term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)}) GROUP BY t.doc_id, t.term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  ),
+  agg AS (SELECT doc_id, CAST(sum(contrib) AS REAL) AS score FROM scored GROUP BY doc_id)
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank > 20 AND rank <= 60
+"""
+
+
 def q_bm25_msearch(spark, sf_dir):
     """ES _msearch analogue under the driver gate: top_k_batch answers all
     ENGINE_QUERIES in ONE job over the real index; the oracle ranks each
@@ -1134,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "bm25_indexed_engine": q_bm25_indexed_engine,
     "bm25_msearch": q_bm25_msearch,
+    "search_after": q_search_after,
     "match_phrase": q_match_phrase,
     "match_phrase_slop": q_match_phrase_slop,
     "match_phrase_slop_unordered": q_match_phrase_slop_unordered,
@@ -1169,6 +1230,7 @@ ORACLE: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
     "bm25_msearch": SQL_BM25_MSEARCH,
+    "search_after": SQL_SEARCH_AFTER,
     "match_phrase": SQL_MATCH_PHRASE,
     "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
     "match_phrase_slop_unordered": SQL_MATCH_PHRASE_SLOP_UNORDERED,

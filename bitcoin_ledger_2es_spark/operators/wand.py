@@ -132,6 +132,16 @@ def _push(heap, k, score32: np.float32, doc_id: int) -> float:
     return heap[0][0] if len(heap) == k else -np.inf
 
 
+def _after_ok(score32: np.float32, doc_id: int, after) -> bool:
+    """ES search_after admission: keep only hits ranked STRICTLY after the
+    cursor under the engine's total order (score_f32 desc, doc_id asc)."""
+    if after is None:
+        return True
+    s, d = after
+    fs = float(score32)
+    return fs < s or (fs == s and int(doc_id) > d)
+
+
 def _score_doc(lists_at_doc: list[_TermList], avgdl: float, k1: float, b: float) -> np.float32:
     """Exact doc score: f64 accumulation in ascending term_id order."""
     s = 0.0
@@ -157,8 +167,12 @@ def score_shard_bmw(
     avgdl: float,
     k1: float,
     b: float,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
-    """Exact top-k via block-max WAND (OR / weak-AND semantics)."""
+    """Exact top-k via block-max WAND (OR / weak-AND semantics).
+    ``after``: ES search_after cursor (score_f32, doc_id) — only hits
+    strictly after it in rank order are admitted (deep pagination without
+    materializing earlier pages)."""
     heap: list[tuple[float, int]] = []
     theta = -np.inf
     lists = [t for t in term_lists if t.cur < _INF]
@@ -182,7 +196,8 @@ def score_shard_bmw(
             ub = sum(tl.block_max() for tl in at_doc)
             if len(heap) < k or ub * _UB_SLACK > theta:
                 s32 = _score_doc(at_doc, avgdl, k1, b)
-                theta = _push(heap, k, s32, int(pivot_doc))
+                if _after_ok(s32, int(pivot_doc), after):
+                    theta = _push(heap, k, s32, int(pivot_doc))
             for tl in at_doc:
                 tl.next()
         else:
@@ -198,6 +213,7 @@ def score_shard_conjunction(
     avgdl: float,
     k1: float,
     b: float,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for bool-must (AND): lead with the rarest list, block-skip
     seek the others; score docs present in every list."""
@@ -219,7 +235,8 @@ def score_shard_conjunction(
                 break
         if ok:
             s32 = _score_doc(term_lists, avgdl, k1, b)
-            _push(heap, k, s32, int(target))
+            if _after_ok(s32, int(target), after):
+                _push(heap, k, s32, int(target))
             lead.next()
     return _emit(heap)
 
@@ -329,6 +346,7 @@ def score_shard_exact(
     avgdl: float,
     k1: float,
     b: float,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Vectorized exact scorer over a dense per-shard array.
 
@@ -336,6 +354,8 @@ def score_shard_exact(
     ``span``: shard width (dense doc_id range size).
     ``allowed``: optional boolean mask indexed by doc_id - shard_base
     (non-scoring filter context, B4/B6).
+    ``after``: ES search_after cursor (score_f32, doc_id) — hits at or
+    before it in (score desc, doc_id asc) rank order are masked out.
     """
     scores = np.zeros(span, dtype=np.float64)
     seen = np.zeros(span, dtype=np.int32)
@@ -356,6 +376,11 @@ def score_shard_exact(
     mask = seen == len(term_meta) if mode == "and" else seen > 0
     if allowed is not None:
         mask &= allowed
+    if after is not None:
+        s_cut, d_cut = np.float32(after[0]), int(after[1])
+        s32_all = scores.astype(np.float32)
+        ids = np.arange(span, dtype=np.int64) + shard_base
+        mask &= (s32_all < s_cut) | ((s32_all == s_cut) & (ids > d_cut))
     cand = np.flatnonzero(mask)
     if cand.size == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),

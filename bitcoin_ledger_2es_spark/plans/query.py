@@ -44,7 +44,8 @@ _RESULT_DDL = "rank int, doc_id long, score float, conv_id string, turn_idx int,
 _EMPTY_CAND = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "score": pd.Series([], dtype=np.float32)})
 
 
-def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has_filter):
+def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has_filter,
+                  after=None):
     """Kernel over one shard's (term-pruned) postings; pandas in, pandas out.
 
     Returns a ONE-arg function (groupBy().applyInPandas passes (key, pdf)
@@ -85,21 +86,22 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
                     for tid, t_idf, w in tm
                     if tid in present
                 ]
-                return score_shard_conjunction(lists, k, avgdl, k1, b)
+                return score_shard_conjunction(lists, k, avgdl, k1, b, after=after)
             if mode == "or" and len(present) >= 2 and total_postings >= wand_min:
                 lists = [
                     _TermList(tid, t_idf, w, left[left["term_id"] == tid])
                     for tid, t_idf, w in tm
                     if tid in present
                 ]
-                return score_shard_bmw(lists, k, avgdl, k1, b)
+                return score_shard_bmw(lists, k, avgdl, k1, b, after=after)
 
         blocks = [
             (tid, t_idf, w, left[left["term_id"] == tid])
             for tid, t_idf, w in tm
             if tid in present
         ]
-        return score_shard_exact(blocks, base, dps, allowed, k, mode, avgdl, k1, b)
+        return score_shard_exact(blocks, base, dps, allowed, k, mode, avgdl, k1, b,
+                                 after=after)
 
     if has_filter:
         def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:  # cogroup
@@ -238,10 +240,19 @@ class BM25Searcher:
         mode: str = "or",
         doc_filter: Column | None = None,
         with_meta: bool = True,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Exact BM25 top-k. ``doc_filter``: optional non-scoring predicate
         over docmap columns (ES bool.filter / range-query context) — e.g.
-        ``F.col("is_rollup") == False`` or a doc_id/conv_id range."""
+        ``F.col("is_rollup") == False`` or a doc_id/conv_id range.
+
+        ``search_after``: ES deep-pagination cursor — the (score, doc_id)
+        of the LAST hit of the previous page (score compared as f32, the
+        engine's emitted type). Returns the next k hits strictly after it
+        in (score desc, doc_id asc) order; stateless and O(k) per page at
+        any depth, unlike from/size pagination which materializes every
+        earlier page. Paging is stable because the sort key is a unique
+        total order (the ES search_after contract)."""
         terms = analyze_query(query_text, self.ix.cfg)
         if not terms:
             return self._empty()
@@ -249,7 +260,8 @@ class BM25Searcher:
         found = self._lookup_terms(list(weights))
         if mode == "and" and len(found) < len(weights):
             return self._empty()  # a required term matches nothing
-        return self._scored_top_k(found, weights, k, mode, doc_filter, with_meta)
+        return self._scored_top_k(found, weights, k, mode, doc_filter, with_meta,
+                                  search_after)
 
     def _scored_top_k(
         self,
@@ -259,6 +271,7 @@ class BM25Searcher:
         mode: str,
         doc_filter: Column | None,
         with_meta: bool,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Shared scoring core: ``found`` maps term -> (term_id, df),
         ``weights`` gives per-term clause weights (occurrence counts for
@@ -275,9 +288,12 @@ class BM25Searcher:
         cand_postings = ix.postings.filter(F.col("term_id").isin(term_ids))
         has_filter = doc_filter is not None
 
+        after = None
+        if search_after is not None:
+            after = (float(np.float32(search_after[0])), int(search_after[1]))
         kernel = _shard_kernel(
             term_meta, k, mode, ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard,
-            self.use_wand, cfg.wand_min_postings, has_filter,
+            self.use_wand, cfg.wand_min_postings, has_filter, after=after,
         )
         if has_filter:
             docmap_lite = ix.docmap.withColumn("_allowed", doc_filter).select(

@@ -74,3 +74,33 @@ def test_rank_identical_vs_oracle(ix, oracle, queries):
             np.testing.assert_array_equal(
                 got["score"].to_numpy(np.float32), golden["score"].to_numpy(np.float32)
             )
+
+
+def test_search_after_pages_equal_full_ranking(ix, oracle):
+    """ES search_after deep pagination: paging by (score_f32, doc_id)
+    cursor must reproduce the full ranking in consecutive slices, for both
+    the WAND and the exact scorer paths, including tie boundaries."""
+    page, n_pages = 7, 5  # odd page size -> cursors can land mid-tie-group
+    for q, mode in [("w0000 w0003", "or"), ("w0001", "or"), ("w0000 w0002", "and")]:
+        full = oracle.top_k(q, k=page * n_pages, mode=mode)
+        for use_wand in (True, False):
+            s = BM25Searcher(ix, use_wand=use_wand)
+            got_ids, got_scores = [], []
+            cursor = None
+            for _ in range(n_pages):
+                r = s.top_k(q, k=page, mode=mode, with_meta=False,
+                            search_after=cursor).toPandas()
+                if r.empty:
+                    break
+                got_ids.extend(r["doc_id"].tolist())
+                got_scores.extend(r["score"].tolist())
+                cursor = (float(r["score"].iloc[-1]), int(r["doc_id"].iloc[-1]))
+                if len(r) < page:
+                    break
+            n = len(got_ids)
+            assert n == min(page * n_pages, len(full)), (q, mode, use_wand)
+            assert got_ids == full["doc_id"].tolist()[:n], (q, mode, use_wand)
+            np.testing.assert_array_equal(
+                np.asarray(got_scores, dtype=np.float32),
+                full["score"].to_numpy(np.float32)[:n],
+            )
