@@ -1151,6 +1151,132 @@ FROM hits h JOIN marked m USING (doc_id)
 SQL_HIGHLIGHT = _sql_highlight(BM25_QUERY, 5)
 
 
+# ---------------------------------------------------------------------------
+# Further ES aggregation/scoring surface (round 3): significant_terms,
+# pipeline aggs (derivative + cumulative_sum over date_histogram),
+# function_score (field_value_factor rescoring of a BM25 ranking).
+
+
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms agg (JLH heuristic): terms whose document
+    frequency in a FOREGROUND set (docs with lang='en') is unusually high
+    vs the background corpus. JLH = (fg% - bg%) * (fg% / bg%), doc-freq
+    based, top 15 by (score desc, term asc); min_doc_count 3."""
+    d = _doc_tokens(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    tok = d.select("doc_id", "lang", F.explode("toks").alias("term")).distinct()
+    bg = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("bg_df"))
+    fg = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("fg_df"))
+    )
+    totals = d.agg(
+        F.count("*").alias("n_bg"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_fg"),
+    ).collect()[0]
+    n_bg, n_fg = float(totals["n_bg"]), float(totals["n_fg"])
+    scored = (
+        fg.join(bg, "term")
+        .filter(F.col("fg_df") >= 3)
+        .withColumn("fgp", F.col("fg_df") / F.lit(n_fg))
+        .withColumn("bgp", F.col("bg_df") / F.lit(n_bg))
+        .withColumn("jlh", duck_round((F.col("fgp") - F.col("bgp")) * (F.col("fgp") / F.col("bgp")), 6))
+    )
+    return (
+        scored.orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(15)
+        .select("term", "fg_df", "bg_df", "jlh")
+    )
+
+
+SQL_SIGNIFICANT_TERMS = """
+WITH tok AS (
+  SELECT DISTINCT d.doc_id, d.lang, u.tok AS term
+  FROM documents d, unnest(regexp_extract_all(lower(coalesce(d.text, '')), '[a-z0-9_]+')) AS u(tok)
+),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_df FROM tok GROUP BY term),
+fg AS (
+  SELECT term, count(DISTINCT doc_id) AS fg_df FROM tok WHERE lang = 'en' GROUP BY term
+),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_bg,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_fg
+  FROM documents
+)
+SELECT term, fg_df, bg_df,
+       round((fg_df / t.n_fg - bg_df / t.n_bg) * ((fg_df / t.n_fg) / (bg_df / t.n_bg)), 6) AS jlh
+FROM fg JOIN bg USING (term), tot t
+WHERE fg_df >= 3
+ORDER BY jlh DESC, term ASC LIMIT 15
+"""
+
+
+def q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations over a date_histogram: derivative (day
+    minus previous day) and cumulative_sum of the daily value sum."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("value").alias("sv"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        duck_round("sv", 6).alias("sum_value"),
+        duck_round(F.col("sv") - F.lag("sv").over(w), 6).alias("derivative"),
+        duck_round(F.sum("sv").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).alias("cumulative"),
+    )
+
+
+SQL_PIPELINE_AGGS = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, sum(value) AS sv
+  FROM events GROUP BY 1
+)
+SELECT day, round(sv, 6) AS sum_value,
+       round(sv - lag(sv) OVER (ORDER BY day), 6) AS derivative,
+       round(sum(sv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
+FROM daily
+"""
+
+
+def q_function_score(spark, sf_dir):
+    """ES function_score: field_value_factor(n_chars, modifier=log1p,
+    factor=0.1) multiplied onto the BM25 relevance score
+    (boost_mode=multiply), re-ranked; ties (final desc, doc_id asc)."""
+    base = _bm25_relational(spark, sf_dir, BM25_QUERY, "or", 50)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return (
+        base.join(docs, "doc_id")
+        .withColumn("factor", F.log1p(F.col("n_chars") * 0.1))
+        .withColumn("final", duck_round(F.col("score") * F.col("factor"), 6))
+        .withColumn("new_rank", F.row_number().over(w))
+        .filter(F.col("new_rank") <= 20)
+        .select(
+            F.col("new_rank").alias("rank"), "doc_id", "final",
+            duck_round("factor", 6).alias("factor"),
+        )
+    )
+
+
+SQL_FUNCTION_SCORE = f"""
+WITH base AS ({_sql_bm25(BM25_QUERY, "or", 50)}),
+joined AS (
+  SELECT b.doc_id, b.score, ln(1 + d.n_chars * 0.1) AS factor,
+         round(b.score * ln(1 + d.n_chars * 0.1), 6) AS final
+  FROM base b JOIN documents d USING (doc_id)
+)
+SELECT rank, doc_id, final, round(factor, 6) AS factor FROM (
+  SELECT row_number() OVER (ORDER BY final DESC, doc_id ASC) AS rank,
+         doc_id, final, factor
+  FROM joined
+) WHERE rank <= 20
+"""
+
+
 def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
     return (
         _doc_tokens(spark, sf_dir)
@@ -1206,6 +1332,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_and_query": q_bool_and_query,
     "bool_must_not_query": q_bool_must_not_query,
     "tokenize_term_counts": q_tokenize_term_counts,
+    "significant_terms": q_significant_terms,
+    "pipeline_aggs": q_pipeline_aggs,
+    "function_score": q_function_score,
 }
 
 ORACLE: dict[str, str] = {
@@ -1242,6 +1371,9 @@ ORACLE: dict[str, str] = {
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "bool_must_not_query": SQL_BOOL_MUST_NOT_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,
+    "significant_terms": SQL_SIGNIFICANT_TERMS,
+    "pipeline_aggs": SQL_PIPELINE_AGGS,
+    "function_score": SQL_FUNCTION_SCORE,
 }
 
 from .contract_pipeline import PIPELINE_ORACLE, PIPELINE_QUERIES  # noqa: E402
