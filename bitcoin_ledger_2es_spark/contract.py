@@ -1157,6 +1157,38 @@ SQL_HIGHLIGHT = _sql_highlight(BM25_QUERY, 5)
 # function_score (field_value_factor rescoring of a BM25 ranking).
 
 
+def q_term_suggest(spark, sf_dir):
+    """ES term suggester on the REAL engine dictionary: corrections for
+    two misspelled inputs within 2 edits, ranked (distance asc, df desc,
+    term asc), 5 per input."""
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
+    s = BM25Searcher(build_index(_docs_as_transcripts(docs), cfg))
+    return s.suggest("dat spak tabel", fuzziness=2, size=5)
+
+
+SQL_TERM_SUGGEST = """
+WITH dict AS (
+  SELECT u.tok AS term, count(DISTINCT doc_id) AS df
+  FROM documents, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS u(tok)
+  GROUP BY term
+),
+inputs AS (SELECT unnest(['dat', 'spak', 'tabel']) AS input)
+SELECT input, term, distance, df FROM (
+  SELECT i.input, d.term, levenshtein(d.term, i.input) AS distance, d.df,
+         row_number() OVER (
+           PARTITION BY i.input
+           ORDER BY levenshtein(d.term, i.input) ASC, d.df DESC, d.term ASC
+         ) AS r
+  FROM dict d CROSS JOIN inputs i
+  WHERE levenshtein(d.term, i.input) <= 2
+) WHERE r <= 5
+"""
+
+
 def q_significant_terms(spark, sf_dir):
     """ES significant_terms agg (JLH heuristic): terms whose document
     frequency in a FOREGROUND set (docs with lang='en') is unusually high
@@ -1333,6 +1365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_must_not_query": q_bool_must_not_query,
     "tokenize_term_counts": q_tokenize_term_counts,
     "significant_terms": q_significant_terms,
+    "term_suggest": q_term_suggest,
     "pipeline_aggs": q_pipeline_aggs,
     "function_score": q_function_score,
 }
@@ -1372,6 +1405,7 @@ ORACLE: dict[str, str] = {
     "bool_must_not_query": SQL_BOOL_MUST_NOT_QUERY,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,
     "significant_terms": SQL_SIGNIFICANT_TERMS,
+    "term_suggest": SQL_TERM_SUGGEST,
     "pipeline_aggs": SQL_PIPELINE_AGGS,
     "function_score": SQL_FUNCTION_SCORE,
 }

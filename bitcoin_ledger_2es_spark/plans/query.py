@@ -512,6 +512,36 @@ class BM25Searcher:
         )
         return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
 
+    def suggest(self, text: str, fuzziness: int = 2, size: int = 5) -> DataFrame:
+        """ES term suggester: for each analyzed input token, candidate
+        corrections from the index DICTIONARY within ``fuzziness``
+        Levenshtein edits, ranked like ES's suggest mode=missing default —
+        (distance asc, df desc, term asc), ``size`` per input token. The
+        dictionary scan is one JVM-side levenshtein filter per call; no
+        postings are read. Returns (input, term, distance, df)."""
+        terms = analyze_query(text, self.ix.cfg)
+        if not terms:
+            return self._spark.createDataFrame(
+                [], "input string, term string, distance int, df long"
+            )
+        out = None
+        for t in dict.fromkeys(terms):
+            w = Window.partitionBy("input").orderBy(
+                F.asc("distance"), F.desc("df"), F.asc("term")
+            )
+            cand = (
+                self.ix.dictionary.withColumn(
+                    "distance", F.levenshtein(F.col("term"), F.lit(t))
+                )
+                .filter(F.col("distance") <= fuzziness)
+                .withColumn("input", F.lit(t))
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= size)
+                .select("input", "term", "distance", "df")
+            )
+            out = cand if out is None else out.unionByName(cand)
+        return out
+
     def phrase_query(
         self,
         query_text: str,
