@@ -741,6 +741,49 @@ SQL_BOOL_MUST_NOT_QUERY = "\nUNION ALL\n".join(
 )
 
 
+def q_bm25_segmented(spark, sf_dir):
+    """The NRT path under the driver gate: the documents corpus is split
+    into TWO index segments (docs below/above the median id), queried
+    through SegmentedSearcher with GLOBAL corpus stats, every matching doc
+    returned (k unbounded). Global stats make segmentation invisible, so
+    the DuckDB oracle is the ordinary full-corpus BM25 scoring — a
+    hash-exact check that the segment union scores identically to one
+    index. Segment doc_ids are internal (offset by seg base); the stable
+    external id is recovered from conv_id."""
+    import tempfile
+
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+    from bitcoin_ledger_2es_spark.streaming.incremental import (
+        SegmentedSearcher,
+        build_segment,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = _docs_as_transcripts(docs)
+    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    root = tempfile.mkdtemp(prefix="segidx_")
+    build_segment(
+        spark, transcripts.filter(F.col("conv_id") < f"c{int(median):08d}"), root, 0, cfg
+    )
+    build_segment(
+        spark, transcripts.filter(F.col("conv_id") >= f"c{int(median):08d}"), root, 1, cfg
+    )
+    s = SegmentedSearcher(spark, root, cfg)
+    out = None
+    for qid, text, mode in ENGINE_QUERIES:
+        r = s.top_k(text, k=1_000_000, mode=mode).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.substring("conv_id", 2, 8).cast("long").alias("doc_id"),
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+SQL_BM25_SEGMENTED = SQL_BM25_INDEXED_ENGINE  # same oracle: full-corpus scoring
+
+
 def q_search_after(spark, sf_dir):
     """ES search_after deep pagination on the REAL engine: fetch page 1
     (k=20), take its last (score_f32, doc_id) as the cursor, return pages
@@ -1353,6 +1396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_indexed_engine": q_bm25_indexed_engine,
     "bm25_msearch": q_bm25_msearch,
     "search_after": q_search_after,
+    "bm25_segmented": q_bm25_segmented,
     "match_phrase": q_match_phrase,
     "match_phrase_slop": q_match_phrase_slop,
     "match_phrase_slop_unordered": q_match_phrase_slop_unordered,
@@ -1393,6 +1437,7 @@ ORACLE: dict[str, str] = {
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
     "bm25_msearch": SQL_BM25_MSEARCH,
     "search_after": SQL_SEARCH_AFTER,
+    "bm25_segmented": SQL_BM25_SEGMENTED,
     "match_phrase": SQL_MATCH_PHRASE,
     "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
     "match_phrase_slop_unordered": SQL_MATCH_PHRASE_SLOP_UNORDERED,
