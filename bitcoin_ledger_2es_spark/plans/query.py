@@ -71,12 +71,16 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
             allowed = np.zeros(dps, dtype=bool)
             allowed[right["doc_id"].to_numpy(np.int64) - base] = right["_allowed"].to_numpy(bool)
 
-        # scorer selection (both exact): BMW's python DAAT loop only pays
-        # when skipping is possible — multi-term OR over long lists with a
-        # rising theta; a single-term query must enumerate its whole list
-        # anyway, so the fused vectorized scorer is strictly faster there.
-        # Conjunctions use the seek loop when the rarest (lead) list is
-        # short; otherwise decode-all + dense intersection wins.
+        # scorer selection (both exact, rank-identical — tests pin it).
+        # Cost model, measured on this host: the python DAAT step costs
+        # ~50x the fused vectorized per-posting cost, so BMW must SKIP
+        # ~98% of the candidate postings to win. That needs (a) a small k
+        # (theta must rise fast), and (b) ONE dominant list with only
+        # rare companions (the dominant list is what gets skipped; if the
+        # non-max lists are a material fraction of the total, the loop
+        # visits too much). Everything else goes to the vectorized
+        # decode-all scorer. Conjunctions use the seek loop when the
+        # rarest (lead) list is short; otherwise dense intersection wins.
         total_postings = int(left["n_docs"].sum())
         per_term_n = left.groupby("term_id")["n_docs"].sum()
         if use_wand and allowed is None:
@@ -87,7 +91,13 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
                     if tid in present
                 ]
                 return score_shard_conjunction(lists, k, avgdl, k1, b, after=after)
-            if mode == "or" and len(present) >= 2 and total_postings >= wand_min:
+            non_max = total_postings - int(per_term_n.max())
+            if (
+                mode == "or" and len(present) >= 2
+                and total_postings >= wand_min
+                and k <= 32
+                and non_max * 64 <= total_postings
+            ):
                 lists = [
                     _TermList(tid, t_idf, w, left[left["term_id"] == tid])
                     for tid, t_idf, w in tm
@@ -752,8 +762,13 @@ class BM25Searcher:
                 present = [m for m in metas if m[0] in by_tid]
                 if not present or (mode == "and" and len(present) < len(metas)):
                     continue
-                total = int(sum(by_tid[m[0]]["n_docs"].sum() for m in present))
-                if use_wand and total >= wand_min:
+                sizes = [int(by_tid[m[0]]["n_docs"].sum()) for m in present]
+                total = sum(sizes)
+                non_max = total - max(sizes)
+                use_daat = use_wand and total >= wand_min and (
+                    mode == "and" or (k <= 32 and non_max * 64 <= total)
+                )
+                if use_daat:
                     lists = [
                         _TermList(tid, t_idf, w, by_tid[tid]) for tid, t_idf, w in present
                     ]
