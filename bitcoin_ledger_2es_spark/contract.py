@@ -784,6 +784,50 @@ def q_bm25_segmented(spark, sf_dir):
 SQL_BM25_SEGMENTED = SQL_BM25_INDEXED_ENGINE  # same oracle: full-corpus scoring
 
 
+def q_bm25_compacted(spark, sf_dir):
+    """Posting-level compaction under the driver gate: two segments are
+    merged from their POSTINGS ALONE (raw transcripts deleted first), and
+    the compacted index must score every query exactly like one built
+    from scratch — the oracle is the ordinary full-corpus BM25 scoring."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bitcoin_ledger_2es_spark import BM25Searcher
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+    from bitcoin_ledger_2es_spark.streaming.incremental import build_segment, compact
+
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = _docs_as_transcripts(docs)
+    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    root = tempfile.mkdtemp(prefix="compactidx_")
+    build_segment(
+        spark, transcripts.filter(F.col("conv_id") < f"c{int(median):08d}"), root, 0, cfg
+    )
+    build_segment(
+        spark, transcripts.filter(F.col("conv_id") >= f"c{int(median):08d}"), root, 1, cfg
+    )
+    for d in (Path(root) / "segments").iterdir():  # postings-only merge
+        t = d / "transcripts"
+        if t.exists():
+            shutil.rmtree(t)
+    ix = compact(spark, root, cfg, from_postings=True)
+    s = BM25Searcher(ix)
+    out = None
+    for qid, text, mode in ENGINE_QUERIES:
+        r = s.top_k(text, k=1_000_000, mode=mode, with_meta=False).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+SQL_BM25_COMPACTED = SQL_BM25_INDEXED_ENGINE  # compaction must be invisible
+
+
 def q_search_after(spark, sf_dir):
     """ES search_after deep pagination on the REAL engine: fetch page 1
     (k=20), take its last (score_f32, doc_id) as the cursor, return pages
@@ -1397,6 +1441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_msearch": q_bm25_msearch,
     "search_after": q_search_after,
     "bm25_segmented": q_bm25_segmented,
+    "bm25_compacted": q_bm25_compacted,
     "match_phrase": q_match_phrase,
     "match_phrase_slop": q_match_phrase_slop,
     "match_phrase_slop_unordered": q_match_phrase_slop_unordered,
@@ -1438,6 +1483,7 @@ ORACLE: dict[str, str] = {
     "bm25_msearch": SQL_BM25_MSEARCH,
     "search_after": SQL_SEARCH_AFTER,
     "bm25_segmented": SQL_BM25_SEGMENTED,
+    "bm25_compacted": SQL_BM25_COMPACTED,
     "match_phrase": SQL_MATCH_PHRASE,
     "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
     "match_phrase_slop_unordered": SQL_MATCH_PHRASE_SLOP_UNORDERED,
