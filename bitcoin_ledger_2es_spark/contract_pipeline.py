@@ -31,6 +31,72 @@ def _t(spark, sf_dir, name):
 # dedup
 
 
+def q_train_val_split(spark, sf_dir):
+    from .operators.batching import train_val_split
+
+    return (
+        train_val_split(_t(spark, sf_dir, "documents"), val_fraction=0.1, salt=7)
+        .select("doc_id", "split_hash", "split")
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT doc_id,
+       ((doc_id + 7) * 2654435761) % 4294967296 AS split_hash,
+       CASE WHEN ((doc_id + 7) * 2654435761) % 4294967296 < 429496729
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_length_buckets(spark, sf_dir):
+    from .operators.batching import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"))
+
+
+SQL_LENGTH_BUCKETS = """
+WITH sized AS (
+  SELECT len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         CAST(power(2, ceil(log2(greatest(CAST(n_tokens AS DOUBLE), 1.0)))) AS BIGINT) AS bucket
+  FROM sized
+)
+SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+       sum(bucket - n_tokens) AS pad_waste
+FROM b GROUP BY bucket
+"""
+
+
+def q_concat_chunks(spark, sf_dir):
+    from .operators.batching import concat_chunk_spans
+
+    return concat_chunk_spans(_t(spark, sf_dir, "documents"), capacity=2048)
+
+
+SQL_CONCAT_CHUNKS = """
+WITH sized AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS token_offset
+  FROM sized
+)
+SELECT doc_id, n_tokens, token_offset,
+       token_offset // 2048 AS first_chunk,
+       (token_offset + greatest(n_tokens - 1, 0)) // 2048 AS last_chunk
+FROM offs
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = D.exact_dedup(_t(spark, sf_dir, "documents"))
     return d.agg(
@@ -405,6 +471,9 @@ FROM meta, unnest(generate_series(0, n_frames - 1, 30)) AS u(f)
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "train_val_split": q_train_val_split,
+    "length_buckets": q_length_buckets,
+    "concat_chunks": q_concat_chunks,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -426,6 +495,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 PIPELINE_ORACLE: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "length_buckets": SQL_LENGTH_BUCKETS,
+    "concat_chunks": SQL_CONCAT_CHUNKS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -345,3 +345,49 @@ def test_lsh_bucket_drops_observable_and_caches_released(spark):
     # no NET persisted RDDs left behind by this test after release
     leaked = spark.sparkContext._jsc.sc().getPersistentRDDs().size() - baseline
     assert leaked <= 0, f"{leaked} cached RDDs leaked"
+
+
+def test_batching_ops_deterministic(spark):
+    """Batch-prep ops are pure functions of the data: split assignment,
+    length buckets, and concat-chunk spans identical across input
+    partitioning; chunk spans are dense and non-overlapping."""
+    import pandas as pd
+
+    from bitcoin_ledger_2es_spark.operators.batching import (
+        concat_chunk_spans,
+        length_histogram,
+        train_val_split,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [("tok " * ((i * 37) % 200 + 1)).strip() for i in range(300)],
+        }
+    )
+    a_docs = spark.createDataFrame(pdf).repartition(1)
+    b_docs = spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)).repartition(16)
+
+    def canon(df):
+        p = df.toPandas()
+        return p.sort_values("doc_id").reset_index(drop=True)[sorted(p.columns)]
+
+    pd.testing.assert_frame_equal(
+        canon(train_val_split(a_docs, 0.2, salt=5)),
+        canon(train_val_split(b_docs, 0.2, salt=5)),
+    )
+    ha = length_histogram(a_docs).toPandas().sort_values("bucket").reset_index(drop=True)
+    hb = length_histogram(b_docs).toPandas().sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ha, hb)
+    # a pad-to-bucket batcher never saves tokens
+    assert (ha["pad_waste"] >= 0).all()
+
+    ca = canon(concat_chunk_spans(a_docs, capacity=256))
+    cb = canon(concat_chunk_spans(b_docs, capacity=256))
+    pd.testing.assert_frame_equal(ca, cb)
+    # offsets are the exact running sum in doc_id order; spans consistent
+    c = ca.sort_values("doc_id")
+    assert (c["token_offset"].to_numpy()
+            == c["n_tokens"].cumsum().shift(fill_value=0).to_numpy()).all()
+    assert (c["first_chunk"] <= c["last_chunk"]).all()
+    assert (c["first_chunk"] == c["token_offset"] // 256).all()
