@@ -278,6 +278,13 @@ def score_shard_bool(
     docmap columns. Scores accumulate f64 in ascending term_id order over
     the union of scoring clauses (the engine's standard determinism
     contract); ties (score_f32 desc, doc_id asc)."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float32)})
+    if not must_meta and not should_meta:
+        # a shard whose pruned scan carried ONLY must_not postings has no
+        # scoring clause here: without this guard the mask would default
+        # to all-ones and emit every doc in the span as a score-0 ghost
+        return empty
     scores = np.zeros(span, dtype=np.float64)
     seen_must = np.zeros(span, dtype=np.int32)
     seen_should = np.zeros(span, dtype=np.int32)

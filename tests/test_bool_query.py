@@ -116,3 +116,29 @@ def test_bool_with_doc_filter(ix, oracle, tiny_pdf):
 def test_pure_must_not_raises(ix):
     with pytest.raises(ValueError, match="scoring clause"):
         BM25Searcher(ix).bool_query(must_not="w0000")
+
+
+def test_bool_random_differential(spark, ix, oracle):
+    """60 random bool-clause combinations vs the pandas oracle (one Spark
+    index, k spanning tie boundaries): must/should/must_not drawn from
+    frequent + rare + OOV vocab, minimum_should_match 0..n_should."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = ["w0000", "w0001", "w0002", "w0003", "w0005", "w0010",
+             "w0200", "w0500", "w0900", "zzoov1", "zzoov2"]
+    s = BM25Searcher(ix)
+    n_run = 0
+    for _ in range(60):
+        n_m = int(rng.integers(0, 3))
+        n_s = int(rng.integers(0, 4))
+        n_n = int(rng.integers(0, 3))
+        pick = lambda n: " ".join(rng.choice(vocab, size=n, replace=False)) if n else ""
+        must, should, must_not = pick(n_m), pick(n_s), pick(n_n)
+        if not must and not should:
+            continue
+        min_m = int(rng.integers(0, n_s + 1)) if n_s else None
+        k = int(rng.choice([3, 10, 50]))
+        _check(s, oracle, must, should, must_not, min_m, k=k)
+        n_run += 1
+    assert n_run >= 40
