@@ -253,3 +253,26 @@ def test_unordered_transposition_fixture(spark):
 def test_unordered_repeated_terms_rejected(spark, pix):
     with pytest.raises(ValueError, match="repeated query terms"):
         BM25Searcher(pix).phrase_query("w0000 w0000", slop=1, ordered=False)
+
+
+def test_phrase_random_differential(spark, pix, oracle):
+    """Random phrases (2-3 terms from frequent+mid vocab, slop 0-4,
+    ordered and unordered) vs the brute-force oracle — doc ids, scores,
+    and phrase freqs all exact."""
+    rng = np.random.default_rng(23)
+    vocab = ["w0000", "w0001", "w0002", "w0003", "w0005", "w0010", "w0050", "w0200"]
+    s = BM25Searcher(pix)
+    for _ in range(18):
+        n = int(rng.integers(2, 4))
+        terms = list(rng.choice(vocab, size=n, replace=False))
+        q = " ".join(terms)
+        slop = int(rng.integers(0, 5))
+        ordered = bool(rng.integers(0, 2)) or slop == 0
+        got = s.phrase_query(q, k=40, slop=slop, ordered=ordered).toPandas()
+        exp = oracle.phrase_topk(q, k=40, slop=slop, ordered=ordered)
+        case = (q, slop, ordered)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), case
+        assert got["score"].tolist() == exp["score"].tolist(), case
+        np.testing.assert_array_equal(
+            got["phrase_freq"].to_numpy(), exp["phrase_freq"].to_numpy()
+        ), case
