@@ -269,6 +269,7 @@ def score_shard_bool(
     avgdl: float,
     k1: float,
     b: float,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """ES bool query within one shard (B4 full surface): ``must`` clauses
     all required and scoring, ``should`` clauses scoring with at least
@@ -323,11 +324,15 @@ def score_shard_bool(
             mask[dec[0]] = False
     if allowed is not None:
         mask &= allowed
+    if after is not None:
+        s_cut, d_cut = np.float32(after[0]), int(after[1])
+        s32_all = scores.astype(np.float32)
+        ids = np.arange(span, dtype=np.int64) + shard_base
+        mask &= (s32_all < s_cut) | ((s32_all == s_cut) & (ids > d_cut))
 
     cand = np.flatnonzero(mask)
     if cand.size == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                             "score": pd.Series([], dtype=np.float32)})
+        return empty
     s32 = scores[cand].astype(np.float32)
     if cand.size > k:
         kth = np.partition(-s32, k - 1)[k - 1]

@@ -348,6 +348,7 @@ class BM25Searcher:
         minimum_should_match: int | None = None,
         doc_filter: Column | None = None,
         with_meta: bool = True,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Full ES bool query (B4): ``must`` clauses all required (scoring),
         ``should`` clauses scoring with at least ``minimum_should_match``
@@ -371,7 +372,7 @@ class BM25Searcher:
             # of the dense bool scorer — rank-identical, faster on long
             # lists (tests pin equality via the shared oracle)
             return self.top_k(must, k=k, mode="and", doc_filter=doc_filter,
-                              with_meta=with_meta)
+                              with_meta=with_meta, search_after=search_after)
         if not must_terms and not should_terms:
             if not_terms:
                 # a match-all + exclusion has no ranking signal; the dense
@@ -415,6 +416,9 @@ class BM25Searcher:
         avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
         has_filter = doc_filter is not None
         mm, sm, nt = list(must_meta), list(should_meta), list(not_tids)
+        after = None
+        if search_after is not None:
+            after = (float(np.float32(search_after[0])), int(search_after[1]))
 
         def _run(left: pd.DataFrame, right: pd.DataFrame | None) -> pd.DataFrame:
             if left.empty:
@@ -436,7 +440,7 @@ class BM25Searcher:
             ]
             return score_shard_bool(
                 pick(mm), pick(sm), [by_tid[t] for t in nt if t in by_tid],
-                base, dps, allowed, k, min_m, avgdl, k1, b,
+                base, dps, allowed, k, min_m, avgdl, k1, b, after=after,
             )
 
         if has_filter:

@@ -142,3 +142,22 @@ def test_bool_random_differential(spark, ix, oracle):
         _check(s, oracle, must, should, must_not, min_m, k=k)
         n_run += 1
     assert n_run >= 40
+
+
+def test_bool_search_after_pages(ix, oracle):
+    """Cursor paging through a bool query reproduces the oracle's full
+    ranking in consecutive slices."""
+    full = oracle.bool_topk("", "w0000 w0005 w0010", "w0003",
+                            k=10_000, minimum_should_match=1)
+    s = BM25Searcher(ix)
+    got, cursor = [], None
+    for _ in range(4):
+        r = s.bool_query("", "w0000 w0005 w0010", "w0003", k=9,
+                         minimum_should_match=1, with_meta=False,
+                         search_after=cursor).toPandas()
+        if r.empty:
+            break
+        got.extend(r["doc_id"].tolist())
+        cursor = (float(r["score"].iloc[-1]), int(r["doc_id"].iloc[-1]))
+    assert got == full["doc_id"].tolist()[: len(got)]
+    assert len(got) == min(36, len(full))
