@@ -152,3 +152,45 @@ def test_tiered_merge_in_place(spark, tmp_path):
         before[key].sort_values(key).reset_index(drop=True),
         after[key].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_iterated_tiered_merge_converges_to_full_rebuild(spark, tmp_path):
+    """Repeatedly merging pairs (including a previously-merged segment)
+    must converge to the same bytes as one from-scratch build — the
+    tiered policy's steady-state invariant."""
+    from bitcoin_ledger_2es_spark.plans.build import read_index
+    from bitcoin_ledger_2es_spark.streaming.compaction import merge_segments
+
+    cfg = CFG.with_(store_positions=False)  # also covers the no-poss layout
+    root = str(tmp_path / "root")
+    full = gen_transcripts_pdf(80, seed=47)
+    convs = sorted(full["conv_id"].unique())
+    quarters = [convs[i::4] for i in range(4)]
+    for i, cs in enumerate(quarters):
+        df = spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL)
+        build_segment(spark, df, root, i, cfg)
+
+    assert merge_segments(spark, root, seg_ids=[0, 1], cfg=cfg) == 0
+    assert merge_segments(spark, root, seg_ids=[2, 3], cfg=cfg) == 2
+    # merge of MERGED segments (read back from disk)
+    assert merge_segments(spark, root, seg_ids=[0, 2], cfg=cfg) == 0
+    segs = sorted(p.name for p in (Path(root) / "segments").iterdir())
+    assert segs == ["seg_000000"]
+
+    merged = read_index(spark, str(Path(root) / "segments/seg_000000/index"), cfg)
+    scratch = build_index(spark.createDataFrame(full, TRANSCRIPTS_DDL), cfg)
+    m = merged.postings.toPandas()
+    s = scratch.postings.toPandas()
+    for c in ("doc_id_deltas", "tfs", "dls", "poss"):
+        m[c] = m[c].apply(bytes)
+        s[c] = s[c].apply(bytes)
+    # the shard_id partition column reads back as int32 from disk
+    m["shard_id"] = m["shard_id"].astype("int64")
+    s["shard_id"] = s["shard_id"].astype("int64")
+    key = ["term_id", "shard_id", "block_id"]
+    cols = ["term_id", "shard_id", "block_id", "first_doc_id", "last_doc_id",
+            "n_docs", "doc_id_deltas", "tfs", "dls", "poss", "block_max_score"]
+    pd.testing.assert_frame_equal(
+        m.sort_values(key).reset_index(drop=True)[cols],
+        s.sort_values(key).reset_index(drop=True)[cols],
+    )
