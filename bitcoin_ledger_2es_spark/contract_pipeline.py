@@ -40,12 +40,21 @@ def q_train_val_split(spark, sf_dir):
     )
 
 
+# the hi/lo split mirrors the Spark op exactly (overflow-safe for any
+# int64 doc_id — the naive (doc_id+salt)*K product overflows both engines)
 SQL_TRAIN_VAL_SPLIT = """
-SELECT doc_id,
-       ((doc_id + 7) * 2654435761) % 4294967296 AS split_hash,
-       CASE WHEN ((doc_id + 7) * 2654435761) % 4294967296 < 429496729
-            THEN 'val' ELSE 'train' END AS split
-FROM documents
+WITH x AS (
+  SELECT doc_id, ((doc_id % 4294967296) + 7) % 4294967296 AS x FROM documents
+),
+h AS (
+  SELECT doc_id,
+         (((x // 65536) * 2654435761) % 4294967296 * 65536
+          + (x % 65536) * 2654435761) % 4294967296 AS split_hash
+  FROM x
+)
+SELECT doc_id, CAST(split_hash AS BIGINT) AS split_hash,
+       CASE WHEN split_hash < 429496729 THEN 'val' ELSE 'train' END AS split
+FROM h
 """
 
 
@@ -65,8 +74,9 @@ b AS (
          CAST(power(2, ceil(log2(greatest(CAST(n_tokens AS DOUBLE), 1.0)))) AS BIGINT) AS bucket
   FROM sized
 )
-SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
-       sum(bucket - n_tokens) AS pad_waste
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(bucket - n_tokens) AS BIGINT) AS pad_waste
 FROM b GROUP BY bucket
 """
 
@@ -85,14 +95,14 @@ WITH sized AS (
 ),
 offs AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS token_offset
+         ), 0) AS BIGINT) AS token_offset
   FROM sized
 )
-SELECT doc_id, n_tokens, token_offset,
-       token_offset // 2048 AS first_chunk,
-       (token_offset + greatest(n_tokens - 1, 0)) // 2048 AS last_chunk
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, token_offset,
+       CAST(token_offset // 2048 AS BIGINT) AS first_chunk,
+       CAST((token_offset + greatest(n_tokens - 1, 0)) // 2048 AS BIGINT) AS last_chunk
 FROM offs
 """
 

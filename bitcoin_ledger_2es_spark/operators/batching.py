@@ -49,8 +49,19 @@ def train_val_split(
 
     h = ((doc_id + salt) * 2654435761) mod 2^32; val iff
     h < val_fraction * 2^32. Per-doc deterministic — safe to apply
-    independently on any shard or stream micro-batch."""
-    h = ((F.col(id_col) + F.lit(int(salt))) * F.lit(_KNUTH)) % F.lit(_M32)
+    independently on any shard or stream micro-batch.
+
+    The multiply is done in overflow-safe 16/32-bit halves: (x*K) mod 2^32
+    depends only on x mod 2^32, and splitting x into (hi<<16)+lo keeps
+    every intermediate < 2^49, so the op is exact for ANY int64 doc_id
+    (segment ids start at 2^40; the naive int64 product overflows — and
+    under ANSI mode throws — from doc_id ~ 3.47e9)."""
+    x = F.pmod(F.pmod(F.col(id_col), F.lit(_M32)) + F.lit(int(salt)), F.lit(_M32))
+    hi, lo = F.floor(x / F.lit(1 << 16)), x % F.lit(1 << 16)
+    h = F.pmod(
+        F.pmod(hi * F.lit(_KNUTH), F.lit(_M32)) * F.lit(1 << 16) + lo * F.lit(_KNUTH),
+        F.lit(_M32),
+    )
     return docs.withColumn("split_hash", h.cast("long")).withColumn(
         "split",
         F.when(F.col("split_hash") < F.lit(int(val_fraction * _M32)), "val").otherwise(
@@ -97,7 +108,8 @@ def concat_chunk_spans(
     offset). One chunk therefore packs multiple short docs and long docs
     straddle chunks — the standard concat-then-chunk pretraining layout."""
     sized = docs.select(
-        F.col(id_col).alias("doc_id"), _token_count(F.col(text_col)).alias("n_tokens")
+        F.col(id_col).alias("doc_id"),
+        _token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
     ranked = with_global_rank(
         sized, ["doc_id"], rank_col="_r", value_col="n_tokens", psum_col="token_offset"

@@ -1,7 +1,13 @@
 """Local mimic of the driver's oracle gate: run every queries() entry and
 its oracle_sql() side-by-side (DuckDB) at sf0.001 and require identical
 row counts, column names, and (order-insensitively) identical values.
-Stricter than the driver's hash check: we compare exact values."""
+Stricter than the driver's hash check: we compare exact values, AND we
+require the same dtype CLASS per column (int vs float vs bool vs string).
+The driver hashes stringified values, so an int64 1024 vs a float64
+1024.0 hash-mismatches there even though float(a)==float(b) — round 3's
+length_buckets/concat_chunks failed exactly that way while this test
+passed. Width differences (int32 vs int64, f32 vs f64) stay allowed: the
+driver's stringification doesn't distinguish them."""
 
 import math
 
@@ -61,6 +67,17 @@ def test_all_oracled_queries_match(spark, entry_mod, duck):
             continue
         if len(got) != len(exp):
             failures.append((name, f"rows {len(got)} != {len(exp)}"))
+            continue
+        kind_bad = None
+        for c in sorted(got.columns):
+            kg = got[c].dtype.kind
+            ke = exp[c].dtype.kind
+            same_class = kg == ke or {kg, ke} <= {"i", "u"}
+            if not same_class:
+                kind_bad = f"col {c}: dtype class {got[c].dtype} != {exp[c].dtype}"
+                break
+        if kind_bad:
+            failures.append((name, kind_bad))
             continue
         g, e = _canon(got), _canon(exp)
         bad = None

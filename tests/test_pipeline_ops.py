@@ -391,3 +391,26 @@ def test_batching_ops_deterministic(spark):
             == c["n_tokens"].cumsum().shift(fill_value=0).to_numpy()).all()
     assert (c["first_chunk"] <= c["last_chunk"]).all()
     assert (c["first_chunk"] == c["token_offset"] // 256).all()
+
+
+def test_train_val_split_large_doc_ids(spark):
+    """The split hash is exact for ANY int64 doc_id: segment ids start at
+    2^40, and the naive ((doc_id+salt)*K) int64 product overflows (and
+    under ANSI mode throws) from doc_id ~ 3.47e9. The overflow-safe hi/lo
+    expression must equal the arbitrary-precision Python reference."""
+    import pandas as pd
+
+    from bitcoin_ledger_2es_spark.operators.batching import train_val_split
+
+    salt = 7
+    ids = [0, 1, 12345, 2**31 - 1, 3_470_000_000, 2**32 - 1, 2**32,
+           2**40, 2**40 + 123, 2**50 + 999, 2**62]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+    )
+    got = {
+        int(r["doc_id"]): int(r["split_hash"])
+        for r in train_val_split(docs, 0.1, salt=salt).collect()
+    }
+    for d in ids:
+        assert got[d] == ((d + salt) * 2654435761) % (1 << 32), d
