@@ -1371,6 +1371,52 @@ SELECT rank, doc_id, final, round(factor, 6) AS factor FROM (
 """
 
 
+def q_match_all_constant_score(spark, sf_dir):
+    """Constant-score surface on the REAL engine: (a) match_all minus
+    must_not exclusions (the ES {"bool": {"must_not": ...}} shape — Lucene
+    MatchAllDocsQuery, every live doc scores 1.0), and (b) constant_score
+    with an AND terms filter at boost 2.0 (Lucene ConstantScoreQuery, no
+    BM25 statistics). Both rankings are doc_id ascending (the stable order
+    under a constant score); k unbounded so there is no selection edge."""
+    s = _engine_searcher(spark, sf_dir)
+    ma = s.match_all(must_not="spark table", k=1_000_000, with_meta=False).select(
+        F.lit("match_all").alias("kind"), "rank", "doc_id",
+        F.col("score").cast("double").alias("score"),
+    )
+    cs = s.constant_score(
+        "data row", mode="and", k=1_000_000, boost=2.0, with_meta=False
+    ).select(
+        F.lit("constant_score").alias("kind"), "rank", "doc_id",
+        F.col("score").cast("double").alias("score"),
+    )
+    return ma.unionByName(cs)
+
+
+SQL_MATCH_ALL_CONSTANT_SCORE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, u.tok AS term
+  FROM documents, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS u(tok)
+),
+ma AS (
+  SELECT 'match_all' AS kind,
+         CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank,
+         doc_id, CAST(1.0 AS DOUBLE) AS score
+  FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term IN ('spark', 'table'))
+),
+cs AS (
+  SELECT 'constant_score' AS kind,
+         CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank,
+         doc_id, CAST(2.0 AS DOUBLE) AS score
+  FROM (
+    SELECT doc_id FROM toks WHERE term IN ('data', 'row')
+    GROUP BY doc_id HAVING count(DISTINCT term) = 2
+  )
+)
+SELECT * FROM ma UNION ALL SELECT * FROM cs
+"""
+
+
 def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
     return (
         _doc_tokens(spark, sf_dir)
@@ -1427,6 +1473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_query": q_term_query,
     "bool_and_query": q_bool_and_query,
     "bool_must_not_query": q_bool_must_not_query,
+    "match_all_constant_score": q_match_all_constant_score,
     "tokenize_term_counts": q_tokenize_term_counts,
     "significant_terms": q_significant_terms,
     "term_suggest": q_term_suggest,
@@ -1469,6 +1516,7 @@ ORACLE: dict[str, str] = {
     "term_query": SQL_TERM_QUERY,
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "bool_must_not_query": SQL_BOOL_MUST_NOT_QUERY,
+    "match_all_constant_score": SQL_MATCH_ALL_CONSTANT_SCORE,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,
     "significant_terms": SQL_SIGNIFICANT_TERMS,
     "term_suggest": SQL_TERM_SUGGEST,

@@ -32,6 +32,7 @@ from ..functions.analyze import analyze_query
 from ..functions.bm25 import idf as idf_fn
 from ..operators.wand import (
     _TermList,
+    _decode_term_blocks,
     score_shard_bmw,
     score_shard_bool,
     score_shard_conjunction,
@@ -375,12 +376,13 @@ class BM25Searcher:
                               with_meta=with_meta, search_after=search_after)
         if not must_terms and not should_terms:
             if not_terms:
-                # a match-all + exclusion has no ranking signal; the dense
-                # kernel would emit ghost doc_ids for unfilled shard slots
-                raise ValueError(
-                    "bool_query needs at least one scoring clause (must or "
-                    "should); for match-all-except semantics use doc_filter "
-                    "over docmap columns or an anti-join on the id set"
+                # ES serves {"bool": {"must_not": ...}} as match_all minus
+                # the exclusions, every hit scored 1.0 (Lucene
+                # MatchAllDocsQuery) — the docmap-backed constant-score
+                # path; no ghost slots because real docs come from docmap
+                return self.match_all(
+                    must_not=must_not, k=k, doc_filter=doc_filter,
+                    with_meta=with_meta, search_after=search_after,
                 )
             return self._empty()
         w_must, w_should = Counter(must_terms), Counter(should_terms)
@@ -465,6 +467,156 @@ class BM25Searcher:
         else:
             cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        if not with_meta:
+            return top.select("rank", "doc_id", "score").orderBy("rank")
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "inner")
+            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )
+
+    def match_all(
+        self,
+        must_not: str = "",
+        k: int = 10,
+        boost: float = 1.0,
+        doc_filter: Column | None = None,
+        with_meta: bool = True,
+        search_after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Lucene MatchAllDocsQuery (+ optional must_not exclusions): every
+        live doc scores ``boost`` (constant; f32-emitted like BM25 scores),
+        ranked (score desc, doc_id asc) — with a constant score that is
+        doc_id ascending, the stable ES ordering. ``must_not`` terms are
+        analyzed and excluded via their postings; ``doc_filter`` is the
+        usual docmap-column filter context. This is what serves
+        ``bool_query(must_not=...)`` with no scoring clause."""
+        not_terms = analyze_query(must_not, self.ix.cfg)
+        return self._constant_score_core(
+            [], sorted(set(not_terms)), "and", k, boost, doc_filter,
+            with_meta, search_after,
+        )
+
+    def constant_score(
+        self,
+        filter_text: str,
+        mode: str = "and",
+        must_not: str = "",
+        k: int = 10,
+        boost: float = 1.0,
+        doc_filter: Column | None = None,
+        with_meta: bool = True,
+        search_after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """ES constant_score query: docs matching the filter clause (terms
+        of ``filter_text``, ALL required for ``mode='and'``, ANY for
+        ``'or'`` — the ES term/terms filter shapes) score exactly
+        ``boost``; no BM25 statistics are computed (filter context skips
+        scoring, Lucene ConstantScoreQuery)."""
+        terms = analyze_query(filter_text, self.ix.cfg)
+        not_terms = analyze_query(must_not, self.ix.cfg)
+        return self._constant_score_core(
+            sorted(set(terms)), sorted(set(not_terms)), mode, k, boost,
+            doc_filter, with_meta, search_after,
+        )
+
+    def _constant_score_core(
+        self,
+        req_terms: list[str],
+        not_terms: list[str],
+        mode: str,
+        k: int,
+        boost: float,
+        doc_filter: Column | None,
+        with_meta: bool,
+        search_after: tuple[float, int] | None,
+    ) -> DataFrame:
+        """Constant-score kernel: the live-doc set comes from the shard's
+        DOCMAP slice (so unfilled shard slots can never ghost), required /
+        excluded term postings become presence masks, and each shard emits
+        its first k allowed doc_ids — with a constant score, doc_id asc IS
+        the rank order, so the global merge sees <= k rows per shard.
+        Plan shape: one pruned postings scan cogrouped with the docmap by
+        shard_id (the same exchange the filtered bool path pays); no
+        doc_id-keyed shuffle, no full-corpus sort."""
+        ix, cfg = self.ix, self.ix.cfg
+        found = self._lookup_terms(sorted(set(req_terms) | set(not_terms)))
+        req_tids = sorted(found[t][0] for t in req_terms if t in found)
+        if mode == "and" and len(req_tids) < len(req_terms):
+            return self._empty()  # a required filter term matches nothing
+        if mode == "or" and req_terms and not req_tids:
+            return self._empty()
+        not_tids = set(found[t][0] for t in not_terms if t in found)
+        scan_tids = sorted(set(req_tids) | not_tids)
+        dps, b32 = cfg.docs_per_shard, float(np.float32(boost))
+        req_set, n_req = set(req_tids), len(req_tids)
+        after = None
+        if search_after is not None:
+            after = (float(np.float32(search_after[0])), int(search_after[1]))
+
+        def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if right.empty:
+                return _EMPTY_CAND
+            if after is not None and np.float32(b32) > np.float32(after[0]):
+                return _EMPTY_CAND  # cursor score below the constant score
+            base = int(right["shard_id"].iloc[0]) * dps
+            allowed = np.zeros(dps, dtype=bool)
+            allowed[right["doc_id"].to_numpy(np.int64) - base] = (
+                right["_allowed"].to_numpy(bool)
+            )
+            groups = (
+                {tid: g for tid, g in left.groupby("term_id")}
+                if not left.empty
+                else {}
+            )
+            if n_req:
+                seen = np.zeros(dps, dtype=np.int32)
+                n_present = 0
+                for tid in req_tids:
+                    g = groups.get(tid)
+                    if g is None:
+                        continue
+                    dec = _decode_term_blocks(g, base)
+                    if dec is None:
+                        continue
+                    seen[dec[0]] += 1
+                    n_present += 1
+                if mode == "and":
+                    if n_present < n_req:
+                        return _EMPTY_CAND  # shard lacks a required term
+                    allowed &= seen == n_req
+                else:
+                    allowed &= seen > 0
+            for tid in not_tids:
+                g = groups.get(tid)
+                if g is not None:
+                    dec = _decode_term_blocks(g, base)
+                    if dec is not None:
+                        allowed[dec[0]] = False
+            ids = np.flatnonzero(allowed).astype(np.int64) + base
+            if after is not None and np.float32(b32) == np.float32(after[0]):
+                ids = ids[ids > after[1]]
+            ids = ids[:k]  # constant score -> doc_id asc is rank order
+            return pd.DataFrame(
+                {"doc_id": ids, "score": np.full(ids.size, b32, dtype=np.float32)}
+            )
+
+        docmap_lite = ix.docmap.withColumn(
+            "_allowed",
+            doc_filter if doc_filter is not None else F.lit(True),
+        ).select("shard_id", "doc_id", "_allowed")
+        pruned = ix.postings.filter(
+            F.col("term_id").isin(scan_tids) if scan_tids else F.lit(False)
+        )
+        cands = (
+            pruned.groupBy("shard_id")
+            .cogroup(docmap_lite.groupBy("shard_id"))
+            .applyInPandas(kernel, schema=_CAND_DDL)
+        )
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))

@@ -113,9 +113,69 @@ def test_bool_with_doc_filter(ix, oracle, tiny_pdf):
     assert set(r["doc_id"]).isdisjoint(w0003_docs)
 
 
-def test_pure_must_not_raises(ix):
-    with pytest.raises(ValueError, match="scoring clause"):
-        BM25Searcher(ix).bool_query(must_not="w0000")
+def test_must_not_only_is_match_all_minus_exclusions(ix, oracle):
+    """bool_query with ONLY must_not serves ES's match_all-minus-exclusions:
+    every surviving doc scores exactly 1.0 (Lucene MatchAllDocsQuery) and
+    the ranking is doc_id ascending (the stable constant-score order)."""
+    s = BM25Searcher(ix)
+    r = s.bool_query(must_not="w0000 w0003", k=1_000_000, with_meta=False).toPandas()
+    excl = set(oracle.doc_ids[oracle.postings["w0000"][0]].tolist()) | set(
+        oracle.doc_ids[oracle.postings["w0003"][0]].tolist()
+    )
+    expect = sorted(set(oracle.doc_ids.tolist()) - excl)
+    assert r["doc_id"].tolist() == expect
+    assert (r["score"].to_numpy(np.float32) == np.float32(1.0)).all()
+    assert r["rank"].tolist() == list(range(1, len(expect) + 1))
+
+
+def test_match_all_plain_and_filtered(ix, oracle):
+    """match_all with no clauses returns every doc at score 1.0; doc_filter
+    composes (filter context)."""
+    s = BM25Searcher(ix)
+    r = s.match_all(k=1_000_000, with_meta=False).toPandas()
+    assert r["doc_id"].tolist() == sorted(oracle.doc_ids.tolist())
+    turns = s.match_all(k=1_000_000, doc_filter=~F.col("is_rollup")).toPandas()
+    assert not turns["is_rollup"].any()
+    assert len(turns) < len(r)
+
+
+def test_match_all_search_after_pages(ix, oracle):
+    """Constant-score paging: consecutive search_after slices reproduce the
+    doc_id-ascending full ordering with no overlap."""
+    s = BM25Searcher(ix)
+    full = s.match_all(must_not="w0005", k=1_000_000, with_meta=False).toPandas()
+    got, cursor = [], None
+    for _ in range(3):
+        page = s.match_all(must_not="w0005", k=7, with_meta=False,
+                           search_after=cursor).toPandas()
+        if page.empty:
+            break
+        got.extend(page["doc_id"].tolist())
+        cursor = (float(page["score"].iloc[-1]), int(page["doc_id"].iloc[-1]))
+    assert got == full["doc_id"].tolist()[: len(got)]
+    assert len(got) == min(21, len(full))
+
+
+def test_constant_score_filter_modes(ix, oracle):
+    """constant_score: AND requires every filter term, OR any; scores are
+    exactly the boost, never BM25."""
+    s = BM25Searcher(ix)
+    d3 = set(oracle.doc_ids[oracle.postings["w0003"][0]].tolist())
+    d5 = set(oracle.doc_ids[oracle.postings["w0005"][0]].tolist())
+    both = s.constant_score("w0003 w0005", mode="and", k=1_000_000,
+                            boost=2.5, with_meta=False).toPandas()
+    assert set(both["doc_id"]) == (d3 & d5)
+    assert (both["score"].to_numpy(np.float32) == np.float32(2.5)).all()
+    either = s.constant_score("w0003 w0005", mode="or", k=1_000_000,
+                              with_meta=False).toPandas()
+    assert set(either["doc_id"]) == (d3 | d5)
+    # OOV required term under AND -> empty; under OR -> ignored
+    assert s.constant_score("w0003 zzoov", mode="and", k=10,
+                            with_meta=False).count() == 0
+    assert set(
+        s.constant_score("w0003 zzoov", mode="or", k=1_000_000,
+                         with_meta=False).toPandas()["doc_id"]
+    ) == d3
 
 
 def test_bool_random_differential(spark, ix, oracle):
