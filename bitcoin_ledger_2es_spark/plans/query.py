@@ -682,31 +682,35 @@ class BM25Searcher:
         """ES term suggester: for each analyzed input token, candidate
         corrections from the index DICTIONARY within ``fuzziness``
         Levenshtein edits, ranked like ES's suggest mode=missing default —
-        (distance asc, df desc, term asc), ``size`` per input token. The
-        dictionary scan is one JVM-side levenshtein filter per call; no
-        postings are read. Returns (input, term, distance, df)."""
+        (distance asc, df desc, term asc), ``size`` per input token. No
+        postings are read. Returns (input, term, distance, df).
+
+        One dictionary scan TOTAL, regardless of input length: the analyzed
+        tokens become a literal frame broadcast against the scan (a
+        BroadcastNestedLoopJoin over a k-row build side), one levenshtein
+        filter, one ranking window — instead of a scan + union branch per
+        token, which multiplied the dominant cost (the dictionary scan) by
+        the token count."""
         terms = analyze_query(text, self.ix.cfg)
         if not terms:
             return self._spark.createDataFrame(
                 [], "input string, term string, distance int, df long"
             )
-        out = None
-        for t in dict.fromkeys(terms):
-            w = Window.partitionBy("input").orderBy(
-                F.asc("distance"), F.desc("df"), F.asc("term")
-            )
-            cand = (
-                self.ix.dictionary.withColumn(
-                    "distance", F.levenshtein(F.col("term"), F.lit(t))
-                )
-                .filter(F.col("distance") <= fuzziness)
-                .withColumn("input", F.lit(t))
-                .withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") <= size)
-                .select("input", "term", "distance", "df")
-            )
-            out = cand if out is None else out.unionByName(cand)
-        return out
+        inputs = self._spark.createDataFrame(
+            [(t,) for t in dict.fromkeys(terms)], "input string"
+        )
+        w = Window.partitionBy("input").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("term")
+        )
+        return (
+            self.ix.dictionary.select("term", "df")
+            .join(F.broadcast(inputs))
+            .withColumn("distance", F.levenshtein(F.col("term"), F.col("input")))
+            .filter(F.col("distance") <= fuzziness)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= size)
+            .select("input", "term", "distance", "df")
+        )
 
     def phrase_query(
         self,

@@ -221,3 +221,57 @@ def test_bool_search_after_pages(ix, oracle):
         cursor = (float(r["score"].iloc[-1]), int(r["doc_id"].iloc[-1]))
     assert got == full["doc_id"].tolist()[: len(got)]
     assert len(got) == min(36, len(full))
+
+
+def test_suggest_single_pass_and_ranking(ix, oracle):
+    """suggest() is one plan with NO per-token union branches (one
+    dictionary scan broadcast-joined against the literal input frame), and
+    its ranking matches a per-token pandas reference (distance asc, df
+    desc, term asc; size per input)."""
+    s = BM25Searcher(ix)
+    out = s.suggest("w000 w0x05 w0300x zz qq9", fuzziness=2, size=4)
+    # exactly ONE dictionary scan leaf in the physical plan (the per-token
+    # union shape had one scan branch per input token)
+    leaves = out._jdf.queryExecution().optimizedPlan().collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    n_dict_scans = sum(1 for n in names if "InMemoryRelation" in n)
+    assert n_dict_scans == 1, names
+    got = out.toPandas().sort_values(["input", "distance", "df", "term"],
+                                     ascending=[True, True, False, True])
+
+    # pandas reference over the same dictionary
+    import pandas as pd
+
+    dic = ix.dictionary.select("term", "df").toPandas()
+
+    def lev(a, b):
+        m = [[i + j if i * j == 0 else 0 for j in range(len(b) + 1)]
+             for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    frames = []
+    for t in ["w000", "w0x05", "w0300x", "zz", "qq9"]:
+        d = dic.assign(distance=dic["term"].map(lambda x: lev(x, t)), input=t)
+        d = d[d["distance"] <= 2].sort_values(
+            ["distance", "df", "term"], ascending=[True, False, True]
+        ).head(4)
+        frames.append(d[["input", "term", "distance", "df"]])
+    exp = pd.concat(frames).sort_values(["input", "distance", "df", "term"],
+                                        ascending=[True, True, False, True])
+    assert got[["input", "term"]].values.tolist() == exp[["input", "term"]].values.tolist()
+
+    # one driver job per action, independent of token count
+    sc = ix.dictionary.sparkSession.sparkContext
+    for tag, text in (("sg1", "w000"), ("sg5", "w000 w0x05 w0300x zz qq9")):
+        sc.setJobGroup(tag, tag)
+        try:
+            s.suggest(text, fuzziness=2, size=4).collect()
+        finally:
+            sc.setJobGroup(None, None)
+    n1 = len(sc.statusTracker().getJobIdsForGroup("sg1"))
+    n5 = len(sc.statusTracker().getJobIdsForGroup("sg5"))
+    assert n5 == n1, f"suggest jobs grew with token count: {n1} -> {n5}"
