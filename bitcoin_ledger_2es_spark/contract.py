@@ -1371,6 +1371,64 @@ SELECT rank, doc_id, final, round(factor, 6) AS factor FROM (
 """
 
 
+def q_function_score_decay(spark, sf_dir):
+    """ES function_score with DECAY functions + score_mode/boost_mode:
+    gauss(n_chars; origin 800, scale 400, offset 100, decay 0.5) and
+    linear(n_chars; origin 800, scale 600, decay 0.3) folded with
+    score_mode=avg, combined with the BM25 score via boost_mode=sum,
+    re-ranked (rounded final desc, doc_id asc). The decay constants are
+    precomputed Python doubles embedded as literals on BOTH sides, so the
+    closed forms match bit-for-bit before rounding."""
+    from .functions.function_score import (
+        apply_boost_mode,
+        combine_functions,
+        decay_col,
+    )
+
+    base = _bm25_relational(spark, sf_dir, BM25_QUERY, "or", 50).drop("rank")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    g = decay_col("gauss", F.col("n_chars"), origin=800, scale=400, offset=100, decay=0.5)
+    lin = decay_col("linear", F.col("n_chars"), origin=800, scale=600, decay=0.3)
+    fn = combine_functions([g, lin], "avg")
+    final = apply_boost_mode(F.col("score"), fn, "sum")
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return (
+        base.join(docs, "doc_id")
+        .withColumn("fn_value", duck_round(fn, 6))
+        .withColumn("final", duck_round(final, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc_id", "final", "fn_value")
+    )
+
+
+import math as _math  # noqa: E402
+
+_FSD_CG = -_math.log(0.5) / 400.0**2  # gauss exponent multiplier
+_FSD_SPAN = 600.0 / (1.0 - 0.3)  # linear decay span
+
+SQL_FUNCTION_SCORE_DECAY = f"""
+WITH base AS ({_sql_bm25(BM25_QUERY, "or", 50)}),
+j AS (
+  SELECT b.doc_id, b.score,
+         greatest(abs(d.n_chars - 800.0) - 100.0, 0.0) AS dg,
+         greatest(abs(d.n_chars - 800.0), 0.0) AS dl
+  FROM base b JOIN documents d USING (doc_id)
+),
+f AS (
+  SELECT doc_id, score,
+         (exp(-(dg * dg) * {_FSD_CG!r})
+          + greatest(({_FSD_SPAN!r} - dl) / {_FSD_SPAN!r}, 0.0)) / 2.0 AS fn
+  FROM j
+)
+SELECT rank, doc_id, final, fn_value FROM (
+  SELECT row_number() OVER (ORDER BY round(score + fn, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(score + fn, 6) AS final, round(fn, 6) AS fn_value
+  FROM f
+) WHERE rank <= 20
+"""
+
+
 def q_match_all_constant_score(spark, sf_dir):
     """Constant-score surface on the REAL engine: (a) match_all minus
     must_not exclusions (the ES {"bool": {"must_not": ...}} shape — Lucene
@@ -1479,6 +1537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_suggest": q_term_suggest,
     "pipeline_aggs": q_pipeline_aggs,
     "function_score": q_function_score,
+    "function_score_decay": q_function_score_decay,
 }
 
 ORACLE: dict[str, str] = {
@@ -1522,6 +1581,7 @@ ORACLE: dict[str, str] = {
     "term_suggest": SQL_TERM_SUGGEST,
     "pipeline_aggs": SQL_PIPELINE_AGGS,
     "function_score": SQL_FUNCTION_SCORE,
+    "function_score_decay": SQL_FUNCTION_SCORE_DECAY,
 }
 
 from .contract_pipeline import PIPELINE_ORACLE, PIPELINE_QUERIES  # noqa: E402

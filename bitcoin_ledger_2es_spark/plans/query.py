@@ -869,6 +869,42 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def function_score(
+        self,
+        query_text: str,
+        functions: list[Column],
+        k: int = 10,
+        window: int | None = None,
+        mode: str = "or",
+        boost_mode: str = "multiply",
+        score_mode: str = "multiply",
+    ) -> DataFrame:
+        """ES function_score query (B+ breadth): run the BM25 query, fold
+        the ``functions`` (column expressions over the hit frame — build
+        them with functions.function_score.decay_col /
+        field_value_factor_col / random_score_col) per ``score_mode``,
+        combine with the query score per ``boost_mode``, re-rank. The
+        functions are pure projections over the <= window top hits — no
+        extra shuffle, no UDF."""
+        from ..functions.function_score import apply_boost_mode, combine_functions
+
+        window = max(k, window or k)
+        base = self.top_k(query_text, k=window, mode=mode, with_meta=True).drop("rank")
+        fn = combine_functions(functions, score_mode)
+        final = apply_boost_mode(F.col("score"), fn, boost_mode)
+        w = Window.orderBy(F.desc("final_score"), F.asc("doc_id"))
+        return (
+            base.withColumn("fn_value", fn.cast("double"))
+            .withColumn("final_score", final.cast("double"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "rank", "doc_id", "score", "fn_value", "final_score",
+                "conv_id", "turn_idx", "is_rollup",
+            )
+            .orderBy("rank")
+        )
+
     def top_k_batch(self, queries: pd.DataFrame) -> DataFrame:
         """ES _msearch analogue: answer many queries in ONE job.
 
