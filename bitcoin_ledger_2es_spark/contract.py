@@ -1218,6 +1218,69 @@ FROM hits h JOIN marked m USING (doc_id)
 SQL_HIGHLIGHT = _sql_highlight(BM25_QUERY, 5)
 
 
+HL_PHRASE = ["the", "data"]
+
+
+def q_highlight_phrase(spark, sf_dir):
+    """Phrase-AWARE highlighting: only tokens inside an actual ordered
+    occurrence of the phrase are wrapped (a stray 'data' stays unmarked),
+    and the snippet is the best-scoring 7-token fragment (most marked
+    tokens covered; ties -> earliest), not the first hit."""
+    from .functions.highlight import phrase_highlight
+
+    return phrase_highlight(_t(spark, sf_dir, "documents"), HL_PHRASE)
+
+
+SQL_HIGHLIGHT_PHRASE = f"""
+WITH t AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+        FROM documents)
+),
+s AS (
+  SELECT doc_id, i AS st
+  FROM (SELECT doc_id, i, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM t)
+  WHERE tok = '{HL_PHRASE[0]}' AND nxt = '{HL_PHRASE[1]}'
+),
+m AS (SELECT DISTINCT doc_id, u.p FROM s, unnest([s.st, s.st + 1]) AS u(p)),
+hl AS (
+  SELECT t.doc_id,
+         string_agg(CASE WHEN m.p IS NOT NULL THEN '<em>' || t.tok || '</em>'
+                         ELSE t.tok END, ' ' ORDER BY t.i) AS highlighted
+  FROM t LEFT JOIN m ON m.doc_id = t.doc_id AND m.p = t.i
+  WHERE t.doc_id IN (SELECT doc_id FROM s)
+  GROUP BY t.doc_id
+),
+cand AS (SELECT DISTINCT doc_id, greatest(1, p - 3) AS fs FROM m),
+scored AS (
+  SELECT c.doc_id, c.fs, count(m.p) AS hits
+  FROM cand c JOIN m ON m.doc_id = c.doc_id AND m.p BETWEEN c.fs AND c.fs + 6
+  GROUP BY c.doc_id, c.fs
+),
+best AS (
+  SELECT doc_id, fs FROM (
+    SELECT doc_id, fs,
+           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, fs ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+frag AS (
+  SELECT t.doc_id,
+         string_agg(CASE WHEN m.p IS NOT NULL THEN '<em>' || t.tok || '</em>'
+                         ELSE t.tok END, ' ' ORDER BY t.i) AS fragment
+  FROM t
+  JOIN best b ON b.doc_id = t.doc_id AND t.i BETWEEN b.fs AND b.fs + 6
+  LEFT JOIN m ON m.doc_id = t.doc_id AND m.p = t.i
+  GROUP BY t.doc_id
+),
+nh AS (SELECT doc_id, CAST(count(*) AS INT) AS n_phrase_hits FROM s GROUP BY doc_id)
+SELECT hl.doc_id, hl.highlighted, frag.fragment, nh.n_phrase_hits
+FROM hl JOIN frag USING (doc_id) JOIN nh USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Further ES aggregation/scoring surface (round 3): significant_terms,
 # pipeline aggs (derivative + cumulative_sum over date_histogram),
@@ -1525,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_phrase_slop": q_match_phrase_slop,
     "match_phrase_slop_unordered": q_match_phrase_slop_unordered,
     "highlight": q_highlight,
+    "highlight_phrase": q_highlight_phrase,
     "prefix_query": q_prefix_query,
     "wildcard_query": q_wildcard_query,
     "fuzzy_query": q_fuzzy_query,
@@ -1569,6 +1633,7 @@ ORACLE: dict[str, str] = {
     "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
     "match_phrase_slop_unordered": SQL_MATCH_PHRASE_SLOP_UNORDERED,
     "highlight": SQL_HIGHLIGHT,
+    "highlight_phrase": SQL_HIGHLIGHT_PHRASE,
     "prefix_query": SQL_PREFIX_QUERY,
     "wildcard_query": SQL_WILDCARD_QUERY,
     "fuzzy_query": SQL_FUZZY_QUERY,

@@ -58,6 +58,101 @@ def fragment_col(
     return F.array_join(F.slice(_marked(toks, terms), start, n_tokens), " ")
 
 
+def _phrase_starts(toks: Column, terms: list[str]) -> Column:
+    """1-based start positions of exact (slop-0, ordered) occurrences of
+    ``terms`` in the token stream. Guarded so a doc shorter than the
+    phrase yields [] (F.sequence(1, 0) would count DOWN)."""
+    n = len(terms)
+    last = F.size(toks) - F.lit(n - 1)
+
+    def matches(s):  # ONE parameter: PySpark derives lambda arity from it
+        conds = [
+            F.element_at(toks, (s + F.lit(j)).cast("int")) == F.lit(t)
+            for j, t in enumerate(terms)
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    return F.when(
+        last >= 1, F.filter(F.sequence(F.lit(1), last), matches)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def phrase_highlight(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_fragment_tokens: int = 7,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Phrase-aware highlighting (the ES unified highlighter over a
+    match_phrase query): ONLY tokens inside an actual phrase occurrence
+    are wrapped — a stray 'data' far from 'the data' stays unmarked,
+    unlike the per-term highlighter — and the snippet is the BEST-scoring
+    fragment (the ``n_fragment_tokens`` window covering the most marked
+    tokens; ties -> earliest window), not the first hit.
+
+    Returns (doc_id, highlighted, fragment, n_phrase_hits) for docs with
+    at least one occurrence. Pure column expressions end to end (arrays +
+    higher-order functions, whole-stage codegen): at any corpus size this
+    is a single scan, no UDF, no shuffle."""
+    if not terms:
+        raise ValueError("phrase_highlight needs at least one term")
+    w = int(n_fragment_tokens)
+    toks = _toks(F.col(text_col), cfg)
+    n = len(terms)
+    starts = _phrase_starts(toks, terms)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_tk"),
+        starts.alias("_st"),
+    ).filter(F.size("_st") > 0)
+    # positions covered by any occurrence (ascending; flatten preserves
+    # the ascending span order, array_distinct keeps first occurrences)
+    marked = F.array_distinct(
+        F.flatten(F.transform(F.col("_st"), lambda s: F.sequence(s, s + F.lit(n - 1))))
+    )
+    hl_toks = F.transform(
+        F.col("_tk"),
+        lambda t, i: F.when(
+            F.array_contains(F.col("_mk"), (i + F.lit(1)).cast("int")),
+            F.concat(F.lit(PRE), t, F.lit(POST)),
+        ).otherwise(t),
+    )
+    # best fragment: candidate windows start 3 tokens before each marked
+    # position; score = marked positions covered; first max wins (the
+    # candidate list is ascending, so array_position picks the earliest)
+    cand = F.array_distinct(
+        F.transform(F.col("_mk"), lambda p: F.greatest(p - F.lit(3), F.lit(1)))
+    )
+    hits_per = F.transform(
+        F.col("_cand"),
+        lambda s: F.size(
+            F.filter(F.col("_mk"), lambda p: (p >= s) & (p < s + F.lit(w)))
+        ),
+    )
+    best = F.element_at(
+        F.col("_cand"),
+        F.array_position(F.col("_hits"), F.array_max(F.col("_hits"))).cast("int"),
+    )
+    return (
+        base.withColumn("_mk", marked)
+        .withColumn("_cand", cand)
+        .withColumn("_hits", hits_per)
+        .withColumn("_hl", hl_toks)
+        .withColumn("_best", best)
+        .select(
+            "doc_id",
+            F.array_join("_hl", " ").alias("highlighted"),
+            F.array_join(F.slice("_hl", F.col("_best"), F.lit(w)), " ").alias("fragment"),
+            F.size("_st").alias("n_phrase_hits"),
+        )
+    )
+
+
 def with_highlight(
     hits: DataFrame,
     source: DataFrame,

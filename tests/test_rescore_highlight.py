@@ -64,3 +64,38 @@ def test_highlight_wraps_all_and_only_hits(spark, tiny_df):
         hit_idx = next((i for i, t in enumerate(toks) if t in terms), None)
         if hit_idx is not None:
             assert "<em>" in frag
+
+
+def test_phrase_highlight_semantics(spark):
+    """Phrase-aware marking: only tokens inside an ordered occurrence get
+    wrapped (stray single terms stay bare); wrong-order / too-short docs
+    are absent; the fragment is the BEST 7-token window (most marked
+    tokens; ties -> earliest), not the first hit."""
+    import pandas as pd
+
+    from bitcoin_ledger_2es_spark.functions.highlight import phrase_highlight
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "the data is here and the data is there with more data alone",
+            "data the",
+            "the data",
+            "short the",
+            "x y z the data q r s t u v the data w",
+        ],
+    }))
+    out = {int(r["doc_id"]): r for r in phrase_highlight(docs, ["the", "data"]).collect()}
+    assert set(out) == {0, 2, 4}  # 1 wrong order, 3 no occurrence
+    r0 = out[0]
+    assert r0["n_phrase_hits"] == 2
+    # stray trailing 'data' NOT marked; both occurrences marked
+    assert r0["highlighted"].endswith("with more data alone")
+    assert r0["highlighted"].count("<em>") == 4
+    # best fragment covers BOTH occurrences (4 marked tokens), not just 1st
+    assert r0["fragment"] == (
+        "<em>the</em> <em>data</em> is here and <em>the</em> <em>data</em>"
+    )
+    # windows can't cover both hits in doc 4 -> tie -> earliest window
+    assert out[4]["fragment"].startswith("x y z <em>the</em> <em>data</em>")
+    assert out[2]["n_phrase_hits"] == 1
