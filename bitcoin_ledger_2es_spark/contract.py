@@ -286,32 +286,44 @@ ORDER BY balance DESC, o_custkey ASC LIMIT 50
 """
 
 
-def q_anti_join(spark, sf_dir):  # A7 reorg-delete analogue: keys absent downstream
+def q_anti_semi_join(spark, sf_dir):
+    """A7 reorg-delete analogues in one entry: LEFT ANTI (customers with
+    no orders, counted per nation — keys absent downstream) and LEFT SEMI
+    (nations having at least one supplier), tagged by kind over a shared
+    (kind, key, n) schema."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    anti = (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_customers_without_orders"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("anti").alias("kind"),
+            F.col("c_nationkey").cast("long").alias("key"),
+            "n",
+        )
     )
+    n_ = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    semi = (
+        n_.join(s, n_["n_nationkey"] == s["s_nationkey"], "left_semi")
+        .select(
+            F.lit("semi").alias("kind"),
+            F.col("n_nationkey").cast("long").alias("key"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    return anti.unionByName(semi)
 
 
-SQL_ANTI_JOIN = """
-SELECT c_nationkey, count(*) AS n_customers_without_orders
+SQL_ANTI_SEMI_JOIN = """
+SELECT 'anti' AS kind, CAST(c_nationkey AS BIGINT) AS key, count(*) AS n
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
-"""
-
-
-def q_semi_join(spark, sf_dir):
-    n = _t(spark, sf_dir, "nation")
-    s = _t(spark, sf_dir, "supplier")
-    return n.join(s, n["n_nationkey"] == s["s_nationkey"], "left_semi").select("n_nationkey", "n_name")
-
-
-SQL_SEMI_JOIN = """
-SELECT n_nationkey, n_name FROM nation
+UNION ALL
+SELECT 'semi' AS kind, CAST(n_nationkey AS BIGINT) AS key, CAST(1 AS BIGINT) AS n
+FROM nation
 WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
 """
 
@@ -745,91 +757,72 @@ SQL_BOOL_MUST_NOT_QUERY = "\nUNION ALL\n".join(
 )
 
 
-def q_bm25_segmented(spark, sf_dir):
-    """The NRT path under the driver gate: the documents corpus is split
-    into TWO index segments (docs below/above the median id), queried
-    through SegmentedSearcher with GLOBAL corpus stats, every matching doc
-    returned (k unbounded). Global stats make segmentation invisible, so
-    the DuckDB oracle is the ordinary full-corpus BM25 scoring — a
-    hash-exact check that the segment union scores identically to one
-    index. Segment doc_ids are internal (offset by seg base); the stable
-    external id is recovered from conv_id."""
-    import tempfile
-
-    from bitcoin_ledger_2es_spark.config import DEFAULT
-    from bitcoin_ledger_2es_spark.streaming.incremental import (
-        SegmentedSearcher,
-        build_segment,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    transcripts = _docs_as_transcripts(docs)
-    cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
-    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
-    root = tempfile.mkdtemp(prefix="segidx_")
-    build_segment(
-        spark, transcripts.filter(F.col("conv_id") < f"c{int(median):08d}"), root, 0, cfg
-    )
-    build_segment(
-        spark, transcripts.filter(F.col("conv_id") >= f"c{int(median):08d}"), root, 1, cfg
-    )
-    s = SegmentedSearcher(spark, root, cfg)
-    out = None
-    for qid, text, mode in ENGINE_QUERIES:
-        r = s.top_k(text, k=1_000_000, mode=mode).select(
-            F.lit(qid).cast("long").alias("query_id"),
-            F.substring("conv_id", 2, 8).cast("long").alias("doc_id"),
-            duck_round(F.col("score").cast("double"), 3).alias("score3"),
-        )
-        out = r if out is None else out.unionByName(r)
-    return out
-
-
-SQL_BM25_SEGMENTED = SQL_BM25_INDEXED_ENGINE  # same oracle: full-corpus scoring
-
-
-def q_bm25_compacted(spark, sf_dir):
-    """Posting-level compaction under the driver gate: two segments are
-    merged from their POSTINGS ALONE (raw transcripts deleted first), and
-    the compacted index must score every query exactly like one built
-    from scratch — the oracle is the ordinary full-corpus BM25 scoring."""
+def q_bm25_nrt_compaction(spark, sf_dir):
+    """The full NRT segment LIFECYCLE in one gate entry (was two —
+    bm25_segmented + bm25_compacted, both green in r3): the documents
+    corpus is split into TWO index segments (docs below/above the median
+    id), (a) queried through SegmentedSearcher with GLOBAL corpus stats,
+    then (b) the raw transcripts are DELETED and the segments are merged
+    from their postings alone (Lucene-style posting-level compaction) and
+    queried again. Both variants must score every query (k unbounded)
+    exactly like one from-scratch index, so the oracle is plain
+    full-corpus BM25 scoring tagged per variant. Segment doc_ids are
+    internal (offset by seg base); the stable external id is recovered
+    from conv_id on the segmented side."""
     import shutil
     import tempfile
     from pathlib import Path
 
     from bitcoin_ledger_2es_spark import BM25Searcher
     from bitcoin_ledger_2es_spark.config import DEFAULT
-    from bitcoin_ledger_2es_spark.streaming.incremental import build_segment, compact
+    from bitcoin_ledger_2es_spark.streaming.incremental import (
+        SegmentedSearcher,
+        build_segment,
+        compact,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     transcripts = _docs_as_transcripts(docs)
     cfg = DEFAULT.with_(docs_per_shard=256, block_size=64, index_rollups=False)
     median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
-    root = tempfile.mkdtemp(prefix="compactidx_")
+    root = tempfile.mkdtemp(prefix="nrtidx_")
     build_segment(
         spark, transcripts.filter(F.col("conv_id") < f"c{int(median):08d}"), root, 0, cfg
     )
     build_segment(
         spark, transcripts.filter(F.col("conv_id") >= f"c{int(median):08d}"), root, 1, cfg
     )
+    seg = SegmentedSearcher(spark, root, cfg)
+    out = None
+    for qid, text, mode in ENGINE_QUERIES:
+        r = seg.top_k(text, k=1_000_000, mode=mode).select(
+            F.lit("segmented").alias("variant"),
+            F.lit(qid).cast("long").alias("query_id"),
+            F.substring("conv_id", 2, 8).cast("long").alias("doc_id"),
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = r if out is None else out.unionByName(r)
+    out = out.localCheckpoint()  # materialize BEFORE the raws are deleted
     for d in (Path(root) / "segments").iterdir():  # postings-only merge
         t = d / "transcripts"
         if t.exists():
             shutil.rmtree(t)
-    ix = compact(spark, root, cfg, from_postings=True)
-    s = BM25Searcher(ix)
-    out = None
+    s = BM25Searcher(compact(spark, root, cfg, from_postings=True))
     for qid, text, mode in ENGINE_QUERIES:
         r = s.top_k(text, k=1_000_000, mode=mode, with_meta=False).select(
+            F.lit("compacted").alias("variant"),
             F.lit(qid).cast("long").alias("query_id"),
             "doc_id",
             duck_round(F.col("score").cast("double"), 3).alias("score3"),
         )
-        out = r if out is None else out.unionByName(r)
+        out = out.unionByName(r)
     return out
 
 
-SQL_BM25_COMPACTED = SQL_BM25_INDEXED_ENGINE  # compaction must be invisible
+SQL_BM25_NRT_COMPACTION = "\nUNION ALL\n".join(
+    f"SELECT '{variant}' AS variant, * FROM ({SQL_BM25_INDEXED_ENGINE})"
+    for variant in ("segmented", "compacted")
+)  # segmentation AND compaction must both be invisible to scoring
 
 
 def q_search_after(spark, sf_dir):
@@ -1153,30 +1146,39 @@ SELECT rank, doc_id, score FROM (
 """
 
 
-def q_prefix_query(spark, sf_dir):
-    terms = _expanded_terms(spark, sf_dir, F.col("term").startswith("wor"))
-    return _bm25_relational(spark, sf_dir, terms, "or", 10)
+_EXPAND_KINDS = [
+    ("prefix", "term LIKE 'wor%'"),
+    ("wildcard", "term LIKE 'd%ta'"),
+    ("fuzzy", "levenshtein(term, 'tables') <= 1"),
+]
 
 
-SQL_PREFIX_QUERY = _sql_bm25_expanded("term LIKE 'wor%'", 10)
+def q_expand_queries(spark, sf_dir):
+    """B2 multi-term expansions in ONE gate entry (prefix / wildcard /
+    fuzzy, tagged by kind): each expands against the term dictionary
+    (top-df, capped) and scores as a weight-1-per-term BM25 OR — the
+    rewrite=scoring_boolean semantics the engine methods
+    (BM25Searcher.prefix_query/wildcard_query/fuzzy_query, pinned by
+    tests/test_phrase.py) implement over the index dictionary."""
+    conds = {
+        "prefix": F.col("term").startswith("wor"),
+        "wildcard": F.col("term").like("d%ta"),
+        "fuzzy": F.levenshtein(F.col("term"), F.lit("tables")) <= 1,
+    }
+    out = None
+    for kind, _ in _EXPAND_KINDS:
+        terms = _expanded_terms(spark, sf_dir, conds[kind])
+        r = _bm25_relational(spark, sf_dir, terms, "or", 10).select(
+            F.lit(kind).alias("kind"), "rank", "doc_id", "score"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
-def q_wildcard_query(spark, sf_dir):
-    terms = _expanded_terms(spark, sf_dir, F.col("term").like("d%ta"))
-    return _bm25_relational(spark, sf_dir, terms, "or", 10)
-
-
-SQL_WILDCARD_QUERY = _sql_bm25_expanded("term LIKE 'd%ta'", 10)
-
-
-def q_fuzzy_query(spark, sf_dir):
-    terms = _expanded_terms(
-        spark, sf_dir, F.levenshtein(F.col("term"), F.lit("tables")) <= 1
-    )
-    return _bm25_relational(spark, sf_dir, terms, "or", 10)
-
-
-SQL_FUZZY_QUERY = _sql_bm25_expanded("levenshtein(term, 'tables') <= 1", 10)
+SQL_EXPAND_QUERIES = "\nUNION ALL\n".join(
+    f"SELECT '{kind}' AS kind, * FROM ({_sql_bm25_expanded(cond, 10)})"
+    for kind, cond in _EXPAND_KINDS
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1572,8 +1574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_hits": q_top_hits,
     "join_revenue": q_join_revenue,
     "balance_rollup": q_balance_rollup,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
+    "anti_semi_join": q_anti_semi_join,
     "json_extract": q_json_extract,
     "window_lag": q_window_lag,
     "ids_lookup": q_ids_lookup,
@@ -1582,16 +1583,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_indexed_engine": q_bm25_indexed_engine,
     "bm25_msearch": q_bm25_msearch,
     "search_after": q_search_after,
-    "bm25_segmented": q_bm25_segmented,
-    "bm25_compacted": q_bm25_compacted,
+    "bm25_nrt_compaction": q_bm25_nrt_compaction,
     "match_phrase": q_match_phrase,
     "match_phrase_slop": q_match_phrase_slop,
     "match_phrase_slop_unordered": q_match_phrase_slop_unordered,
     "highlight": q_highlight,
     "highlight_phrase": q_highlight_phrase,
-    "prefix_query": q_prefix_query,
-    "wildcard_query": q_wildcard_query,
-    "fuzzy_query": q_fuzzy_query,
+    "expand_queries": q_expand_queries,
     "term_query": q_term_query,
     "bool_and_query": q_bool_and_query,
     "bool_must_not_query": q_bool_must_not_query,
@@ -1617,8 +1615,7 @@ ORACLE: dict[str, str] = {
     "top_hits": SQL_TOP_HITS,
     "join_revenue": SQL_JOIN_REVENUE,
     "balance_rollup": SQL_BALANCE_ROLLUP,
-    "anti_join": SQL_ANTI_JOIN,
-    "semi_join": SQL_SEMI_JOIN,
+    "anti_semi_join": SQL_ANTI_SEMI_JOIN,
     "json_extract": SQL_JSON_EXTRACT,
     "window_lag": SQL_WINDOW_LAG,
     "ids_lookup": SQL_IDS_LOOKUP,
@@ -1627,16 +1624,13 @@ ORACLE: dict[str, str] = {
     "bm25_indexed_engine": SQL_BM25_INDEXED_ENGINE,
     "bm25_msearch": SQL_BM25_MSEARCH,
     "search_after": SQL_SEARCH_AFTER,
-    "bm25_segmented": SQL_BM25_SEGMENTED,
-    "bm25_compacted": SQL_BM25_COMPACTED,
+    "bm25_nrt_compaction": SQL_BM25_NRT_COMPACTION,
     "match_phrase": SQL_MATCH_PHRASE,
     "match_phrase_slop": SQL_MATCH_PHRASE_SLOP,
     "match_phrase_slop_unordered": SQL_MATCH_PHRASE_SLOP_UNORDERED,
     "highlight": SQL_HIGHLIGHT,
     "highlight_phrase": SQL_HIGHLIGHT_PHRASE,
-    "prefix_query": SQL_PREFIX_QUERY,
-    "wildcard_query": SQL_WILDCARD_QUERY,
-    "fuzzy_query": SQL_FUZZY_QUERY,
+    "expand_queries": SQL_EXPAND_QUERIES,
     "term_query": SQL_TERM_QUERY,
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "bool_must_not_query": SQL_BOOL_MUST_NOT_QUERY,

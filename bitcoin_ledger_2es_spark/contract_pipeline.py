@@ -479,28 +479,113 @@ FROM meta, unnest(generate_series(0, n_frames - 1, 30)) AS u(f)
 """
 
 
+# ---------------------------------------------------------------------------
+# consolidated entries (round 4): the driver runs at most ~50 gate entries,
+# so same-grain capabilities are folded into multi-column / tagged entries —
+# every operator keeps a CURRENT driver row, and each still has its own
+# focused pytest (tests/test_pipeline_ops.py) for the per-op semantics.
+
+
+def q_text_features(spark, sf_dir):
+    """ALL doc-grain text-analysis operators joined on doc_id (was six
+    entries: text_quality, lang_id, token_counts, clean_text,
+    repetition_stats, doc_fingerprint — each hash-green individually in
+    r2/r3). Inner joins: the fingerprint op omits zero-token docs on both
+    engines identically."""
+    d = _t(spark, sf_dir, "documents")
+    q = T.quality_features(d)
+    lang = T.lang_id(d)
+    tc = d.select("doc_id", T.bpe_ish_count(F.col("text")).alias("n_bpe_pieces"))
+    ct = T.clean_text(d)
+    rs = T.repetition_stats(d).drop("n_tokens")
+    fp = T.fingerprint(d).drop("n_tokens")
+    return (
+        q.join(lang, "doc_id")
+        .join(tc, "doc_id")
+        .join(ct, "doc_id")
+        .join(rs, "doc_id")
+        .join(fp, "doc_id")
+    )
+
+
+SQL_TEXT_FEATURES = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+l AS ({SQL_LANG_ID}),
+tc AS (SELECT doc_id, n_bpe_pieces FROM ({SQL_TOKEN_COUNTS})),
+ct AS ({SQL_CLEAN_TEXT}),
+rs AS (SELECT doc_id, top_token_count, top_bigram_count, top_token_frac,
+              top_bigram_frac, keep
+       FROM ({SQL_REPETITION_STATS})),
+fp AS (SELECT doc_id, fp FROM ({SQL_DOC_FINGERPRINT}))
+SELECT q.*, l.pred_lang, l.marker_hits, tc.n_bpe_pieces,
+       ct.clean_text, ct.n_removed_chars,
+       rs.top_token_count, rs.top_bigram_count, rs.top_token_frac,
+       rs.top_bigram_frac, rs.keep, fp.fp
+FROM q
+JOIN l USING (doc_id) JOIN tc USING (doc_id) JOIN ct USING (doc_id)
+JOIN rs USING (doc_id) JOIN fp USING (doc_id)
+"""
+
+
+def q_approx_ops(spark, sf_dir):
+    """Every inherently-approximate operator in one rows-only entry (was
+    six no-oracle entries): each op runs fully and reports (op, n_rows,
+    checksum) — the checksum is a deterministic xor-fold of the op's
+    stringified output rows, so the driver's rows-only check still pins
+    one summary row per op and any content drift changes the row count's
+    companion hash. Accuracy is pytest-gated against exact ground truth
+    (recall/precision in tests/test_pipeline_ops.py)."""
+    ops = {
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_dedup": q_embedding_dedup,
+        "hll_cardinality": q_hll_cardinality,
+    }
+    out = None
+    for name, fn in ops.items():
+        df = fn(spark, sf_dir)
+        summary = df.agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])),
+                F.lit(0),
+            ).alias("checksum"),
+        ).select(F.lit(name).alias("op"), "n_rows", "checksum")
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+def q_multimodal_pipeline(spark, sf_dir):
+    """Multimodal plumbing in one entry (was multimodal_meta +
+    frame_sample): typed metadata decode over the binary payload column
+    LEFT JOINed with the shuffle-free frame-sampling plan — video rows
+    fan out per sampled frame, image/audio rows keep a NULL frame_idx."""
+    media = M.attach_payload(_t(spark, sf_dir, "documents"))
+    meta = M.decode_media_meta(media)
+    frames = M.frame_sample_plan(meta, every_n=30)
+    return meta.join(frames, "doc_id", "left")
+
+
+SQL_MULTIMODAL_PIPELINE = f"""
+SELECT m.*, f.frame_idx
+FROM ({SQL_MULTIMODAL_META}) m
+LEFT JOIN ({SQL_FRAME_SAMPLE}) f USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "train_val_split": q_train_val_split,
     "length_buckets": q_length_buckets,
     "concat_chunks": q_concat_chunks,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "token_counts": q_token_counts,
-    "clean_text": q_clean_text,
-    "repetition_stats": q_repetition_stats,
-    "doc_fingerprint": q_doc_fingerprint,
+    "text_features": q_text_features,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_dedup": q_embedding_dedup,
-    "hll_cardinality": q_hll_cardinality,
-    "multimodal_meta": q_multimodal_meta,
-    "frame_sample": q_frame_sample,
+    "approx_ops": q_approx_ops,
+    "multimodal_pipeline": q_multimodal_pipeline,
 }
 
 PIPELINE_ORACLE: dict[str, str] = {
@@ -510,13 +595,7 @@ PIPELINE_ORACLE: dict[str, str] = {
     "concat_chunks": SQL_CONCAT_CHUNKS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "text_quality": SQL_TEXT_QUALITY,
-    "lang_id": SQL_LANG_ID,
-    "token_counts": SQL_TOKEN_COUNTS,
-    "clean_text": SQL_CLEAN_TEXT,
-    "repetition_stats": SQL_REPETITION_STATS,
-    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "text_features": SQL_TEXT_FEATURES,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-    "multimodal_meta": SQL_MULTIMODAL_META,
-    "frame_sample": SQL_FRAME_SAMPLE,
+    "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
 }
