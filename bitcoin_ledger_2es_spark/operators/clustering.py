@@ -61,6 +61,7 @@ def connected_components(
         return e.sparkSession.createDataFrame([], "doc_id long, rep_id long")
 
     prev = _checksum(e)
+    converged = False
     for _ in range(max_iter):
         # ---- large-star: for each center u over its full (symmetric)
         # neighborhood, point every LARGER neighbor at m = min(N(u) ∪ {u})
@@ -84,8 +85,29 @@ def connected_components(
         e = _canon(ss).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # emitting per-node min-neighbor labels from a non-fixpoint edge
+        # set would be silently WRONG representatives on adversarial graphs
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint within "
+            f"max_iter={max_iter} rounds (expected O(log n)); raise max_iter"
+        )
+    # the (count, xor-hash) equality test could in principle terminate on a
+    # hash collision — verify the fixpoint IS a star set: no node may
+    # appear as both an edge source (u) and a target (v)
+    if (
+        e.select(F.col("v").alias("u"))
+        .distinct()
+        .join(e.select("u").distinct(), "u", "left_semi")
+        .take(1)
+    ):
+        raise RuntimeError(
+            "connected_components checksum converged on a non-star edge set "
+            "(hash collision); rerun with a higher max_iter"
+        )
 
     # fixpoint edges form stars (node -> component min); min() for safety
     labels = e.groupBy("u").agg(F.min("v").alias("rep_id")).select(

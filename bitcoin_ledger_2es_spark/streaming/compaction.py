@@ -34,6 +34,7 @@ retention. Tiered policies (merge only the k smallest segments) can reuse
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import numpy as np
@@ -216,13 +217,23 @@ def merge_segments(
     participants' concatenated batches (pinned by tests), so searcher
     results are unchanged. Raw ``transcripts/`` files, when present, are
     moved into the surviving segment so the raw-fallback path keeps
-    working; compaction itself never reads them."""
+    working; compaction itself never reads them.
+
+    Crash safety: the merged tree is written to ``_merging_{target}``,
+    stamped with a ``_COMMIT`` marker (participant list), and swapped in
+    RENAME-FIRST (old target aside -> tmp renamed into place -> leftovers
+    deleted) — a crash in any window leaves either the untouched
+    participants or a committed marker from which :func:`recover_merges`
+    (run here and by SegmentedSearcher/compact on open) completes the
+    swap. Losing the merged postings after participants are gone is
+    impossible: participants are only deleted once the rename committed."""
     import shutil
     from pathlib import Path
 
     from ..plans.build import read_index, write_index
     from .incremental import SEG_BASE, _seg_dirs
 
+    recover_merges(root)  # finish any committed-but-interrupted swap first
     dirs = {int(d.name.split("_", 1)[1]): d for d in _seg_dirs(root)}
     if seg_ids is None:
         by_size = sorted(
@@ -266,10 +277,14 @@ def merge_segments(
         avgdl=merged.avgdl,
         cfg=cfg,
     )
-    tmp_ix = Path(root) / "segments" / f"_merging_{target:06d}"
+    seg_root = Path(root) / "segments"
+    tmp_ix = seg_root / f"_merging_{target:06d}"
     if tmp_ix.exists():
+        # recover_merges above completed any COMMITTED attempt, so a
+        # surviving tmp dir here is an uncommitted partial write — safe
         shutil.rmtree(tmp_ix)
     write_index(rebased, str(tmp_ix / "index"))
+    release_merge_cache(merged, include_postings=True)  # on-disk copy serves
     # gather raw batches (if retained) so from_postings=False stays possible
     tdir = tmp_ix / "transcripts"
     for sid in seg_ids:
@@ -278,11 +293,92 @@ def merge_segments(
             tdir.mkdir(parents=True, exist_ok=True)
             for f in sorted(src.glob("*.parquet")):
                 shutil.copy2(f, tdir / f"seg{sid:06d}_{f.name}")
-    # swap in: delete participants, rename the merged dir into place
-    for sid in seg_ids:
-        shutil.rmtree(dirs[sid])
-    tmp_ix.rename(Path(root) / "segments" / f"seg_{target:06d}")
+    # COMMIT: from this marker on, the merge wins; any crash is completed
+    # by recover_merges instead of discarding the merged postings
+    (tmp_ix / "_COMMIT").write_text(
+        json.dumps({"target": target, "participants": sorted(int(s) for s in seg_ids)})
+    )
+    _complete_swap(seg_root, target, sorted(int(s) for s in seg_ids))
     return target
+
+
+def _complete_swap(seg_root, target: int, participants: list[int]) -> None:
+    """Idempotently finish a COMMITTED merge swap: retire the old target
+    dir by rename (never delete before the merged tree is in place),
+    rename ``_merging_{target}`` to ``seg_{target}``, then delete the
+    other participants and the retired copy, and drop the marker last.
+    Safe to re-run from any crash point."""
+    import shutil
+
+    tmp_ix = seg_root / f"_merging_{target:06d}"
+    tgt = seg_root / f"seg_{target:06d}"
+    aside = seg_root / f"_retiring_{target:06d}"
+    if tmp_ix.exists():
+        if tgt.exists():
+            if aside.exists():
+                shutil.rmtree(aside)  # stale retiree from an older crash
+            tgt.rename(aside)
+        tmp_ix.rename(tgt)
+    # merged tree is in place; now (and only now) drop the leftovers
+    for sid in participants:
+        d = seg_root / f"seg_{sid:06d}"
+        if sid != target and d.exists():
+            shutil.rmtree(d)
+    if aside.exists():
+        shutil.rmtree(aside)
+    marker = tgt / "_COMMIT"
+    if marker.exists():
+        marker.unlink()
+
+
+def recover_merges(root: str) -> None:
+    """Finish (or discard) merges interrupted by a crash. Called by
+    merge_segments itself and by the open paths (SegmentedSearcher,
+    compact): a ``_merging_*`` dir WITH a ``_COMMIT`` marker is a
+    completed merge whose swap didn't finish — complete it; without the
+    marker it is a partial write — discard it. A ``seg_*`` dir still
+    carrying a marker had its rename done but not its cleanup — finish
+    that too. A stray ``_retiring_*`` with no live swap is restored if
+    its target is missing (pre-commit crash), else deleted."""
+    import shutil
+    from pathlib import Path
+
+    seg_root = Path(root) / "segments"
+    if not seg_root.is_dir():
+        return
+    for tmp in sorted(seg_root.glob("_merging_*")):
+        marker = tmp / "_COMMIT"
+        if marker.exists():
+            meta = json.loads(marker.read_text())
+            _complete_swap(seg_root, int(meta["target"]), list(meta["participants"]))
+        else:
+            shutil.rmtree(tmp)
+    for tgt in sorted(seg_root.glob("seg_*")):
+        marker = tgt / "_COMMIT"
+        if marker.exists():
+            meta = json.loads(marker.read_text())
+            _complete_swap(seg_root, int(meta["target"]), list(meta["participants"]))
+    for aside in sorted(seg_root.glob("_retiring_*")):
+        tgt = seg_root / f"seg_{aside.name.split('_', 2)[2]}"
+        if tgt.exists():
+            shutil.rmtree(aside)
+        else:
+            aside.rename(tgt)
+
+
+def release_merge_cache(ix: IndexFrames, include_postings: bool = False) -> None:
+    """Unpersist the intermediates merge_postings_frames pinned (idmap +
+    merged dictionary; the dedup module's release_cached shape). The
+    merged POSTINGS stay cached by default — they are the serving frame
+    of the returned index, exactly like build_index's — pass
+    ``include_postings=True`` once an on-disk copy serves instead.
+    Prevents cache accumulation across repeated NRT compactions in one
+    session."""
+    for c in getattr(ix, "_merge_cached", []):
+        c.unpersist()
+    ix._merge_cached = []
+    if include_postings:
+        ix.postings.unpersist()
 
 
 def merged_docmap(docmap_all: DataFrame) -> DataFrame:
@@ -396,4 +492,8 @@ def merge_postings_frames(
         idmap.select("doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"), cfg
     )
     stats = spark.createDataFrame([corpus_stats_row(n_docs, avgdl, cfg)], CORPUS_STATS_DDL)
-    return IndexFrames(docmap, stats, dict_full, postings, n_docs, avgdl, cfg)
+    ix = IndexFrames(docmap, stats, dict_full, postings, n_docs, avgdl, cfg)
+    # track the persisted intermediates so compact()/merge_segments() can
+    # free them (release_merge_cache) once the result is materialized
+    ix._merge_cached = [idmap, new_dict]
+    return ix

@@ -159,8 +159,9 @@ def compact(
     and re-tokenizes every retained transcripts/ dir) — the fallback when
     a conversation spans segments."""
     if from_postings:
-        from .compaction import merge_postings_frames
+        from .compaction import merge_postings_frames, recover_merges
 
+        recover_merges(root)
         dirs = _seg_dirs(root)
         if not dirs:
             raise ValueError("no segments to compact")
@@ -176,6 +177,13 @@ def compact(
         full = spark.read.parquet(*srcs)
         ix = build_index(full, cfg)
     write_index(ix, f"{root}/compacted")
+    if from_postings:
+        from .compaction import release_merge_cache
+
+        # idmap/new_dict intermediates are no longer needed once the
+        # compacted index is on disk; the merged postings stay cached —
+        # they are the serving frame of the returned in-memory index
+        release_merge_cache(ix)
     return ix
 
 
@@ -192,6 +200,9 @@ class SegmentedSearcher:
     flat instead of growing linearly in driver round-trips."""
 
     def __init__(self, spark: SparkSession, root: str, cfg: EngineConfig = DEFAULT):
+        from .compaction import recover_merges
+
+        recover_merges(root)  # finish any crash-interrupted committed merge
         self.spark = spark
         dirs = _seg_dirs(root)
         self.segments = [read_index(spark, str(s / "index"), cfg) for s in dirs]

@@ -90,3 +90,19 @@ def test_cluster_representatives_includes_singletons(spark):
 def test_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """Exhausting max_iter before the star fixpoint must RAISE, never
+    silently emit per-node min-neighbor labels (wrong representatives on
+    adversarial graphs)."""
+    import pandas as pd
+
+    chain = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(0, 40)), "doc_b": list(range(1, 41))})
+    )
+    with pytest.raises(RuntimeError, match="did not reach the star fixpoint"):
+        connected_components(chain, max_iter=1)
+    # with enough rounds the same graph converges fine
+    out = connected_components(chain, max_iter=30).toPandas()
+    assert (out["rep_id"] == 0).all()

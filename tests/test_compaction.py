@@ -194,3 +194,59 @@ def test_iterated_tiered_merge_converges_to_full_rebuild(spark, tmp_path):
         m.sort_values(key).reset_index(drop=True)[cols],
         s.sort_values(key).reset_index(drop=True)[cols],
     )
+
+
+def test_merge_swap_crash_recovery(spark, tmp_path, monkeypatch):
+    """A crash AFTER the merge committed (tmp tree + _COMMIT marker
+    written, swap not yet done) must not lose the merged postings:
+    recover_merges — run automatically by the open paths — finishes the
+    swap, byte-identical to an uninterrupted merge. An UNcommitted
+    _merging_* leftover is discarded and its participants survive."""
+    import bitcoin_ledger_2es_spark.streaming.compaction as C
+    from bitcoin_ledger_2es_spark.plans.build import read_index
+    from bitcoin_ledger_2es_spark.streaming.incremental import SegmentedSearcher
+
+    full = gen_transcripts_pdf(40, seed=53)
+    convs = sorted(full["conv_id"].unique())
+    halves = [convs[:20], convs[20:]]
+
+    def build_root(name):
+        root = str(tmp_path / name)
+        for i, cs in enumerate(halves):
+            df = spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL)
+            build_segment(spark, df, root, i, CFG)
+        return root
+
+    root_clean, root_crash = build_root("clean"), build_root("crash")
+    C.merge_segments(spark, root_clean, seg_ids=[0, 1], cfg=CFG)
+
+    monkeypatch.setattr(C, "_complete_swap", lambda *a, **k: None)  # "crash"
+    C.merge_segments(spark, root_crash, seg_ids=[0, 1], cfg=CFG)
+    monkeypatch.undo()
+    segdir = Path(root_crash) / "segments"
+    assert (segdir / "_merging_000000" / "_COMMIT").exists()
+    assert (segdir / "seg_000000").exists() and (segdir / "seg_000001").exists()
+
+    # opening the root (SegmentedSearcher) completes the committed swap
+    s = SegmentedSearcher(spark, root_crash, CFG)
+    assert s.top_k("w0000", k=5).count() > 0
+    assert sorted(p.name for p in segdir.iterdir()) == ["seg_000000"]
+    got = read_index(spark, str(segdir / "seg_000000" / "index"), CFG)
+    ref = read_index(
+        spark, str(Path(root_clean) / "segments" / "seg_000000" / "index"), CFG
+    )
+    pd.testing.assert_frame_equal(
+        _canon_postings(got.postings), _canon_postings(ref.postings)
+    )
+
+    # an uncommitted partial write is discarded; the live segment survives
+    junk = segdir / "_merging_000099"
+    (junk / "index").mkdir(parents=True)
+    (junk / "index" / "half.parquet").write_bytes(b"partial")
+    C.recover_merges(root_crash)
+    assert not junk.exists()
+    assert (segdir / "seg_000000").exists()
+
+    # _complete_swap is idempotent from the mid-cleanup state too
+    C._complete_swap(segdir, 0, [0, 1])
+    assert sorted(p.name for p in segdir.iterdir()) == ["seg_000000"]
