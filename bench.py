@@ -158,10 +158,20 @@ def main() -> None:
         t_batch = min(t_batch, time.monotonic() - t0)
     queries["bm25_msearch_all"] = round(t_batch, 4)
 
-    for name in ("stats_agg", "join_revenue", "bm25_topk", "window_lag"):
-        t0 = time.monotonic()
-        QUERIES[name](spark, SF_DIR).collect()
-        queries[name] = round(time.monotonic() - t0, 3)
+    # relational tail queries: same warm-up + best-of-N discipline as the
+    # bm25 set — their single-shot timings showed phantom 3x regressions on
+    # unchanged code under this host's +-50% run-to-run noise. Skipped when
+    # the sf dir has no driver tables (e.g. a synthetic-corpus-only sf1
+    # scale run): only these four read the sf parquet tables.
+    if Path(SF_DIR).is_dir():
+        for name in ("stats_agg", "join_revenue", "bm25_topk", "window_lag"):
+            QUERIES[name](spark, SF_DIR).collect()  # warm-up
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.monotonic()
+                QUERIES[name](spark, SF_DIR).collect()
+                best = min(best, time.monotonic() - t0)
+            queries[name] = round(best, 3)
 
     total = sum(queries.values())
     out = {
