@@ -1540,6 +1540,146 @@ SELECT * FROM ma UNION ALL SELECT * FROM cs
 """
 
 
+QS_QUERIES = [
+    # Lucene classic syntax: must term + should term + must_not term;
+    # should phrase + should term (min_m default 1); must phrase + prefix
+    # expansion clause
+    (0, "+spark data -join"),
+    (1, '"the data" row'),
+    (2, '+"spark table" wor*'),
+]
+
+
+def q_query_string(spark, sf_dir):
+    """ES query_string on the REAL engine: Lucene classic syntax
+    (functions/querystring.py) parsed and lowered onto ONE pruned postings
+    scan + the generalized bool kernel (operators/wand.py score_shard_qs:
+    clause groups, embedded phrase scoring, expansion groups). k unbounded
+    so every matching doc is checked against the DuckDB oracle — term
+    clauses score BM25, phrases score Lucene PhraseWeight (tf=phrase freq,
+    idf=sum of term idfs), clause scores sum, must/must_not gate."""
+    s = _engine_searcher(spark, sf_dir, positions=True)
+    out = None
+    for qid, qs in QS_QUERIES:
+        r = s.query_string(qs, k=1_000_000, with_meta=False).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+# shared CTE prelude for the query_string oracle: positional token stream,
+# doc lengths, corpus stats — the same shapes as the phrase/bool oracles
+_QS_PRELUDE = """
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  dls AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
+  ),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  )"""
+
+
+def _qs_idf(term: str) -> str:
+    return (
+        "ln(1.0 + (c.n_docs - "
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{term}')"
+        " + 0.5) / ("
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{term}')"
+        " + 0.5))"
+    )
+
+
+# qid 0: +spark data -join — pure term clauses, same algebra as the bool
+# oracle (must gate, should scores, must_not excludes)
+_SQL_QS0 = _sql_bool_allmatch(0, "spark", "data", "join", 0)
+
+# qid 1: "the data" row — should phrase + should term, min_m=1: docs
+# matching EITHER side; score = term contrib + phrase contrib (the
+# engine's accumulation order: terms first, then phrases)
+_SQL_QS1 = f"""
+SELECT 1 AS query_id, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3
+FROM (
+  {_QS_PRELUDE},
+  sidf AS (SELECT ({_qs_idf('the')} + {_qs_idf('data')}) AS v FROM corpus c),
+  pf AS (
+    SELECT t0.doc_id, count(*) AS pf
+    FROM toks t0
+    JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 AND t1.tok = 'data'
+    WHERE t0.tok = 'the'
+    GROUP BY t0.doc_id
+  ),
+  ph AS (
+    SELECT pf.doc_id,
+           s.v * pf.pf * 2.2 / (pf.pf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM pf JOIN dls USING (doc_id), corpus c, sidf s
+  ),
+  tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE tok = 'row' GROUP BY doc_id),
+  tsc AS (
+    SELECT tf.doc_id,
+           {_qs_idf('row')} * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dls USING (doc_id), corpus c
+  )
+  SELECT doc_id, coalesce(t.contrib, 0) + coalesce(p.contrib, 0) AS score
+  FROM tsc t FULL OUTER JOIN ph p USING (doc_id)
+)
+"""
+
+# qid 2: +"spark table" wor* — must phrase gates; the prefix clause is ONE
+# group expanded against the dictionary (df desc, term asc, cap 50),
+# scoring weight-1 per expanded term (rewrite=scoring_boolean)
+_SQL_QS2 = f"""
+SELECT 2 AS query_id, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3
+FROM (
+  {_QS_PRELUDE},
+  sidf AS (SELECT ({_qs_idf('spark')} + {_qs_idf('table')}) AS v FROM corpus c),
+  pf AS (
+    SELECT t0.doc_id, count(*) AS pf
+    FROM toks t0
+    JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 AND t1.tok = 'table'
+    WHERE t0.tok = 'spark'
+    GROUP BY t0.doc_id
+  ),
+  ph AS (
+    SELECT pf.doc_id,
+           s.v * pf.pf * 2.2 / (pf.pf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM pf JOIN dls USING (doc_id), corpus c, sidf s
+  ),
+  expansion AS (
+    SELECT term FROM (
+      SELECT tok AS term, count(DISTINCT doc_id) AS xdf FROM toks
+      WHERE tok LIKE 'wor%' GROUP BY tok ORDER BY xdf DESC, term ASC LIMIT 50
+    )
+  ),
+  tf AS (
+    SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+    WHERE tok IN (SELECT term FROM expansion) GROUP BY doc_id, tok
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  tsc AS (
+    SELECT tf.doc_id,
+           sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl))) AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+    GROUP BY tf.doc_id
+  )
+  SELECT p.doc_id, coalesce(t.contrib, 0) + p.contrib AS score
+  FROM ph p LEFT JOIN tsc t USING (doc_id)
+)
+"""
+
+SQL_QUERY_STRING = "\nUNION ALL\n".join([_SQL_QS0, _SQL_QS1, _SQL_QS2])
+
+
 def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface
     return (
         _doc_tokens(spark, sf_dir)
@@ -1594,6 +1734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_and_query": q_bool_and_query,
     "bool_must_not_query": q_bool_must_not_query,
     "match_all_constant_score": q_match_all_constant_score,
+    "query_string": q_query_string,
     "tokenize_term_counts": q_tokenize_term_counts,
     "significant_terms": q_significant_terms,
     "term_suggest": q_term_suggest,
@@ -1635,6 +1776,7 @@ ORACLE: dict[str, str] = {
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "bool_must_not_query": SQL_BOOL_MUST_NOT_QUERY,
     "match_all_constant_score": SQL_MATCH_ALL_CONSTANT_SCORE,
+    "query_string": SQL_QUERY_STRING,
     "tokenize_term_counts": SQL_TOKENIZE_TERM_COUNTS,
     "significant_terms": SQL_SIGNIFICANT_TERMS,
     "term_suggest": SQL_TERM_SUGGEST,

@@ -228,6 +228,62 @@ def score_shard_phrase_unordered(
     )
 
 
+_EMPTY_FREQS = (
+    np.empty(0, np.int64),
+    np.empty(0, np.float64),
+    np.empty(0, np.int64),
+    np.empty(0, np.int64),
+)
+
+
+def phrase_doc_freqs(
+    slot_blocks: list[pd.DataFrame],
+    base: int,
+    slop: int = 0,
+    ordered: bool = True,
+):
+    """Per-doc phrase frequencies within one shard — the matching core
+    shared by the top-k phrase scorer below and the query_string bool
+    kernel (a phrase clause inside a bool query needs EVERY matching
+    doc's freq, not a top-k).
+
+    Returns ``(docs_local int64, pf float64, dl_docs, dl_vals)`` where
+    ``docs_local`` is sorted ascending, ``pf`` is the phrase frequency
+    (integral-valued for ordered matching, Lucene sloppy-weighted for
+    unordered), and ``dl_docs``/``dl_vals`` are slot-0's posting-level
+    doc->length arrays for the BM25 dl lookup (``dl_vals[searchsorted(
+    dl_docs, docs_local)]``). Empty arrays when any slot is absent."""
+    n_slots = len(slot_blocks)
+    if not slot_blocks or any(b_.empty for b_ in slot_blocks):
+        return _EMPTY_FREQS
+    if not ordered:
+        return _unordered_freqs(slot_blocks, base, slop)
+    if slop > 0:
+        keys, dl_docs, dl_vals = _sloppy_starts(slot_blocks, base, slop)
+        keys = np.sort(keys)
+    else:
+        keys = None
+        dl_docs = dl_vals = None
+        for slot, blocks in enumerate(slot_blocks):
+            kk, docs_local, dls = _slot_keys(blocks, slot, n_slots, base)
+            if slot == 0:
+                keys, dl_docs, dl_vals = kk, docs_local, dls
+            else:
+                keys = np.intersect1d(keys, kk, assume_unique=True)
+            if keys.size == 0:
+                break
+    if keys is None or keys.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64), dl_docs, dl_vals)
+
+    match_local = (keys >> np.int64(_POS_BITS)).astype(np.int64)
+    # phrase freq per doc: keys are sorted, so run-length over the doc part
+    starts = np.flatnonzero(
+        np.concatenate(([True], match_local[1:] != match_local[:-1]))
+    )
+    pf = np.diff(np.concatenate((starts, [match_local.size]))).astype(np.float64)
+    return match_local[starts], pf, dl_docs, dl_vals
+
+
 def score_shard_phrase(
     slot_blocks: list[pd.DataFrame],
     sum_idf: float,
@@ -254,33 +310,9 @@ def score_shard_phrase(
             "phrase_freq": pd.Series([], dtype=np.int64),
         }
     )
-    n_slots = len(slot_blocks)
-    if any(b_.empty for b_ in slot_blocks):
+    docs, pf, dl_docs, dl_vals = phrase_doc_freqs(slot_blocks, base, slop, ordered=True)
+    if docs.size == 0:
         return empty
-    if slop > 0:
-        keys, dl_docs, dl_vals = _sloppy_starts(slot_blocks, base, slop)
-        keys = np.sort(keys)
-        if keys.size == 0:
-            return empty
-    else:
-        keys = None
-        dl_docs = dl_vals = None
-        for slot, blocks in enumerate(slot_blocks):
-            kk, docs_local, dls = _slot_keys(blocks, slot, n_slots, base)
-            if slot == 0:
-                keys, dl_docs, dl_vals = kk, docs_local, dls
-            else:
-                keys = np.intersect1d(keys, kk, assume_unique=True)
-            if keys.size == 0:
-                return empty
-
-    match_local = (keys >> np.int64(_POS_BITS)).astype(np.int64)
-    # phrase freq per doc: keys are sorted, so run-length over the doc part
-    starts = np.flatnonzero(
-        np.concatenate(([True], match_local[1:] != match_local[:-1]))
-    )
-    pf = np.diff(np.concatenate((starts, [match_local.size]))).astype(np.float64)
-    docs = match_local[starts]
     dl = dl_vals[np.searchsorted(dl_docs, docs)].astype(np.float64)
 
     denom = pf + k1 * (1.0 - b + b * dl / avgdl)

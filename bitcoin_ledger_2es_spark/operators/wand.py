@@ -348,6 +348,136 @@ def score_shard_bool(
     )
 
 
+def score_shard_qs(
+    term_meta: list[tuple[int, float, float, pd.DataFrame]],
+    must_groups: list[list[int]],
+    should_groups: list[list[int]],
+    excl_blocks: list[pd.DataFrame],
+    phrase_meta: list[tuple[list[pd.DataFrame], float, float, str, int, bool]],
+    shard_base: int,
+    span: int,
+    allowed: np.ndarray | None,
+    k: int,
+    min_should: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    after: tuple[float, int] | None = None,
+) -> pd.DataFrame:
+    """Lucene classic query_string within one shard: the bool kernel
+    generalized to CLAUSE GROUPS and embedded phrase clauses.
+
+    * ``term_meta``: every scoring term once — (term_id, idf, weight,
+      blocks), weight pre-summed across clauses (a term in two clauses
+      scores twice, as in ES bool).
+    * ``must_groups`` / ``should_groups``: each entry is the term_id set
+      of ONE clause; a multi-term expansion (``pre*`` -> 50 terms) or a
+      multi-token analyzed clause is a single group that counts as
+      matched when ANY member matches (Lucene BooleanQuery counts
+      clauses, not terms). Groups may reference term_ids absent from
+      this shard's scan — those members simply never match here.
+    * ``phrase_meta``: (slot_blocks, sum_idf, weight, role, slop,
+      ordered) per phrase clause; role in must/should/must_not. Phrase
+      score = BM25 with tf = phrase freq (operators/phrase.py); a must
+      phrase counts toward the must total, a must_not phrase extends the
+      exclusion mask.
+
+    Determinism contract extension: f64 accumulation runs ascending
+    term_id over ``term_meta`` FIRST, then phrase clauses in query
+    order — mirrored by the DuckDB oracle's left-to-right ``+`` of the
+    term-sum and phrase contributions. Ties (score_f32 desc, doc_id asc).
+    """
+    from .phrase import phrase_doc_freqs
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float32)})
+    if not term_meta and not any(p[3] != "must_not" for p in phrase_meta):
+        return empty  # no scoring clause reached this shard
+    scores = np.zeros(span, dtype=np.float64)
+    tid_docs: dict[int, np.ndarray] = {}
+    for tid, t_idf, w, blocks in sorted(term_meta, key=lambda m: m[0]):
+        dec = _decode_term_blocks(blocks, shard_base)
+        if dec is None:
+            continue
+        docs, tfs, dls = dec
+        scores[docs] += w * contrib(tfs, dls, t_idf, avgdl, k1, b)
+        tid_docs[tid] = docs
+    phrase_hits: list[tuple[str, np.ndarray]] = []
+    for slot_blocks, sum_idf, w, role, slop, ordered in phrase_meta:
+        docs, pf, dl_docs, dl_vals = phrase_doc_freqs(
+            slot_blocks, shard_base, slop, ordered
+        )
+        if docs.size and role != "must_not":
+            dl = dl_vals[np.searchsorted(dl_docs, docs)].astype(np.float64)
+            scores[docs] += (
+                w * sum_idf * pf * (k1 + 1.0)
+                / (pf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+        phrase_hits.append((role, docs))
+
+    def group_mask(tids: list[int]) -> np.ndarray:
+        m = np.zeros(span, dtype=bool)
+        for tid in tids:
+            d = tid_docs.get(tid)
+            if d is not None:
+                m[d] = True
+        return m
+
+    # membership: n_must counts EVERY must clause in the query (including
+    # ones whose terms are absent from this shard — a doc here cannot
+    # contain them, so the shard correctly emits nothing)
+    n_must = len(must_groups) + sum(1 for r, _ in phrase_hits if r == "must")
+    seen_must = np.zeros(span, dtype=np.int32)
+    for g in must_groups:
+        seen_must += group_mask(g)
+    seen_should = np.zeros(span, dtype=np.int32)
+    for g in should_groups:
+        seen_should += group_mask(g)
+    n_should = len(should_groups) + sum(1 for r, _ in phrase_hits if r == "should")
+    for role, docs in phrase_hits:
+        if role == "must":
+            seen_must[docs] += 1
+        elif role == "should":
+            seen_should[docs] += 1
+
+    mask = seen_must == n_must if n_must else np.ones(span, dtype=bool)
+    if min_should > 0:
+        mask &= seen_should >= min_should
+    elif n_must == 0 and n_should:
+        mask &= seen_should > 0  # pure-should: at least one clause
+    for blocks in excl_blocks:
+        dec = _decode_term_blocks(blocks, shard_base)
+        if dec is not None:
+            mask[dec[0]] = False
+    for role, docs in phrase_hits:
+        if role == "must_not":
+            mask[docs] = False
+    if allowed is not None:
+        mask &= allowed
+    if after is not None:
+        s_cut, d_cut = np.float32(after[0]), int(after[1])
+        s32_all = scores.astype(np.float32)
+        ids = np.arange(span, dtype=np.int64) + shard_base
+        mask &= (s32_all < s_cut) | ((s32_all == s_cut) & (ids > d_cut))
+
+    cand = np.flatnonzero(mask)
+    if cand.size == 0:
+        return empty
+    s32 = scores[cand].astype(np.float32)
+    if cand.size > k:
+        kth = np.partition(-s32, k - 1)[k - 1]
+        sup = np.flatnonzero(-s32 <= kth)
+        order = sup[np.lexsort((cand[sup], -s32[sup].astype(np.float64)))][:k]
+    else:
+        order = np.lexsort((cand, -s32.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {
+            "doc_id": (cand[order] + shard_base).astype(np.int64),
+            "score": s32[order],
+        }
+    )
+
+
 def score_shard_exact(
     term_meta: list[tuple[int, float, float, pd.DataFrame]],
     shard_base: int,

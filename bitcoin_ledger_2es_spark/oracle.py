@@ -240,32 +240,12 @@ class PandasOracle:
             }
         )
 
-    def phrase_topk(
-        self, query_text: str, k: int = 10, slop: int = 0, ordered: bool = True
-    ) -> pd.DataFrame:
-        """match_phrase oracle (B5): brute-force scan of every doc's token
-        stream — slop=0 requires consecutive occurrences; slop>0 ordered
-        counts start positions p0 from which the terms appear in order with
-        total span <= len + slop; slop>0 UNordered uses minimal-window
-        semantics with 1/(1+width) weighting (same contract as
-        operators/phrase.py score_shard_phrase_unordered — implemented
-        independently here over raw token streams). BM25 with tf = phrase
-        freq, idf = sum of per-term idfs in query order."""
-        cfg = self.cfg
-        terms = analyze_query(query_text, cfg)
-        unordered = not ordered and slop > 0
-        freq_np = np.float64 if unordered else np.int64
-        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
-                              "doc_id": pd.Series([], dtype=np.int64),
-                              "score": pd.Series([], dtype=np.float32),
-                              "phrase_freq": pd.Series([], dtype=freq_np)})
-        if not terms or any(t not in self.postings for t in terms):
-            return empty
-        if unordered:
-            return self._phrase_topk_unordered(terms, k, slop, empty)
-        sum_idf = 0.0
-        for t in terms:
-            sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
+    def _phrase_rows_pf_ordered(self, terms: list[str], slop: int):
+        """Brute-force per-doc ordered phrase frequencies: slop=0 counts
+        consecutive occurrences, slop>0 counts start positions from which
+        the terms appear in order within span <= len + slop. Returns
+        (row indices int64, pf float64) — shared by phrase_topk and the
+        query_string oracle."""
         rows, pfs = [], []
         n = len(terms)
 
@@ -296,10 +276,220 @@ class PandasOracle:
             if pf:
                 rows.append(row)
                 pfs.append(pf)
-        if not rows:
+        return (
+            np.asarray(rows, dtype=np.int64),
+            np.asarray(pfs, dtype=np.float64),
+        )
+
+    def query_string_topk(
+        self,
+        qs: str,
+        k: int = 10,
+        default_operator: str = "or",
+        max_expansions: int = 50,
+        minimum_should_match: int | None = None,
+    ) -> pd.DataFrame:
+        """Lucene classic query_string oracle — mirrors
+        BM25Searcher.query_string / operators/wand.py score_shard_qs (the
+        lockstep contract): clause groups (a multi-token or expanded
+        clause counts once toward must/minimum_should_match, every member
+        scores), ordered phrases embedded as scoring clauses (tf = phrase
+        freq, idf summed in query order, accumulated AFTER all term
+        contributions in clause order), must_not exclusions. Filter
+        clauses and unordered phrases are out of scope here (filters are
+        docmap metadata — tested against the engine's doc_filter path)."""
+        import re as _re
+
+        from .functions.querystring import parse_query_string
+
+        cfg = self.cfg
+        parsed = parse_query_string(qs, cfg, default_operator)
+        if parsed.filters:
+            raise NotImplementedError("filter clauses: test via doc_filter")
+        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32)})
+
+        def _lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        def _expand(ec) -> list[str]:
+            if ec.kind == "prefix":
+                pred = lambda t: t.startswith(ec.pattern)
+            elif ec.kind == "wildcard":
+                rx = _re.compile(
+                    "^" + "".join(
+                        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                        for ch in ec.pattern
+                    ) + "$"
+                )
+                pred = lambda t: rx.match(t) is not None
+            else:
+                pred = lambda t: _lev(t, ec.pattern) <= ec.fuzziness
+            cand = sorted(
+                ((len(self.postings[t][0]), t) for t in self.postings if pred(t)),
+                key=lambda x: (-x[0], x[1]),
+            )
+            return [t for _, t in cand[:max_expansions]]
+
+        weights: dict[str, float] = {}
+        must_groups: list[list[str]] = []
+        should_groups: list[list[str]] = []
+        excl: set[str] = set()
+        n_should_raw = 0
+        viable_should = 0
+
+        def _add(term_weights: list[tuple[str, float]], role: str) -> bool:
+            nonlocal n_should_raw, viable_should
+            if role == "should":
+                n_should_raw += 1
+            if role == "must_not":
+                excl.update(t for t, _ in term_weights)
+                return True
+            names = []
+            for t, w in term_weights:
+                weights[t] = weights.get(t, 0.0) + w
+                names.append(t)
+            if not names:
+                return role != "must"
+            if role == "must":
+                must_groups.append(names)
+            else:
+                viable_should += 1
+                should_groups.append(names)
+            return True
+
+        for c in parsed.terms:
+            tw = [(t, float(n)) for t, n in Counter(c.terms).items()
+                  if t in self.postings]
+            if not _add(tw, c.role):
+                return empty
+        for ec in parsed.expands:
+            if not _add([(t, 1.0) for t in _expand(ec)], ec.role):
+                return empty
+        phrase_list = []
+        for p in parsed.phrases:
+            if p.role == "should":
+                n_should_raw += 1
+            if any(t not in self.postings for t in p.terms):
+                if p.role == "must":
+                    return empty
+                continue
+            sum_idf = 0.0
+            for t in p.terms:
+                sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
+            if p.role == "should":
+                viable_should += 1
+            phrase_list.append((p.terms, sum_idf, p.role, p.slop))
+
+        min_m = minimum_should_match
+        if min_m is None:
+            min_m = 1 if (n_should_raw and not must_groups and not any(
+                p[2] == "must" for p in phrase_list)) else 0
+        if min_m > viable_should:
             return empty
-        rows = np.asarray(rows, dtype=np.int64)
-        pf = np.asarray(pfs, dtype=np.float64)
+        if not weights and not any(p[2] != "must_not" for p in phrase_list):
+            return empty  # pure-negative: engine serves match_all, not scored
+
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        term_rows = {}
+        for t in sorted(weights, key=lambda t: self.term_id[t]):
+            rows, tfs = self.postings[t]
+            t_idf = idf(float(len(rows)), self.n_docs)
+            scores[rows] += weights[t] * contrib(
+                tfs, self.doc_len[rows], t_idf, self.avgdl, cfg.k1, cfg.b
+            )
+            term_rows[t] = rows
+        phrase_hits = []
+        for terms, sum_idf, role, slop in phrase_list:
+            rows, pf = self._phrase_rows_pf_ordered(terms, slop)
+            if rows.size and role != "must_not":
+                dl = self.doc_len[rows].astype(np.float64)
+                scores[rows] += (
+                    sum_idf * pf * (cfg.k1 + 1.0)
+                    / (pf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / self.avgdl))
+                )
+            phrase_hits.append((role, rows))
+
+        def _group_mask(names: list[str]) -> np.ndarray:
+            m = np.zeros(self.n_docs, dtype=bool)
+            for t in names:
+                m[term_rows[t]] = True
+            return m
+
+        n_must = len(must_groups) + sum(1 for r, _ in phrase_hits if r == "must")
+        seen_must = np.zeros(self.n_docs, dtype=np.int64)
+        for g in must_groups:
+            seen_must += _group_mask(g)
+        seen_should = np.zeros(self.n_docs, dtype=np.int64)
+        for g in should_groups:
+            seen_should += _group_mask(g)
+        n_should = len(should_groups) + sum(1 for r, _ in phrase_hits if r == "should")
+        for role, rows in phrase_hits:
+            if role == "must":
+                seen_must[rows] += 1
+            elif role == "should":
+                seen_should[rows] += 1
+        mask = seen_must == n_must if n_must else np.ones(self.n_docs, dtype=bool)
+        if min_m > 0:
+            mask &= seen_should >= min_m
+        elif n_must == 0 and n_should:
+            mask &= seen_should > 0
+        for t in excl:
+            if t in self.postings:
+                mask[self.postings[t][0]] = False
+        for role, rows in phrase_hits:
+            if role == "must_not":
+                mask[rows] = False
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return empty
+        s32 = scores[cand].astype(np.float32)
+        order = np.lexsort((self.doc_ids[cand], -s32.astype(np.float64)))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": self.doc_ids[cand][order],
+                "score": s32[order],
+            }
+        )
+
+    def phrase_topk(
+        self, query_text: str, k: int = 10, slop: int = 0, ordered: bool = True
+    ) -> pd.DataFrame:
+        """match_phrase oracle (B5): brute-force scan of every doc's token
+        stream — slop=0 requires consecutive occurrences; slop>0 ordered
+        counts start positions p0 from which the terms appear in order with
+        total span <= len + slop; slop>0 UNordered uses minimal-window
+        semantics with 1/(1+width) weighting (same contract as
+        operators/phrase.py score_shard_phrase_unordered — implemented
+        independently here over raw token streams). BM25 with tf = phrase
+        freq, idf = sum of per-term idfs in query order."""
+        cfg = self.cfg
+        terms = analyze_query(query_text, cfg)
+        unordered = not ordered and slop > 0
+        freq_np = np.float64 if unordered else np.int64
+        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32),
+                              "phrase_freq": pd.Series([], dtype=freq_np)})
+        if not terms or any(t not in self.postings for t in terms):
+            return empty
+        if unordered:
+            return self._phrase_topk_unordered(terms, k, slop, empty)
+        sum_idf = 0.0
+        for t in terms:
+            sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
+        rows, pf = self._phrase_rows_pf_ordered(terms, slop)
+        if rows.size == 0:
+            return empty
         dl = self.doc_len[rows].astype(np.float64)
         denom = pf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / self.avgdl)
         s32 = (sum_idf * pf * (cfg.k1 + 1.0) / denom).astype(np.float32)

@@ -712,6 +712,252 @@ class BM25Searcher:
             .select("input", "term", "distance", "df")
         )
 
+    def query_string(
+        self,
+        qs: str,
+        k: int = 10,
+        default_operator: str = "or",
+        max_expansions: int = 50,
+        minimum_should_match: int | None = None,
+        phrase_ordered: bool = True,
+        doc_filter: Column | None = None,
+        with_meta: bool = True,
+        search_after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """ES ``query_string`` query: Lucene classic syntax parsed
+        (functions/querystring.py) and lowered onto ONE pruned postings
+        scan + the generalized bool shard kernel (score_shard_qs) — the
+        whole mixed query runs as a single job regardless of how many
+        clauses, expansions, or phrases it contains.
+
+        Supported syntax: ``+must``/``-must_not`` occurs, bare = should
+        (``default_operator='or'``) or must (``'and'``), quoted phrases
+        with ``~slop``, trailing-``*`` prefix, ``*``/``?`` wildcards,
+        ``~N`` fuzzy (dictionary expansion, rewrite=scoring_boolean,
+        ``max_expansions`` cap by df desc), and ``field:value`` filter
+        clauses on docmap metadata columns (non-scoring filter context;
+        ``-field:value`` negates). Clause scores sum (ES bool); a must
+        clause of any kind gates matching; minimum_should_match counts
+        CLAUSES (a 50-term expansion is one clause).
+
+        Phrases use this engine's documented ordered semantics by
+        default (``phrase_ordered=False`` opts into Lucene's unordered
+        sloppy matching, same restrictions as ``phrase_query``).
+
+        Pure-negative queries (only must_not/filter clauses) serve as
+        match_all minus exclusions, per ES — except a pure-negative
+        PHRASE, which raises (a phrase exclusion needs a scoring clause
+        to subtract from)."""
+        import re as _re
+
+        from ..functions.querystring import parse_query_string
+        from ..operators.wand import score_shard_qs
+
+        ix, cfg = self.ix, self.ix.cfg
+        parsed = parse_query_string(qs, cfg, default_operator)
+        flt = doc_filter
+        for fc in parsed.filters:
+            col = F.col(fc.fld).cast("string") == fc.value
+            if fc.role == "must_not":
+                col = ~col
+            flt = col if flt is None else (flt & col)
+        if parsed.phrases and not cfg.store_positions:
+            raise ValueError(
+                "query_string phrase clauses need a positional index: build "
+                "with EngineConfig(store_positions=True)"
+            )
+
+        # dictionary resolution: one lookup for every literal term, one
+        # capped expansion per multi-term clause
+        lit_terms = sorted(
+            {t for c in parsed.terms for t in c.terms}
+            | {t for p in parsed.phrases for t in p.terms}
+        )
+        found = self._lookup_terms(lit_terms)
+        exp_found: list[tuple[str, dict[str, tuple[int, int]]]] = []
+        for ec in parsed.expands:
+            if ec.kind == "prefix":
+                cond = F.col("term").startswith(ec.pattern)
+            elif ec.kind == "wildcard":
+                rx = "^" + "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                    for ch in ec.pattern
+                ) + "$"
+                cond = F.col("term").rlike(rx)
+            else:
+                cond = F.levenshtein(F.col("term"), F.lit(ec.pattern)) <= ec.fuzziness
+            exp_found.append((ec.role, self._expanded(cond, max_expansions)))
+
+        # assemble scoring weights (tid -> summed clause weights), clause
+        # groups (membership counting), and exclusions
+        weights: dict[int, float] = {}
+        tid_idf: dict[int, float] = {}
+        must_groups: list[list[int]] = []
+        should_groups: list[list[int]] = []
+        excl_tids: set[int] = set()
+        n_should_raw = 0  # should clauses as written (for the ES min_m default)
+        viable_should = 0  # should clauses with >= 1 in-vocab member
+
+        def _add(tid_weight: list[tuple[int, int, float]], role: str) -> bool:
+            """Register one clause; returns False iff a must clause has no
+            in-vocab member (the whole query matches nothing)."""
+            nonlocal n_should_raw, viable_should
+            if role == "should":
+                n_should_raw += 1
+            if role == "must_not":
+                excl_tids.update(tid for tid, _, _ in tid_weight)
+                return True
+            tids = []
+            for tid, df_, w in tid_weight:
+                weights[tid] = weights.get(tid, 0.0) + w
+                tid_idf[tid] = float(idf_fn(float(df_), ix.n_docs))
+                tids.append(tid)
+            if not tids:
+                return role != "must"
+            if role == "must":
+                must_groups.append(tids)
+            else:
+                viable_should += 1
+                should_groups.append(tids)
+            return True
+
+        for c in parsed.terms:
+            tw = [
+                (found[t][0], found[t][1], float(n))
+                for t, n in Counter(c.terms).items()
+                if t in found
+            ]
+            if not _add(tw, c.role):
+                return self._empty()
+        for role, exp in exp_found:
+            tw = [(tid, df_, 1.0) for tid, df_ in exp.values()]
+            if not _add(tw, role):
+                return self._empty()
+
+        phrase_list: list[tuple[list[int], float, float, str, int, bool]] = []
+        for p in parsed.phrases:
+            if p.role == "should":
+                n_should_raw += 1
+            if any(t not in found for t in p.terms):
+                if p.role == "must":
+                    return self._empty()  # an OOV phrase term matches nothing
+                continue  # OOV should/must_not phrase: matches nothing, drop
+            if not phrase_ordered and len(set(p.terms)) < len(p.terms):
+                raise ValueError(
+                    "unordered sloppy phrase does not support repeated terms; "
+                    "use phrase_ordered=True"
+                )
+            sum_idf = 0.0
+            for t in p.terms:  # idf summed in QUERY order (PhraseWeight)
+                sum_idf += float(idf_fn(float(found[t][1]), ix.n_docs))
+            if p.role == "should":
+                viable_should += 1
+            phrase_list.append(
+                ([found[t][0] for t in p.terms], sum_idf, 1.0, p.role,
+                 p.slop, phrase_ordered or p.slop == 0)
+            )
+
+        min_m = minimum_should_match
+        if min_m is None:
+            min_m = 1 if (n_should_raw and not must_groups and not any(
+                p[3] == "must" for p in phrase_list)) else 0
+        if min_m > viable_should:
+            return self._empty()
+
+        scoring_phrases = [p for p in phrase_list if p[3] != "must_not"]
+        if not weights and not scoring_phrases:
+            if any(p[3] == "must_not" for p in phrase_list):
+                raise ValueError(
+                    "pure-negative phrase query: add at least one scoring "
+                    "clause (ES rewrites bare must_not over match_all, which "
+                    "has no positions to subtract a phrase from)"
+                )
+            if excl_tids or flt is not None:
+                # pure-negative / pure-filter query: match_all semantics
+                not_text = " ".join(
+                    sorted(t for t, v in self._term_cache.items()
+                           if v is not None and v[0] in excl_tids)
+                )
+                return self.match_all(
+                    must_not=not_text, k=k, doc_filter=flt,
+                    with_meta=with_meta, search_after=search_after,
+                )
+            return self._empty()
+
+        term_meta = [(tid, tid_idf[tid], weights[tid]) for tid in sorted(weights)]
+        excl_sorted = sorted(excl_tids)
+        scan_tids = sorted(
+            set(weights) | excl_tids
+            | {tid for p in phrase_list for tid in p[0]}
+        )
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        has_filter = flt is not None
+        after = None
+        if search_after is not None:
+            after = (float(np.float32(search_after[0])), int(search_after[1]))
+        mg, sg = list(must_groups), list(should_groups)
+
+        def _run(left: pd.DataFrame, right: pd.DataFrame | None) -> pd.DataFrame:
+            if left.empty:
+                return _EMPTY_CAND
+            by_tid = {tid: g for tid, g in left.groupby("term_id")}
+            base = int(left["shard_id"].iloc[0]) * dps
+            allowed = None
+            if has_filter:
+                if right is None or right.empty:
+                    return _EMPTY_CAND
+                allowed = np.zeros(dps, dtype=bool)
+                allowed[right["doc_id"].to_numpy(np.int64) - base] = (
+                    right["_allowed"].to_numpy(bool)
+                )
+            no_blocks = left.iloc[0:0]
+            tm = [(tid, t_idf, w, by_tid[tid])
+                  for tid, t_idf, w in term_meta if tid in by_tid]
+            eb = [by_tid[t] for t in excl_sorted if t in by_tid]
+            pm = [
+                ([by_tid.get(t, no_blocks) for t in slot_tids],
+                 sidf, w, role, slop, ordered)
+                for slot_tids, sidf, w, role, slop, ordered in phrase_list
+            ]
+            return score_shard_qs(
+                tm, mg, sg, eb, pm, base, dps, allowed, k, min_m,
+                avgdl, k1, b, after=after,
+            )
+
+        if has_filter:
+            def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                return _run(left, right)
+        else:
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _run(pdf, None)
+
+        cand_postings = ix.postings.filter(F.col("term_id").isin(scan_tids))
+        if has_filter:
+            docmap_lite = ix.docmap.withColumn("_allowed", flt).select(
+                "shard_id", "doc_id", "_allowed"
+            )
+            cands = (
+                cand_postings.groupBy("shard_id")
+                .cogroup(docmap_lite.groupBy("shard_id"))
+                .applyInPandas(kernel, schema=_CAND_DDL)
+            )
+        elif self.aligned:
+            cands = cand_postings.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        if not with_meta:
+            return top.select("rank", "doc_id", "score").orderBy("rank")
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "inner")
+            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )
+
     def phrase_query(
         self,
         query_text: str,
