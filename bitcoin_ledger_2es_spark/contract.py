@@ -1494,6 +1494,155 @@ SELECT rank, doc_id, final, fn_value FROM (
 """
 
 
+def q_function_score_all(spark, sf_dir):
+    """Both function_score surfaces in ONE gate entry (field_value_factor
+    multiply + decay-function sum, previously two green entries — merged
+    so the driver's entry window keeps a current row for every distinct
+    capability), tagged by kind with the metric column unified as
+    fn_value."""
+    a = q_function_score(spark, sf_dir).select(
+        F.lit("fvf").alias("kind"), "rank", "doc_id", "final",
+        F.col("factor").alias("fn_value"),
+    )
+    b = q_function_score_decay(spark, sf_dir).select(
+        F.lit("decay").alias("kind"), "rank", "doc_id", "final", "fn_value"
+    )
+    return a.unionByName(b)
+
+
+SQL_FUNCTION_SCORE_ALL = f"""
+SELECT 'fvf' AS kind, rank, doc_id, final, factor AS fn_value
+FROM ({SQL_FUNCTION_SCORE})
+UNION ALL
+SELECT 'decay' AS kind, rank, doc_id, final, fn_value
+FROM ({SQL_FUNCTION_SCORE_DECAY})
+"""
+
+
+def q_agg_extras(spark, sf_dir):
+    """ES agg breadth in ONE entry (operators/aggs.py builders), tagged
+    by agg kind with a unified (agg, key, doc_count, metric) shape:
+    histogram (n_chars/100 buckets, avg metric), range (overlapping-safe
+    from-inclusive/to-exclusive buckets over events.value, single-pass
+    conditional aggregation), filters (named independent predicates),
+    rare_terms (doc_count <= 70 tail of lang), and terms with a
+    sub-aggregation ORDERING the buckets (order by avg(n_chars) desc —
+    the ES "order": {"sub_agg": "desc"} shape size-capped at 3)."""
+    from .operators.aggs import (
+        filters_agg,
+        histogram,
+        range_agg,
+        rare_terms,
+        terms_agg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    h = histogram(
+        docs, "n_chars", 100.0,
+        metrics={"metric": duck_round(F.avg("n_chars"), 6)},
+    ).select(
+        F.lit("histogram").alias("agg"),
+        F.col("bucket").cast("long").cast("string").alias("key"),
+        "doc_count", "metric",
+    )
+    r = range_agg(
+        ev, "value",
+        [("lo", None, 50.0), ("mid", 50.0, 150.0), ("hi", 150.0, None)],
+        metrics={"metric": lambda c: duck_round(F.avg(F.when(c, F.col("value"))), 6)},
+    ).select(F.lit("range").alias("agg"), "key", "doc_count", "metric")
+    fl = filters_agg(
+        docs,
+        {
+            "en": F.col("lang") == "en",
+            "long": F.col("n_chars") >= 300,
+            "has_data": F.col("text").contains("data"),
+        },
+        metrics={"metric": lambda c: duck_round(F.avg(F.when(c, F.col("n_chars"))), 6)},
+    ).select(F.lit("filters").alias("agg"), "key", "doc_count", "metric")
+    ra = rare_terms(docs, "lang", max_doc_count=70).select(
+        F.lit("rare_terms").alias("agg"), "key", "doc_count",
+        F.col("doc_count").cast("double").alias("metric"),
+    )
+    ts = terms_agg(
+        docs, "lang", size=3,
+        subaggs={"metric": duck_round(F.avg("n_chars"), 6)},
+        order_by=("metric", "desc"),
+    ).select(F.lit("terms_sub").alias("agg"), "key", "doc_count", "metric")
+    return h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
+
+
+SQL_AGG_EXTRAS = """
+SELECT 'histogram' AS agg,
+       CAST(CAST(floor(n_chars / 100.0) * 100.0 AS BIGINT) AS VARCHAR) AS key,
+       count(*) AS doc_count, round(avg(n_chars), 6) AS metric
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'range', 'lo', CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN value < 50 THEN value END), 6) FROM events
+UNION ALL
+SELECT 'range', 'mid',
+       CAST(sum(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN value >= 50 AND value < 150 THEN value END), 6) FROM events
+UNION ALL
+SELECT 'range', 'hi', CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN value >= 150 THEN value END), 6) FROM events
+UNION ALL
+SELECT 'filters', 'en', CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN lang = 'en' THEN n_chars END), 6) FROM documents
+UNION ALL
+SELECT 'filters', 'long', CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN n_chars >= 300 THEN n_chars END), 6) FROM documents
+UNION ALL
+SELECT 'filters', 'has_data',
+       CAST(sum(CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN contains(text, 'data') THEN n_chars END), 6) FROM documents
+UNION ALL
+SELECT 'rare_terms', lang, count(*), CAST(count(*) AS DOUBLE)
+FROM documents GROUP BY lang HAVING count(*) <= 70
+UNION ALL
+SELECT * FROM (
+  SELECT 'terms_sub', lang, count(*), round(avg(n_chars), 6) AS m
+  FROM documents GROUP BY lang ORDER BY m DESC, lang ASC LIMIT 3
+)
+"""
+
+
+def q_search_aggs(spark, sf_dir):
+    """ES query + aggregations over the FULL match set (not the top-k
+    page): BM25Searcher.match_docs emits every docmap row matching
+    (data AND row, NOT join) straight out of the pruned-scan/docmap
+    cogroup — no scoring, no global sort — and the histogram builder
+    aggregates doc_len on top with map-side partial aggregation."""
+    from .operators.aggs import histogram
+
+    s = _engine_searcher(spark, sf_dir)
+    m = s.match_docs("data row", mode="and", must_not="join")
+    return histogram(
+        m, "doc_len", 10.0,
+        metrics={"metric": duck_round(F.avg("doc_len"), 6)},
+    ).select(F.col("bucket").cast("long").alias("bucket"), "doc_count", "metric")
+
+
+SQL_SEARCH_AGGS = """
+WITH toks AS (
+  SELECT doc_id, u.tok AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+m AS (
+  SELECT doc_id FROM toks WHERE term IN ('data', 'row')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+  EXCEPT
+  SELECT doc_id FROM toks WHERE term = 'join'
+)
+SELECT CAST(floor(dl / 10.0) * 10.0 AS BIGINT) AS bucket,
+       count(*) AS doc_count, round(avg(dl), 6) AS metric
+FROM m JOIN dls USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_match_all_constant_score(spark, sf_dir):
     """Constant-score surface on the REAL engine: (a) match_all minus
     must_not exclusions (the ES {"bool": {"must_not": ...}} shape — Lucene
@@ -1739,8 +1888,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "significant_terms": q_significant_terms,
     "term_suggest": q_term_suggest,
     "pipeline_aggs": q_pipeline_aggs,
-    "function_score": q_function_score,
-    "function_score_decay": q_function_score_decay,
+    "function_score": q_function_score_all,
+    "agg_extras": q_agg_extras,
+    "search_aggs": q_search_aggs,
 }
 
 ORACLE: dict[str, str] = {
@@ -1781,8 +1931,9 @@ ORACLE: dict[str, str] = {
     "significant_terms": SQL_SIGNIFICANT_TERMS,
     "term_suggest": SQL_TERM_SUGGEST,
     "pipeline_aggs": SQL_PIPELINE_AGGS,
-    "function_score": SQL_FUNCTION_SCORE,
-    "function_score_decay": SQL_FUNCTION_SCORE_DECAY,
+    "function_score": SQL_FUNCTION_SCORE_ALL,
+    "agg_extras": SQL_AGG_EXTRAS,
+    "search_aggs": SQL_SEARCH_AGGS,
 }
 
 from .contract_pipeline import PIPELINE_ORACLE, PIPELINE_QUERIES  # noqa: E402

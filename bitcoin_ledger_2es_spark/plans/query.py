@@ -629,6 +629,99 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def match_docs(
+        self,
+        filter_text: str = "",
+        mode: str = "and",
+        must_not: str = "",
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """ES query+aggregations support: the FULL docmap row set matching
+        a filter-context query (terms of ``filter_text`` — ALL required
+        for ``mode='and'``, ANY for ``'or'`` — minus ``must_not`` docs,
+        intersected with ``doc_filter``). No scoring, no rank, no global
+        sort: the same pruned-scan + docmap cogroup the constant-score
+        path uses, but the kernel emits the shard's matching docmap rows
+        directly — aggregations (operators/aggs.py) compose on top and
+        Catalyst adds map-side partial aggregation, so the match set is
+        never collected or globally ordered. This is how an ES request
+        couples "query" with "aggs" over every hit, not just the page."""
+        ix, cfg = self.ix, self.ix.cfg
+        req_terms = sorted(set(analyze_query(filter_text, cfg)))
+        not_terms = sorted(set(analyze_query(must_not, cfg)))
+        out_cols = ["doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"]
+        found = self._lookup_terms(sorted(set(req_terms) | set(not_terms)))
+        req_tids = sorted(found[t][0] for t in req_terms if t in found)
+        empty = self._spark.createDataFrame(
+            [], "doc_id long, conv_id string, turn_idx int, doc_len long, "
+                "is_rollup boolean"
+        )
+        if mode == "and" and len(req_tids) < len(req_terms):
+            return empty
+        if mode == "or" and req_terms and not req_tids:
+            return empty
+        not_tids = set(found[t][0] for t in not_terms if t in found)
+        scan_tids = sorted(set(req_tids) | not_tids)
+        dps = cfg.docs_per_shard
+        req_list, n_req = list(req_tids), len(req_tids)
+        has_filter = doc_filter is not None
+
+        def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            out = right[out_cols]
+            if right.empty:
+                return out
+            base = int(right["shard_id"].iloc[0]) * dps
+            allowed = np.zeros(dps, dtype=bool)
+            allowed[right["doc_id"].to_numpy(np.int64) - base] = (
+                right["_allowed"].to_numpy(bool) if has_filter else True
+            )
+            groups = (
+                {tid: g for tid, g in left.groupby("term_id")}
+                if not left.empty else {}
+            )
+            if n_req:
+                seen = np.zeros(dps, dtype=np.int32)
+                n_present = 0
+                for tid in req_list:
+                    g = groups.get(tid)
+                    if g is None:
+                        continue
+                    dec = _decode_term_blocks(g, base)
+                    if dec is None:
+                        continue
+                    seen[dec[0]] += 1
+                    n_present += 1
+                if mode == "and":
+                    if n_present < n_req:
+                        return out.iloc[0:0]
+                    allowed &= seen == n_req
+                else:
+                    allowed &= seen > 0
+            for tid in not_tids:
+                g = groups.get(tid)
+                if g is not None:
+                    dec = _decode_term_blocks(g, base)
+                    if dec is not None:
+                        allowed[dec[0]] = False
+            keep = allowed[right["doc_id"].to_numpy(np.int64) - base]
+            return out[keep]
+
+        docmap_lite = ix.docmap.withColumn(
+            "_allowed", doc_filter if has_filter else F.lit(True)
+        ).select("shard_id", "_allowed", *out_cols)
+        pruned = ix.postings.filter(
+            F.col("term_id").isin(scan_tids) if scan_tids else F.lit(False)
+        )
+        return (
+            pruned.groupBy("shard_id")
+            .cogroup(docmap_lite.groupBy("shard_id"))
+            .applyInPandas(
+                kernel,
+                schema="doc_id long, conv_id string, turn_idx int, "
+                       "doc_len long, is_rollup boolean",
+            )
+        )
+
     def term_query(self, term: str, k: int = 10) -> DataFrame:
         """ES term-query analogue (B2): single exact term, BM25-ranked."""
         return self.top_k(term, k=k, mode="or")
