@@ -1154,30 +1154,38 @@ _EXPAND_KINDS = [
 
 
 def q_expand_queries(spark, sf_dir):
-    """B2 multi-term expansions in ONE gate entry (prefix / wildcard /
-    fuzzy, tagged by kind): each expands against the term dictionary
-    (top-df, capped) and scores as a weight-1-per-term BM25 OR — the
-    rewrite=scoring_boolean semantics the engine methods
-    (BM25Searcher.prefix_query/wildcard_query/fuzzy_query, pinned by
-    tests/test_phrase.py) implement over the index dictionary."""
+    """B2 term-level query surface in ONE gate entry (term / prefix /
+    wildcard / fuzzy, tagged by kind): the exact term query plus the
+    multi-term expansions — each expansion resolves against the term
+    dictionary (top-df, capped) and scores as a weight-1-per-term BM25
+    OR, the rewrite=scoring_boolean semantics the engine methods
+    (BM25Searcher.term_query/prefix_query/wildcard_query/fuzzy_query,
+    pinned by tests/test_phrase.py) implement over the index dictionary.
+    (term_query folded in from its own entry to free driver-window
+    slots.)"""
     conds = {
         "prefix": F.col("term").startswith("wor"),
         "wildcard": F.col("term").like("d%ta"),
         "fuzzy": F.levenshtein(F.col("term"), F.lit("tables")) <= 1,
     }
-    out = None
+    out = _bm25_relational(spark, sf_dir, ["window"], "or", 10).select(
+        F.lit("term").alias("kind"), "rank", "doc_id", "score"
+    )
     for kind, _ in _EXPAND_KINDS:
         terms = _expanded_terms(spark, sf_dir, conds[kind])
         r = _bm25_relational(spark, sf_dir, terms, "or", 10).select(
             F.lit(kind).alias("kind"), "rank", "doc_id", "score"
         )
-        out = r if out is None else out.unionByName(r)
+        out = out.unionByName(r)
     return out
 
 
 SQL_EXPAND_QUERIES = "\nUNION ALL\n".join(
-    f"SELECT '{kind}' AS kind, * FROM ({_sql_bm25_expanded(cond, 10)})"
-    for kind, cond in _EXPAND_KINDS
+    [f"SELECT 'term' AS kind, * FROM ({_sql_bm25(['window'], 'or', 10)})"]
+    + [
+        f"SELECT '{kind}' AS kind, * FROM ({_sql_bm25_expanded(cond, 10)})"
+        for kind, cond in _EXPAND_KINDS
+    ]
 )
 
 
@@ -1492,6 +1500,196 @@ SELECT rank, doc_id, final, fn_value FROM (
   FROM f
 ) WHERE rank <= 20
 """
+
+
+MLT_TEXT = "data data table spark row window the"
+_MLT_MAX_TERMS = 5
+SPAN_FIRST = ("data", 5)
+
+
+def _engine_conv_searcher(spark, sf_dir: str):
+    """Engine index over documents grouped 5-to-a-conversation (conv_id =
+    doc_id // 5, turn_idx = doc_id % 5) — the parent-child corpus for the
+    has_child / join-field surface. Dense engine doc_ids coincide with
+    documents.doc_id because conv rank * turn order preserves the
+    original order."""
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    key = (sf_dir, "conv5")
+    if key not in _ENGINE_CACHE:
+        cfg = DEFAULT.with_(
+            docs_per_shard=256, block_size=64, index_rollups=False
+        )
+        docs = _t(spark, sf_dir, "documents")
+        conv = docs.select(
+            F.format_string(
+                "c%08d", (F.col("doc_id") / 5).cast("long")
+            ).alias("conv_id"),
+            (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        _ENGINE_CACHE[key] = BM25Searcher(build_index(conv, cfg))
+    return _ENGINE_CACHE[key]
+
+
+def q_advanced_queries(spark, sf_dir):
+    """Three relevance surfaces in ONE entry, tagged by kind, k unbounded
+    (no selection edge), shape (kind, key, score3, n):
+
+    * ``mlt`` — ES more_like_this: top tf*idf terms of a literal input
+      (max_query_terms cap, min_doc_freq 2) run as a weight-1 OR;
+      key = doc_id, n = 0.
+    * ``span_first`` — Lucene SpanFirstQuery: 'data' within the first 5
+      positions, tf = span freq; key = doc_id, n = 0.
+    * ``has_child`` — join-field ranking over the conv->turn hierarchy
+      (5 docs per conv): conversation score = max of child BM25 scores
+      (score_mode=max), n = matching children; key = conv_id."""
+    s = _engine_searcher(spark, sf_dir, positions=True)
+    mlt = s.more_like_this(
+        MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
+    ).select(
+        F.lit("mlt").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    sp = s.span_first_query(
+        SPAN_FIRST[0], SPAN_FIRST[1], k=1_000_000, with_meta=False
+    ).select(
+        F.lit("span_first").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    hc = _engine_conv_searcher(spark, sf_dir).conversations_topk(
+        "data row", k=1_000_000, mode="or", score_mode="max"
+    ).select(
+        F.lit("has_child").alias("kind"),
+        F.col("conv_id").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.col("n_matching").cast("long").alias("n"),
+    )
+    return mlt.unionByName(sp).unionByName(hc)
+
+
+_SQL_MLT = f"""
+SELECT 'mlt' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  qtf AS (
+    SELECT tok AS term, count(*) AS qf FROM (
+      SELECT unnest(regexp_extract_all(lower('{MLT_TEXT}'), '[a-z0-9_]+')) AS tok
+    ) GROUP BY tok
+  ),
+  alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+  selection AS (
+    SELECT term FROM (
+      SELECT q.term,
+             q.qf * ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) AS sig
+      FROM qtf q JOIN alldf d USING (term), corpus c
+      WHERE d.df >= 2
+      ORDER BY sig DESC, term ASC LIMIT {_MLT_MAX_TERMS}
+    )
+  ),
+  tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN (SELECT term FROM selection) GROUP BY doc_id, term
+  ),
+  scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN alldf d USING (term) JOIN dls USING (doc_id), corpus c
+  )
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+"""
+
+_SQL_SPAN_FIRST = f"""
+SELECT 'span_first' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  dls AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
+  ),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tidf AS (
+    SELECT ln(1.0 + (c.n_docs -
+             (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{SPAN_FIRST[0]}')
+           + 0.5) / (
+             (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = '{SPAN_FIRST[0]}')
+           + 0.5)) AS v
+    FROM corpus c
+  ),
+  pf AS (
+    SELECT doc_id, count(*) AS tf FROM toks
+    WHERE tok = '{SPAN_FIRST[0]}' AND pos < {SPAN_FIRST[1]}
+    GROUP BY doc_id
+  )
+  SELECT pf.doc_id,
+         t.v * pf.tf * 2.2 / (pf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS score
+  FROM pf JOIN dls USING (doc_id), corpus c, tidf t
+)
+"""
+
+_SQL_HAS_CHILD = """
+SELECT 'has_child' AS kind, printf('c%08d', conv) AS key,
+       round(CAST(mx AS DOUBLE), 3) AS score3, n
+FROM (
+  SELECT doc_id // 5 AS conv, max(CAST(score AS REAL)) AS mx,
+         count(*) AS n
+  FROM (
+    WITH toks AS (
+      SELECT doc_id, u.tok AS term
+      FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+    ),
+    dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+    ),
+    tf AS (
+      SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+      WHERE t.term IN ('data', 'row') GROUP BY t.doc_id, t.term
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+      FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+    )
+    SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+  )
+  GROUP BY doc_id // 5
+)
+"""
+
+SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
+    [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD]
+)
 
 
 def q_function_score_all(spark, sf_dir):
@@ -1879,7 +2077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlight": q_highlight,
     "highlight_phrase": q_highlight_phrase,
     "expand_queries": q_expand_queries,
-    "term_query": q_term_query,
+    "advanced_queries": q_advanced_queries,
     "bool_and_query": q_bool_and_query,
     "bool_must_not_query": q_bool_must_not_query,
     "match_all_constant_score": q_match_all_constant_score,
@@ -1922,7 +2120,7 @@ ORACLE: dict[str, str] = {
     "highlight": SQL_HIGHLIGHT,
     "highlight_phrase": SQL_HIGHLIGHT_PHRASE,
     "expand_queries": SQL_EXPAND_QUERIES,
-    "term_query": SQL_TERM_QUERY,
+    "advanced_queries": SQL_ADVANCED_QUERIES,
     "bool_and_query": SQL_BOOL_AND_QUERY,
     "bool_must_not_query": SQL_BOOL_MUST_NOT_QUERY,
     "match_all_constant_score": SQL_MATCH_ALL_CONSTANT_SCORE,

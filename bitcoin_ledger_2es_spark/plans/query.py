@@ -629,6 +629,202 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def more_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int = 10,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+        max_doc_freq: int | None = None,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES more_like_this (the ``like: text`` form): select the most
+        significant terms of the input — tf in the input text times the
+        index idf, filtered by min_term_freq / min_doc_freq / max_doc_freq,
+        top ``max_query_terms`` by (tf*idf desc, term asc) — and run them
+        as a weight-1-per-term BM25 OR disjunction (ES boost_terms=0
+        default). Term selection is driver-side against the dictionary
+        (one lookup), the query runs on the normal pruned-scan path."""
+        cfg = self.ix.cfg
+        tf = Counter(analyze_query(like_text, cfg))
+        cand = sorted(t for t, n in tf.items() if n >= min_term_freq)
+        found = self._lookup_terms(cand)
+        sel: list[tuple[float, str]] = []
+        for t, (tid, df_) in found.items():
+            if df_ < min_doc_freq or (max_doc_freq and df_ > max_doc_freq):
+                continue
+            sel.append((-tf[t] * float(idf_fn(float(df_), self.ix.n_docs)), t))
+        sel.sort()
+        chosen = [t for _, t in sel[:max_query_terms]]
+        if not chosen:
+            return self._empty()
+        return self._scored_top_k(
+            {t: found[t] for t in chosen}, Counter(dict.fromkeys(chosen, 1)),
+            k, "or", None, with_meta,
+        )
+
+    def span_first_query(
+        self, term: str, end: int, k: int = 10, with_meta: bool = True
+    ) -> DataFrame:
+        """Lucene SpanFirstQuery: the term must occur within the first
+        ``end`` token positions; tf for BM25 is the count of such
+        occurrences (span freq), idf the term's own. Needs a positional
+        index. One pruned scan of the term's postings; positions decode
+        inside the shard kernel."""
+        from ..operators.phrase import _POS_BITS, _slot_keys
+
+        ix, cfg = self.ix, self.ix.cfg
+        if not cfg.store_positions:
+            raise ValueError(
+                "span_first_query needs a positional index: build with "
+                "EngineConfig(store_positions=True)"
+            )
+        terms = analyze_query(term, cfg)
+        if len(terms) != 1:
+            raise ValueError("span_first_query takes exactly one term")
+        found = self._lookup_terms(terms)
+        if not found:
+            return self._empty()
+        tid, df_ = found[terms[0]]
+        t_idf = float(idf_fn(float(df_), ix.n_docs))
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        end_i = int(end)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY_CAND
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            keys, dl_docs, dl_vals = _slot_keys(pdf, 0, 1, base)
+            pos = (keys & np.int64((1 << _POS_BITS) - 1)) - 1
+            doc = (keys >> np.int64(_POS_BITS)).astype(np.int64)
+            m = pos < end_i
+            if not m.any():
+                return _EMPTY_CAND
+            docs, tf_span = np.unique(doc[m], return_counts=True)
+            tf_f = tf_span.astype(np.float64)
+            dl = dl_vals[np.searchsorted(dl_docs, docs)].astype(np.float64)
+            s32 = (
+                t_idf * tf_f * (k1 + 1.0)
+                / (tf_f + k1 * (1.0 - b + b * dl / avgdl))
+            ).astype(np.float32)
+            if docs.size > k:
+                kth = np.partition(-s32, k - 1)[k - 1]
+                sup = np.flatnonzero(-s32 <= kth)
+                order = sup[np.lexsort((docs[sup], -s32[sup].astype(np.float64)))][:k]
+            else:
+                order = np.lexsort((docs, -s32.astype(np.float64)))[:k]
+            return pd.DataFrame(
+                {"doc_id": (docs[order] + base).astype(np.int64),
+                 "score": s32[order]}
+            )
+
+        pruned = ix.postings.filter(F.col("term_id") == tid)
+        if self.aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        if not with_meta:
+            return top.select("rank", "doc_id", "score").orderBy("rank")
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "inner")
+            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )
+
+    def conversations_topk(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "or",
+        score_mode: str = "max",
+    ) -> DataFrame:
+        """ES has_child / join-field analogue over this engine's native
+        parent-child hierarchy (conversation -> turn docs): rank
+        CONVERSATIONS by their matching TURNS. ``score_mode`` per ES:
+        ``max`` (default), ``sum``, ``avg`` over child scores, or
+        ``none`` (constant 1.0, pure containment). Returns (rank,
+        conv_id, score, n_matching).
+
+        Determinism: sum/avg fold child f32 scores in f64 in doc_id
+        order via a sorted-array aggregate — a plain SUM() would
+        accumulate in partition-arrival order and break the byte-stable
+        contract. Rollup docs are excluded (a conv must not score
+        against its own concatenation). Scale shape: all-match shard
+        kernels -> doc_id-keyed join with docmap -> conv_id partial agg;
+        the ES equivalent pays the same join-field fan-in."""
+        if score_mode not in ("max", "sum", "avg", "none"):
+            raise ValueError("score_mode: max | sum | avg | none")
+        ix, cfg = self.ix, self.ix.cfg
+        terms = analyze_query(query_text, cfg)
+        if not terms:
+            return self._spark.createDataFrame(
+                [], "rank int, conv_id string, score float, n_matching long"
+            )
+        weights = Counter(terms)
+        found = self._lookup_terms(list(weights))
+        if (mode == "and" and len(found) < len(weights)) or not found:
+            return self._spark.createDataFrame(
+                [], "rank int, conv_id string, score float, n_matching long"
+            )
+        term_meta = [
+            (tid, float(idf_fn(float(df_), ix.n_docs)), float(weights[t]))
+            for t, (tid, df_) in found.items()
+        ]
+        # k = docs_per_shard => every matching doc leaves the kernel
+        kernel = _shard_kernel(
+            term_meta, cfg.docs_per_shard, mode, ix.avgdl, cfg.k1, cfg.b,
+            cfg.docs_per_shard, False, cfg.wand_min_postings, False,
+        )
+        pruned = ix.postings.filter(
+            F.col("term_id").isin([m[0] for m in term_meta])
+        )
+        if self.aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+        children = (
+            self.ix.docmap.select("doc_id", "conv_id", "is_rollup")
+            .join(cands, "doc_id", "inner")
+            .filter(~F.col("is_rollup"))
+        )
+        if score_mode == "max":
+            agg = F.max("score").alias("score")
+            per_conv = children.groupBy("conv_id").agg(
+                agg, F.count("*").alias("n_matching")
+            )
+        elif score_mode == "none":
+            per_conv = children.groupBy("conv_id").agg(
+                F.count("*").alias("n_matching")
+            ).withColumn("score", F.lit(1.0).cast("float"))
+        else:
+            folded = F.aggregate(
+                F.array_sort(F.collect_list(F.struct("doc_id", "score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score"].cast("double"),
+            )
+            per_conv = children.groupBy("conv_id").agg(
+                folded.alias("_sum"), F.count("*").alias("n_matching")
+            )
+            if score_mode == "avg":
+                per_conv = per_conv.withColumn(
+                    "score", (F.col("_sum") / F.col("n_matching")).cast("float")
+                )
+            else:
+                per_conv = per_conv.withColumn("score", F.col("_sum").cast("float"))
+            per_conv = per_conv.drop("_sum")
+        w = Window.orderBy(F.desc("score"), F.asc("conv_id"))
+        return (
+            per_conv.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "conv_id", "score", "n_matching")
+            .orderBy("rank")
+        )
+
     def match_docs(
         self,
         filter_text: str = "",

@@ -1,0 +1,144 @@
+"""more_like_this, span_first_query, conversations_topk (has_child):
+engine vs brute-force pandas recomputation on the tiny corpus."""
+
+import numpy as np
+import pytest
+
+from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+from bitcoin_ledger_2es_spark.config import DEFAULT
+from bitcoin_ledger_2es_spark.functions.analyze import analyze_query, tokenize_series
+from bitcoin_ledger_2es_spark.functions.bm25 import idf as idf_fn
+from bitcoin_ledger_2es_spark.oracle import PandasOracle
+
+CFG = DEFAULT.with_(docs_per_shard=128, block_size=32, store_positions=True)
+
+
+@pytest.fixture(scope="module")
+def pix(spark, tiny_df):
+    return build_index(tiny_df, CFG)
+
+
+@pytest.fixture(scope="module")
+def searcher(pix):
+    return BM25Searcher(pix)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark, tiny_df):
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+
+    docs, _ = tokenized_documents(tiny_df, CFG)
+    return docs.select("doc_id", "conv_id", "is_rollup", "text").toPandas()
+
+
+@pytest.fixture(scope="module")
+def oracle(docs_pdf):
+    return PandasOracle(docs_pdf[["doc_id", "text"]], CFG)
+
+
+def test_mlt_selects_and_scores(searcher, oracle, docs_pdf):
+    like = "w0003 w0003 w0050 w0120 w0700 w0001"
+    got = searcher.more_like_this(
+        like, k=20, max_query_terms=3, min_doc_freq=2, with_meta=False
+    ).toPandas()
+    # replicate term selection: tf-in-input * idf, top 3 (sig desc, term asc)
+    from collections import Counter
+
+    tf = Counter(analyze_query(like, CFG))
+    sel = sorted(
+        (
+            (-n * float(idf_fn(float(len(oracle.postings[t][0])), oracle.n_docs)), t)
+            for t, n in tf.items()
+            if t in oracle.postings and len(oracle.postings[t][0]) >= 2
+        )
+    )[:3]
+    chosen = " ".join(t for _, t in sel)
+    exp = oracle.top_k(chosen, k=20, mode="or")
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_mlt_respects_doc_freq_bounds(searcher, oracle):
+    # min_doc_freq high enough to exclude everything -> empty
+    assert searcher.more_like_this("w0900 w0901", min_doc_freq=10**9, k=5).count() == 0
+
+
+def test_span_first_matches_brute(searcher, oracle, docs_pdf):
+    term, end = "w0002", 4
+    got = searcher.span_first_query(term, end, k=30, with_meta=False).toPandas()
+    toks = oracle._toks
+    rows, tfs = [], []
+    for row, ts in enumerate(toks):
+        c = sum(1 for x in ts[:end] if x == term)
+        if c:
+            rows.append(row)
+            tfs.append(c)
+    rows = np.asarray(rows)
+    tf = np.asarray(tfs, dtype=np.float64)
+    t_idf = idf_fn(float(len(oracle.postings[term][0])), oracle.n_docs)
+    dl = oracle.doc_len[rows].astype(np.float64)
+    s32 = (
+        t_idf * tf * (CFG.k1 + 1) / (tf + CFG.k1 * (1 - CFG.b + CFG.b * dl / oracle.avgdl))
+    ).astype(np.float32)
+    order = np.lexsort((oracle.doc_ids[rows], -s32.astype(np.float64)))[:30]
+    assert got["doc_id"].tolist() == oracle.doc_ids[rows][order].tolist()
+    assert got["score"].tolist() == s32[order].tolist()
+
+
+def test_span_first_requires_positions(spark, tiny_df):
+    ix = build_index(tiny_df, CFG.with_(store_positions=False))
+    with pytest.raises(ValueError, match="store_positions"):
+        BM25Searcher(ix).span_first_query("w0001", 3)
+
+
+def test_conversations_modes_match_pandas(searcher, oracle, docs_pdf):
+    q = "w0001 w0005"
+    # child scores: every matching non-rollup doc
+    all_scores = oracle.top_k(q, k=oracle.n_docs, mode="or")
+    meta = docs_pdf.set_index("doc_id")
+    child = all_scores[~meta.loc[all_scores.doc_id, "is_rollup"].to_numpy()]
+    conv = meta.loc[child.doc_id, "conv_id"].to_numpy()
+    import pandas as pd
+
+    cdf = pd.DataFrame(
+        {"conv_id": conv, "doc_id": child.doc_id.to_numpy(),
+         "score": child.score.to_numpy()}
+    )
+    for mode in ("max", "sum", "avg", "none"):
+        got = searcher.conversations_topk(q, k=8, score_mode=mode).toPandas()
+        grp = cdf.sort_values("doc_id").groupby("conv_id")
+        n = grp.size()
+        if mode == "max":
+            sc = grp["score"].max().astype(np.float32)
+        elif mode == "none":
+            sc = pd.Series(np.float32(1.0), index=n.index)
+        else:
+            # f64 fold in doc_id order, f32 emit (the engine contract)
+            sc = grp["score"].apply(
+                lambda s: np.float32(np.sum(s.to_numpy(np.float64)))
+            )
+            if mode == "avg":
+                sc = grp["score"].apply(
+                    lambda s: np.float32(np.sum(s.to_numpy(np.float64)) / len(s))
+                )
+        exp = (
+            pd.DataFrame({"conv_id": n.index, "score": sc.values, "n": n.values})
+            .sort_values(["score", "conv_id"], ascending=[False, True],
+                         kind="mergesort")
+            .head(8)
+        )
+        assert got["conv_id"].tolist() == exp["conv_id"].tolist(), mode
+        assert got["n_matching"].tolist() == exp["n"].tolist(), mode
+        assert got["score"].tolist() == pytest.approx(
+            [float(x) for x in exp["score"]], abs=0, rel=0
+        ), mode
+
+
+def test_conversations_excludes_rollups(searcher, docs_pdf):
+    got = searcher.conversations_topk("w0001", k=5, score_mode="none").toPandas()
+    # n_matching counts turns only, never the conv rollup doc
+    meta = docs_pdf
+    turns = meta[~meta.is_rollup]
+    per_conv_turns = turns.groupby("conv_id").size()
+    for cid, n in zip(got.conv_id, got.n_matching):
+        assert n <= per_conv_turns[cid]
