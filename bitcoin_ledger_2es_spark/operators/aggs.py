@@ -147,6 +147,123 @@ def rare_terms(
     )
 
 
+def extended_stats(df: DataFrame, field: str, sigma: float = 2.0) -> DataFrame:
+    """ES extended_stats agg: one row with count, min, max, avg, sum,
+    sum_of_squares, variance (population — the ES default), std_deviation
+    and the sigma bounds (avg +/- sigma * std). One aggregate pass; the
+    moments are plain sums so map-side partials survive."""
+    c = F.col(field).cast("double")
+    row = df.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.avg(c).alias("avg"),
+        F.sum(c).alias("sum"),
+        F.sum(c * c).alias("sum_of_squares"),
+        F.var_pop(c).alias("variance"),
+        F.stddev_pop(c).alias("std_deviation"),
+    )
+    s = F.lit(float(sigma))
+    return row.withColumn(
+        "std_upper", F.col("avg") + s * F.col("std_deviation")
+    ).withColumn("std_lower", F.col("avg") - s * F.col("std_deviation"))
+
+
+def value_count_missing(df: DataFrame, col: Column) -> DataFrame:
+    """ES value_count + missing aggs in one pass over a (possibly
+    computed) column: (value_count, missing) counts of non-null / null."""
+    return df.agg(
+        F.count(col).alias("value_count"),
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias("missing"),
+    )
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES adjacency_matrix agg: a bucket per named filter plus one per
+    PAIRWISE intersection (key "a&b" in ES's key order), all from ONE
+    conditional-aggregation pass — n + n(n-1)/2 sums over a single scan,
+    never a self-join. Empty intersection buckets are dropped (ES
+    behavior). Returns (key, doc_count) in filter order then pair order."""
+    names = list(filters)
+    cells: list[tuple[str, Column]] = [(n, filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", filters[a] & filters[b]))
+    rows = df.agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c_{i}")
+        for i, (_, cond) in enumerate(cells)
+    ])
+    structs = [
+        F.struct(
+            F.lit(key).alias("key"),
+            F.col(f"__c_{i}").cast("long").alias("doc_count"),
+        )
+        for i, (key, _) in enumerate(cells)
+    ]
+    return (
+        rows.select(F.explode(F.array(*structs)).alias("b"))
+        .select("b.*")
+        .filter(F.col("doc_count") > 0)
+    )
+
+
+# ---- pipeline aggregations over a bucketed frame (ES parent/sibling
+# pipelines: the input is the OUTPUT of a histogram/terms agg — tiny
+# relative to the corpus, so window functions over it are scale-free)
+
+
+def moving_fn(
+    df: DataFrame, order_col: str, value_col: str, window: int,
+    fn: str = "avg", out: str = "moving_fn",
+) -> DataFrame:
+    """ES moving_fn pipeline agg (shift=0 default): ``fn`` over the
+    ``window`` buckets BEFORE the current one, exclusive — [i-window, i).
+    Null while the window is empty (first bucket), like ES's
+    MovingFunctions on an empty window. fn: avg | sum | min | max."""
+    from pyspark.sql import Window as W
+
+    agg = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[fn]
+    w = W.orderBy(order_col).rowsBetween(-window, -1)
+    return df.withColumn(out, agg(F.col(value_col)).over(w))
+
+
+def serial_diff(
+    df: DataFrame, order_col: str, value_col: str, lag: int = 1,
+    out: str = "serial_diff",
+) -> DataFrame:
+    """ES serial_diff pipeline agg: value minus the value ``lag`` buckets
+    earlier (null until the lag is available)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(order_col)
+    return df.withColumn(
+        out, F.col(value_col) - F.lag(value_col, lag).over(w)
+    )
+
+
+def bucket_selector(df: DataFrame, cond: Column) -> DataFrame:
+    """ES bucket_selector pipeline agg: drop buckets failing the
+    predicate — evaluated AFTER sibling pipelines (derivative etc.), so
+    call it last; it is a plain filter over the bucket frame."""
+    return df.filter(cond)
+
+
+def bucket_sort(
+    df: DataFrame, sort: list[tuple[str, str]], size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES bucket_sort pipeline agg: re-order buckets by any columns
+    (including pipeline outputs) with from/size truncation. Callers
+    should include a tie-breaking unique column for a total order."""
+    cols = [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort]
+    out = df.orderBy(*cols)
+    if from_ or size is not None:
+        out = out.offset(from_) if from_ else out
+        if size is not None:
+            out = out.limit(size)
+    return out
+
+
 def terms_agg(
     df: DataFrame,
     field: str,

@@ -664,6 +664,177 @@ class BM25Searcher:
             k, "or", None, with_meta,
         )
 
+    def _all_match_scores(self, query_text: str, mode: str = "or") -> DataFrame | None:
+        """Every matching doc scored (no top-k selection edge): the same
+        pruned-scan shard kernels with the per-shard cap set to
+        docs_per_shard, so each shard emits its full match set as
+        (doc_id, score_f32). The compound-query surfaces (dis_max,
+        boosting, collapse) compose on this frame and apply their own
+        selection AFTER combination — a per-subquery top-k cap would be
+        unsound there, because a doc can win the combined ranking without
+        being in any single subquery's shard-local top-k. Returns None
+        when the query can match nothing."""
+        ix, cfg = self.ix, self.ix.cfg
+        terms = analyze_query(query_text, cfg)
+        if not terms:
+            return None
+        weights = Counter(terms)
+        found = self._lookup_terms(list(weights))
+        if (mode == "and" and len(found) < len(weights)) or not found:
+            return None
+        term_meta = [
+            (tid, float(idf_fn(float(df_), ix.n_docs)), float(weights[t]))
+            for t, (tid, df_) in found.items()
+        ]
+        kernel = _shard_kernel(
+            term_meta, cfg.docs_per_shard, mode, ix.avgdl, cfg.k1, cfg.b,
+            cfg.docs_per_shard, False, cfg.wand_min_postings, False,
+        )
+        pruned = ix.postings.filter(
+            F.col("term_id").isin([m[0] for m in term_meta])
+        )
+        if self.aligned:
+            return pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        return pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+
+    def _ranked(self, cands: DataFrame, k: int, with_meta: bool) -> DataFrame:
+        """Shared selection + fetch tail: global (score desc, doc_id asc)
+        top-k over a candidate frame, rank column, optional docmap fetch
+        (broadcast the <= k winners into the docmap scan — inner +
+        BuildRight, the only scale-safe orientation)."""
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        if not with_meta:
+            return top.select("rank", "doc_id", "score").orderBy("rank")
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "inner")
+            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )
+
+    def dis_max(
+        self,
+        queries: list[str | tuple[str, str]],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES dis_max query (Lucene DisjunctionMaxQuery): score each
+        subquery independently, then per doc take the BEST subquery score
+        plus ``tie_breaker`` times the sum of the remaining subquery
+        scores. Each entry of ``queries`` is a match-query text or a
+        (text, mode) pair.
+
+        Determinism: subquery scores are the engine's f32 emissions; the
+        combination folds them in f64 in ascending subquery-index order
+        via a sorted-array aggregate (max is order-free, the tie_breaker
+        sum is not under a plain SUM), then emits f32 — same contract as
+        conversations_topk's score_mode=sum. Scale shape: one pruned scan
+        per subquery, a doc_id-keyed partial agg, k-row merge; no
+        all-pairs, no global sort before the limit."""
+        subs = []
+        for i, q in enumerate(queries):
+            text, mode = q if isinstance(q, tuple) else (q, "or")
+            c = self._all_match_scores(text, mode)
+            if c is not None:
+                subs.append(c.withColumn("q", F.lit(i)))
+        if not subs:
+            return self._empty() if with_meta else self._spark.createDataFrame(
+                [], "rank int, doc_id long, score float")
+        allc = subs[0]
+        for c in subs[1:]:
+            allc = allc.unionByName(c)
+        tb = float(tie_breaker)
+        folded_sum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("q", "score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"].cast("double"),
+        )
+        best = F.max(F.col("score").cast("double"))
+        per_doc = allc.groupBy("doc_id").agg(
+            best.alias("_mx"), folded_sum.alias("_sum")
+        ).select(
+            "doc_id",
+            (F.col("_mx") + F.lit(tb) * (F.col("_sum") - F.col("_mx")))
+            .cast("float").alias("score"),
+        )
+        return self._ranked(per_doc, k, with_meta)
+
+    def boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES boosting query: rank by the ``positive`` match query, but
+        docs that ALSO match ``negative`` keep only ``negative_boost``
+        times their score (demotion, not exclusion — the difference from
+        bool.must_not). The negative side is filter-context: only its
+        match SET is needed, so it reuses the non-scoring pruned-scan path
+        and left-joins as a k-free doc_id set. f64 multiply, f32 emit."""
+        pos = self._all_match_scores(positive, mode)
+        if pos is None:
+            return self._empty() if with_meta else self._spark.createDataFrame(
+                [], "rank int, doc_id long, score float")
+        neg = self._all_match_scores(negative, "or")
+        if neg is not None:
+            neg_set = neg.select("doc_id").distinct().withColumn("_neg", F.lit(True))
+            pos = pos.join(neg_set, "doc_id", "left").select(
+                "doc_id",
+                F.when(
+                    F.col("_neg"),
+                    F.col("score").cast("double") * F.lit(float(negative_boost)),
+                ).otherwise(F.col("score").cast("double"))
+                .cast("float").alias("score"),
+            )
+        return self._ranked(pos, k, with_meta)
+
+    def collapse_topk(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES field collapsing (``collapse`` on the join field): the hit
+        list keeps only the BEST turn per conversation, ranked by that
+        representative's score, with the collapsed group size as
+        inner_hits count. Differs from has_child/conversations_topk by
+        returning the representative HIT (doc_id, turn_idx), not a
+        parent-side fold. Rollup docs are excluded (a conv's own
+        concatenation must not represent it). Shape: all-match kernel ->
+        docmap join -> per-conv window (shuffle keyed on conv_id, same
+        fan-in ES pays per collapse bucket) -> k-row merge. Returns
+        (rank, conv_id, doc_id, turn_idx, score, inner_hits)."""
+        cands = self._all_match_scores(query_text, mode)
+        empty_ddl = ("rank int, conv_id string, doc_id long, turn_idx int, "
+                     "score float, inner_hits long")
+        if cands is None:
+            return self._spark.createDataFrame([], empty_ddl)
+        hits = (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(cands, "doc_id", "inner")
+            .filter(~F.col("is_rollup"))
+        )
+        wg = Window.partitionBy("conv_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        reps = (
+            hits.withColumn("_r", F.row_number().over(wg))
+            .withColumn("inner_hits", F.count("*").over(Window.partitionBy("conv_id")))
+            .filter(F.col("_r") == 1)
+            .drop("_r", "is_rollup")
+        )
+        top = reps.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "conv_id", "doc_id", "turn_idx", "score", "inner_hits")
+            .orderBy("rank")
+        )
+
     def span_first_query(
         self, term: str, end: int, k: int = 10, with_meta: bool = True
     ) -> DataFrame:
@@ -957,6 +1128,17 @@ class BM25Searcher:
         found = self._expanded(F.col("term").rlike(rx), max_expansions)
         return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
 
+    def regexp_query(self, pattern: str, k: int = 10, max_expansions: int = 50,
+                     with_meta: bool = True) -> DataFrame:
+        """ES regexp query: dictionary terms fully matching the regular
+        expression (ES anchors both ends, Lucene RegExp syntax — the
+        JVM-regex common subset is honored here). Same
+        rewrite=scoring_boolean expansion as wildcard: dictionary scan
+        with the regex as a pushed filter, top-df cap, weight-1 OR."""
+        rx = "^(?:" + pattern.lower() + ")$"
+        found = self._expanded(F.col("term").rlike(rx), max_expansions)
+        return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
+
     def fuzzy_query(self, term: str, fuzziness: int = 1, k: int = 10,
                     max_expansions: int = 50, with_meta: bool = True) -> DataFrame:
         """ES fuzzy query: terms within ``fuzziness`` Levenshtein edits
@@ -1245,6 +1427,44 @@ class BM25Searcher:
             .join(F.broadcast(top), "doc_id", "inner")
             .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
             .orderBy("rank")
+        )
+
+    def span_near_query(
+        self,
+        terms: list[str],
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """Lucene/ES span_near query: clause spans within ``slop``
+        positions of each other, optionally in order. For single-term
+        clauses this is EXACTLY the sloppy-phrase kernel (Lucene rewrites
+        match_phrase to SpanNear the same way), so this is a named alias
+        of :meth:`phrase_query` — same scoring, same determinism
+        contract; pinned equal by tests/test_advanced_queries.py."""
+        return self.phrase_query(
+            " ".join(terms), k=k, with_meta=with_meta, slop=slop, ordered=in_order
+        )
+
+    def intervals_match(
+        self,
+        terms: list[str],
+        max_gaps: int = -1,
+        ordered: bool = False,
+        k: int = 10,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """ES intervals query, ``match`` rule: the analyzed terms within
+        ``max_gaps`` interleaving positions (-1 = unbounded is NOT
+        supported — the engine requires a finite window, pass a corpus
+        bound), ordered or not. Interval width <= len(terms) + max_gaps
+        is the same admission predicate as the span/phrase kernel, so
+        this is the intervals face of the one positions kernel."""
+        if max_gaps < 0:
+            raise ValueError("intervals_match requires a finite max_gaps")
+        return self.phrase_query(
+            " ".join(terms), k=k, with_meta=with_meta, slop=max_gaps, ordered=ordered
         )
 
     def phrase_query(

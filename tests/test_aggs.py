@@ -158,3 +158,93 @@ def test_match_docs_feeds_aggs(searcher):
     pdf = m.select("doc_len").toPandas()
     exp = pdf.groupby((pdf.doc_len // 20) * 20.0).size()
     assert h["doc_count"].tolist() == exp.tolist()
+
+
+# ---------------------------------------------------------------------------
+# extended_stats / value_count+missing / adjacency_matrix / pipeline helpers
+
+
+def test_extended_stats(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import extended_stats
+
+    df, pdf = num_df
+    got = extended_stats(df, "v", sigma=2.0).toPandas().iloc[0]
+    v = pdf.v.to_numpy(np.float64)
+    assert got["count"] == len(v)
+    assert got["min"] == v.min() and got["max"] == v.max()
+    assert got["avg"] == pytest.approx(v.mean())
+    assert got["sum"] == pytest.approx(v.sum())
+    assert got["sum_of_squares"] == pytest.approx((v * v).sum())
+    assert got["variance"] == pytest.approx(v.var())  # population, ES default
+    assert got["std_deviation"] == pytest.approx(v.std())
+    assert got["std_upper"] == pytest.approx(v.mean() + 2 * v.std())
+    assert got["std_lower"] == pytest.approx(v.mean() - 2 * v.std())
+
+
+def test_value_count_missing(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import value_count_missing
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None), (5, None)], "id int, s string"
+    )
+    got = value_count_missing(df, F.col("s")).toPandas().iloc[0]
+    assert got["value_count"] == 2 and got["missing"] == 3
+
+
+def test_adjacency_matrix(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import adjacency_matrix
+
+    df, pdf = num_df
+    got = adjacency_matrix(
+        df,
+        {"small": F.col("v") < 20, "aa": F.col("g") == "a", "big": F.col("v") >= 95},
+    ).toPandas()
+    m = {
+        "small": pdf.v < 20,
+        "aa": pdf.g == "a",
+        "big": pdf.v >= 95,
+    }
+    exp = {k: int(v.sum()) for k, v in m.items()}
+    exp["small&aa"] = int((m["small"] & m["aa"]).sum())
+    exp["small&big"] = int((m["small"] & m["big"]).sum())
+    exp["aa&big"] = int((m["aa"] & m["big"]).sum())
+    exp = {k: v for k, v in exp.items() if v > 0}  # empty buckets dropped
+    assert dict(zip(got["key"], got["doc_count"])) == exp
+    assert "small&big" not in got["key"].tolist()  # disjoint pair pruned
+
+
+@pytest.fixture(scope="module")
+def daily_df(spark):
+    pdf = pd.DataFrame({"day": list(range(10)), "sv": [5.0, 3, 8, 1, 9, 2, 7, 4, 6, 0]})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_moving_fn_window_is_exclusive(daily_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import moving_fn
+
+    df, pdf = daily_df
+    got = moving_fn(df, "day", "sv", window=3, fn="avg").orderBy("day").toPandas()
+    exp = [None] + [
+        float(np.mean(pdf.sv[max(0, i - 3):i])) for i in range(1, len(pdf))
+    ]
+    assert got["moving_fn"][0] is None or np.isnan(got["moving_fn"][0])
+    assert got["moving_fn"][1:].tolist() == pytest.approx(exp[1:])
+
+
+def test_serial_diff_and_selector_and_sort(daily_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import (
+        bucket_selector,
+        bucket_sort,
+        serial_diff,
+    )
+
+    df, pdf = daily_df
+    sd = serial_diff(df, "day", "sv", lag=2).orderBy("day").toPandas()
+    exp = pdf.sv - pdf.sv.shift(2)
+    assert sd["serial_diff"][2:].tolist() == pytest.approx(exp[2:].tolist())
+    kept = bucket_selector(df, F.col("sv") >= 5).toPandas()
+    assert sorted(kept["sv"].tolist()) == sorted(
+        pdf.sv[pdf.sv >= 5].tolist()
+    )
+    top = bucket_sort(df, [("sv", "desc"), ("day", "asc")], size=3).toPandas()
+    assert top["sv"].tolist() == sorted(pdf.sv, reverse=True)[:3]

@@ -1,0 +1,162 @@
+"""dis_max, boosting, collapse, regexp expansion, span_near/intervals
+aliases: engine vs brute-force pandas recomputation on the tiny corpus."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+from bitcoin_ledger_2es_spark.config import DEFAULT
+from bitcoin_ledger_2es_spark.oracle import PandasOracle
+
+CFG = DEFAULT.with_(docs_per_shard=128, block_size=32, store_positions=True)
+
+
+@pytest.fixture(scope="module")
+def pix(spark, tiny_df):
+    return build_index(tiny_df, CFG)
+
+
+@pytest.fixture(scope="module")
+def searcher(pix):
+    return BM25Searcher(pix)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark, tiny_df):
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+
+    docs, _ = tokenized_documents(tiny_df, CFG)
+    return docs.select("doc_id", "conv_id", "turn_idx", "is_rollup", "text").toPandas()
+
+
+@pytest.fixture(scope="module")
+def oracle(docs_pdf):
+    return PandasOracle(docs_pdf[["doc_id", "text"]], CFG)
+
+
+def _all_scores(oracle, q, mode="or"):
+    df = oracle.top_k(q, k=oracle.n_docs, mode=mode)
+    return dict(zip(df.doc_id.tolist(), df.score.tolist()))
+
+
+def _rank(pairs, k):
+    """(doc_id, score_f32) -> top-k under (score desc, doc_id asc)."""
+    out = sorted(pairs, key=lambda p: (-float(p[1]), p[0]))[:k]
+    return [p[0] for p in out], [float(p[1]) for p in out]
+
+
+def test_dis_max_matches_pandas(searcher, oracle):
+    q0, q1 = "w0001 w0005", "w0002"
+    tb = 0.3
+    s0, s1 = _all_scores(oracle, q0), _all_scores(oracle, q1)
+    exp = {}
+    for d in set(s0) | set(s1):
+        subs = [np.float64(s[d]) for s in (s0, s1) if d in s]  # q-index order
+        mx = max(subs)
+        exp[d] = np.float32(mx + tb * (sum(subs) - mx))
+    got = searcher.dis_max([q0, q1], tie_breaker=tb, k=25, with_meta=False).toPandas()
+    ids, scores = _rank(exp.items(), 25)
+    assert got["doc_id"].tolist() == ids
+    assert got["score"].tolist() == scores
+
+
+def test_dis_max_zero_tb_is_pure_max(searcher, oracle):
+    q0, q1 = "w0001", "w0003 w0007"
+    s0, s1 = _all_scores(oracle, q0), _all_scores(oracle, q1)
+    exp = {d: np.float32(max(np.float64(s[d]) for s in (s0, s1) if d in s))
+           for d in set(s0) | set(s1)}
+    got = searcher.dis_max([q0, (q1, "or")], k=20, with_meta=False).toPandas()
+    ids, scores = _rank(exp.items(), 20)
+    assert got["doc_id"].tolist() == ids
+    assert got["score"].tolist() == scores
+
+
+def test_dis_max_single_query_equals_top_k(searcher):
+    a = searcher.dis_max(["w0001 w0005"], k=15, with_meta=False).toPandas()
+    b = searcher.top_k("w0001 w0005", k=15, with_meta=False).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_boosting_demotes_negative_matches(searcher, oracle):
+    pos, neg, nb = "w0001 w0005", "w0002", 0.4
+    sp = _all_scores(oracle, pos)
+    negset = set(_all_scores(oracle, neg))
+    exp = {d: np.float32(np.float64(s) * nb) if d in negset else np.float32(s)
+           for d, s in sp.items()}
+    # demotion, not exclusion: the corpus must actually exercise overlap
+    assert set(sp) & negset, "pick pos/neg terms that co-occur in the corpus"
+    k = oracle.n_docs  # k unbounded so demoted docs stay visible
+    got = searcher.boosting(pos, neg, negative_boost=nb, k=k,
+                            with_meta=False).toPandas()
+    ids, scores = _rank(exp.items(), k)
+    assert got["doc_id"].tolist() == ids
+    assert got["score"].tolist() == scores
+    assert any(d in negset for d in got["doc_id"])
+
+
+def test_boosting_no_negative_matches_is_identity(searcher):
+    a = searcher.boosting("w0001", "zqxzqx", k=10, with_meta=False).toPandas()
+    b = searcher.top_k("w0001", k=10, with_meta=False).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_collapse_matches_pandas(searcher, oracle, docs_pdf):
+    q = "w0001 w0005"
+    sc = _all_scores(oracle, q)
+    meta = docs_pdf.set_index("doc_id")
+    hits = pd.DataFrame(
+        [(d, s, meta.loc[d, "conv_id"], int(meta.loc[d, "turn_idx"]))
+         for d, s in sc.items() if not meta.loc[d, "is_rollup"]],
+        columns=["doc_id", "score", "conv_id", "turn_idx"],
+    )
+    reps = []
+    for cid, g in hits.groupby("conv_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        r = g.iloc[0]
+        reps.append((cid, int(r.doc_id), int(r.turn_idx), float(r.score), len(g)))
+    reps.sort(key=lambda t: (-t[3], t[1]))
+    reps = reps[:10]
+    got = searcher.collapse_topk(q, k=10).toPandas()
+    assert got["conv_id"].tolist() == [r[0] for r in reps]
+    assert got["doc_id"].tolist() == [r[1] for r in reps]
+    assert got["turn_idx"].tolist() == [r[2] for r in reps]
+    assert got["score"].tolist() == [r[3] for r in reps]
+    assert got["inner_hits"].tolist() == [r[4] for r in reps]
+
+
+def test_regexp_query_matches_oracle_expansion(searcher, oracle):
+    pattern = "w0.1.*"
+    rx = re.compile("^(?:" + pattern + ")$")
+    cands = [(t, len(oracle.postings[t][0])) for t in oracle.postings if rx.match(t)]
+    cands.sort(key=lambda x: (-x[1], x[0]))
+    terms = [t for t, _ in cands[:50]]
+    assert terms, "regexp must expand on the synthetic vocab"
+    got = searcher.regexp_query(pattern, k=15, with_meta=False).toPandas()
+    exp = oracle.top_k(" ".join(terms), k=15, mode="or")
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_span_near_is_phrase_alias(searcher):
+    for slop, order in ((0, True), (2, True), (2, False)):
+        a = searcher.span_near_query(["w0001", "w0002"], slop=slop,
+                                     in_order=order, k=10).toPandas()
+        b = searcher.phrase_query("w0001 w0002", k=10, slop=slop,
+                                  ordered=order).toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), (slop, order)
+        assert a["score"].tolist() == b["score"].tolist(), (slop, order)
+
+
+def test_intervals_requires_finite_gaps(searcher):
+    with pytest.raises(ValueError, match="finite"):
+        searcher.intervals_match(["w0001", "w0002"])
+    a = searcher.intervals_match(["w0001", "w0002"], max_gaps=3, ordered=True,
+                                 k=5).toPandas()
+    b = searcher.phrase_query("w0001 w0002", k=5, slop=3, ordered=True).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
