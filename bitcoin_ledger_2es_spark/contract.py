@@ -1150,12 +1150,13 @@ _EXPAND_KINDS = [
     ("prefix", "term LIKE 'wor%'"),
     ("wildcard", "term LIKE 'd%ta'"),
     ("fuzzy", "levenshtein(term, 'tables') <= 1"),
+    ("regexp", "regexp_matches(term, '^(?:d[ao]ta|wind.*)$')"),
 ]
 
 
 def q_expand_queries(spark, sf_dir):
     """B2 term-level query surface in ONE gate entry (term / prefix /
-    wildcard / fuzzy, tagged by kind): the exact term query plus the
+    wildcard / fuzzy / regexp, tagged by kind): the exact term query plus the
     multi-term expansions — each expansion resolves against the term
     dictionary (top-df, capped) and scores as a weight-1-per-term BM25
     OR, the rewrite=scoring_boolean semantics the engine methods
@@ -1167,6 +1168,8 @@ def q_expand_queries(spark, sf_dir):
         "prefix": F.col("term").startswith("wor"),
         "wildcard": F.col("term").like("d%ta"),
         "fuzzy": F.levenshtein(F.col("term"), F.lit("tables")) <= 1,
+        # the regexp query's own anchoring: ^(?:pattern)$
+        "regexp": F.col("term").rlike("^(?:d[ao]ta|wind.*)$"),
     }
     out = _bm25_relational(spark, sf_dir, ["window"], "or", 10).select(
         F.lit("term").alias("kind"), "rank", "doc_id", "score"
@@ -1381,19 +1384,47 @@ ORDER BY jlh DESC, term ASC LIMIT 15
 
 
 def q_pipeline_aggs(spark, sf_dir):
-    """ES pipeline aggregations over a date_histogram: derivative (day
-    minus previous day) and cumulative_sum of the daily value sum."""
+    """ES pipeline aggregations over a date_histogram, the full surface
+    in one composition (evaluation order mirrors ES: sibling pipelines
+    over the COMPLETE histogram first, then bucket_selector prunes, then
+    bucket_sort ranks/truncates): derivative, cumulative_sum, moving_fn
+    (avg over the 3 buckets before the current one, ES shift=0 exclusive
+    window), serial_diff (lag 2), bucket_selector (keep days at or above
+    their moving average — first bucket's null window drops, as a null
+    script result does in ES), bucket_sort (sum desc, day asc tiebreak,
+    size 15) with the resulting rank."""
+    from .operators.aggs import (
+        bucket_selector,
+        bucket_sort,
+        moving_fn,
+        serial_diff,
+    )
+
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
         .agg(F.sum("value").alias("sv"))
     )
     w = Window.orderBy("day")
-    return daily.select(
+    piped = daily.select(
+        "day",
+        "sv",
+        (F.col("sv") - F.lag("sv").over(w)).alias("deriv"),
+        F.sum("sv").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    piped = moving_fn(piped, "day", "sv", window=3, fn="avg", out="mv3")
+    piped = serial_diff(piped, "day", "sv", lag=2, out="sd2")
+    kept = bucket_selector(piped, F.col("sv") >= F.col("mv3"))
+    top = bucket_sort(kept, [("sv", "desc"), ("day", "asc")], size=15)
+    wr = Window.orderBy(F.desc("sv"), F.asc("day"))
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank",
         "day",
         duck_round("sv", 6).alias("sum_value"),
-        duck_round(F.col("sv") - F.lag("sv").over(w), 6).alias("derivative"),
-        duck_round(F.sum("sv").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).alias("cumulative"),
+        duck_round("deriv", 6).alias("derivative"),
+        duck_round("cum", 6).alias("cumulative"),
+        duck_round("mv3", 6).alias("moving_avg3"),
+        duck_round("sd2", 6).alias("serial_diff2"),
     )
 
 
@@ -1401,11 +1432,21 @@ SQL_PIPELINE_AGGS = """
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, sum(value) AS sv
   FROM events GROUP BY 1
+),
+piped AS (
+  SELECT day, sv,
+         sv - lag(sv) OVER (ORDER BY day) AS deriv,
+         sum(sv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         avg(sv) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mv3,
+         sv - lag(sv, 2) OVER (ORDER BY day) AS sd2
+  FROM daily
 )
-SELECT day, round(sv, 6) AS sum_value,
-       round(sv - lag(sv) OVER (ORDER BY day), 6) AS derivative,
-       round(sum(sv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
-FROM daily
+SELECT row_number() OVER (ORDER BY sv DESC, day ASC) AS rank, day,
+       round(sv, 6) AS sum_value, round(deriv, 6) AS derivative,
+       round(cum, 6) AS cumulative, round(mv3, 6) AS moving_avg3,
+       round(sd2, 6) AS serial_diff2
+FROM piped WHERE sv >= mv3
+ORDER BY sv DESC, day ASC LIMIT 15
 """
 
 
@@ -1537,7 +1578,7 @@ def _engine_conv_searcher(spark, sf_dir: str):
 
 
 def q_advanced_queries(spark, sf_dir):
-    """Three relevance surfaces in ONE entry, tagged by kind, k unbounded
+    """Six relevance surfaces in ONE entry, tagged by kind, k unbounded
     (no selection edge), shape (kind, key, score3, n):
 
     * ``mlt`` — ES more_like_this: top tf*idf terms of a literal input
@@ -1547,7 +1588,14 @@ def q_advanced_queries(spark, sf_dir):
       positions, tf = span freq; key = doc_id, n = 0.
     * ``has_child`` — join-field ranking over the conv->turn hierarchy
       (5 docs per conv): conversation score = max of child BM25 scores
-      (score_mode=max), n = matching children; key = conv_id."""
+      (score_mode=max), n = matching children; key = conv_id.
+    * ``dis_max`` — Lucene DisjunctionMaxQuery over ['data row',
+      'table'], tie_breaker 0.3: best sub-score + 0.3 * rest, f64 fold
+      in subquery order, f32 emit; key = doc_id, n = 0.
+    * ``boosting`` — ES boosting query: 'data row' demoted (not
+      excluded) by 0.4 where 'table' also matches; key = doc_id, n = 0.
+    * ``collapse`` — ES field collapsing on the conv hierarchy: best
+      turn per conversation, key = conv_id:rep_doc_id, n = inner_hits."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1573,7 +1621,34 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.col("n_matching").cast("long").alias("n"),
     )
-    return mlt.unionByName(sp).unionByName(hc)
+    dm = s.dis_max(
+        ["data row", "table"], tie_breaker=0.3, k=1_000_000, with_meta=False
+    ).select(
+        F.lit("dis_max").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    bo = s.boosting(
+        "data row", "table", negative_boost=0.4, k=1_000_000, with_meta=False
+    ).select(
+        F.lit("boosting").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    co = _engine_conv_searcher(spark, sf_dir).collapse_topk(
+        "data row", k=1_000_000
+    ).select(
+        F.lit("collapse").alias("kind"),
+        F.concat_ws(":", "conv_id", F.col("doc_id").cast("string")).alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.col("inner_hits").cast("long").alias("n"),
+    )
+    return (
+        mlt.unionByName(sp).unionByName(hc)
+        .unionByName(dm).unionByName(bo).unionByName(co)
+    )
 
 
 _SQL_MLT = f"""
@@ -1687,8 +1762,88 @@ FROM (
 )
 """
 
+def _sql_doc_scores(terms: list[str], mode: str = "or") -> str:
+    """Per-doc f64 BM25 scores over ``documents`` for a term list — the
+    reusable inner CTE of the engine-twin oracles: (doc_id, score)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    and_filter = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+    WHERE t.term IN ({term_list}) GROUP BY t.doc_id, t.term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  )
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id {and_filter}
+"""
+
+
+# dis_max over ['data row', 'table'], tie_breaker 0.3: per-sub scores are
+# the engine's f32 emissions (CAST AS REAL), the combination folds them in
+# f64 — max is order-free, the 2-element tie_breaker sum is absorbed by
+# the 3dp rounding like every other engine-twin oracle here.
+_SQL_DIS_MAX = f"""
+SELECT 'dis_max' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(mx + 0.3 * (sm - mx) AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  SELECT doc_id,
+         max(CAST(CAST(score AS REAL) AS DOUBLE)) AS mx,
+         sum(CAST(CAST(score AS REAL) AS DOUBLE)) AS sm
+  FROM (
+    SELECT doc_id, score FROM ({_sql_doc_scores(["data", "row"])})
+    UNION ALL
+    SELECT doc_id, score FROM ({_sql_doc_scores(["table"])})
+  ) GROUP BY doc_id
+)
+"""
+
+# boosting: positive 'data row', negative 'table', negative_boost 0.4 —
+# demoted docs keep f32(f64(pos_f32) * 0.4), others pass through f32.
+_SQL_BOOSTING = f"""
+SELECT 'boosting' AS kind, CAST(p.doc_id AS VARCHAR) AS key,
+       round(CAST(CASE WHEN n.doc_id IS NOT NULL
+             THEN CAST(CAST(CAST(p.score AS REAL) AS DOUBLE) * 0.4 AS REAL)
+             ELSE CAST(p.score AS REAL) END AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM ({_sql_doc_scores(["data", "row"])}) p
+LEFT JOIN (SELECT DISTINCT doc_id FROM ({_sql_doc_scores(["table"])})) n
+  USING (doc_id)
+"""
+
+# collapse on the conv5 corpus (conv = doc_id // 5): representative =
+# best (f32 score desc, doc_id asc) turn per conversation, n = inner_hits.
+_SQL_COLLAPSE = f"""
+SELECT 'collapse' AS kind,
+       printf('c%08d', conv) || ':' || CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(s32 AS DOUBLE), 3) AS score3, n
+FROM (
+  SELECT doc_id // 5 AS conv, doc_id, s32,
+         count(*) OVER (PARTITION BY doc_id // 5) AS n,
+         row_number() OVER (PARTITION BY doc_id // 5
+                            ORDER BY s32 DESC, doc_id ASC) AS r
+  FROM (SELECT doc_id, CAST(score AS REAL) AS s32
+        FROM ({_sql_doc_scores(["data", "row"])}))
+) WHERE r = 1
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
-    [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD]
+    [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
+     _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE]
 )
 
 
@@ -1723,15 +1878,23 @@ def q_agg_extras(spark, sf_dir):
     histogram (n_chars/100 buckets, avg metric), range (overlapping-safe
     from-inclusive/to-exclusive buckets over events.value, single-pass
     conditional aggregation), filters (named independent predicates),
-    rare_terms (doc_count <= 70 tail of lang), and terms with a
+    rare_terms (doc_count <= 70 tail of lang), terms with a
     sub-aggregation ORDERING the buckets (order by avg(n_chars) desc —
-    the ES "order": {"sub_agg": "desc"} shape size-capped at 3)."""
+    the ES "order": {"sub_agg": "desc"} shape size-capped at 3),
+    extended_stats (population moments over n_chars, closed-form from
+    single-pass sums so the oracle is bit-mirrorable), adjacency_matrix
+    (pairwise filter intersections in one conditional-agg pass), and
+    value_count+missing over a JSON-extracted field (props.k always
+    present, props.absent always missing)."""
     from .operators.aggs import (
+        adjacency_matrix,
+        extended_stats,
         filters_agg,
         histogram,
         range_agg,
         rare_terms,
         terms_agg,
+        value_count_missing,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1767,7 +1930,45 @@ def q_agg_extras(spark, sf_dir):
         subaggs={"metric": duck_round(F.avg("n_chars"), 6)},
         order_by=("metric", "desc"),
     ).select(F.lit("terms_sub").alias("agg"), "key", "doc_count", "metric")
-    return h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
+    es_row = extended_stats(docs, "n_chars", sigma=2.0)
+    stat_cols = ["min", "max", "avg", "sum", "sum_of_squares",
+                 "variance", "std_deviation", "std_upper", "std_lower"]
+    es = es_row.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("key"),
+                F.col("count").cast("long").alias("doc_count"),
+                duck_round(F.col(c).cast("double"), 6).alias("metric"),
+            )
+            for c in stat_cols
+        ])).alias("b")
+    ).select(F.lit("extended_stats").alias("agg"), "b.*")
+    adj = adjacency_matrix(
+        docs,
+        {
+            "en": F.col("lang") == "en",
+            "long": F.col("n_chars") >= 300,
+            "has_data": F.col("text").contains("data"),
+        },
+    ).select(
+        F.lit("adjacency").alias("agg"), "key", "doc_count",
+        F.col("doc_count").cast("double").alias("metric"),
+    )
+    vc = None
+    for jf in ("k", "absent"):
+        row = value_count_missing(
+            ev, F.get_json_object("props", f"$.{jf}")
+        ).select(
+            F.lit("value_count").alias("agg"),
+            F.lit(f"props.{jf}").alias("key"),
+            F.col("value_count").cast("long").alias("doc_count"),
+            F.col("missing").cast("double").alias("metric"),
+        )
+        vc = row if vc is None else vc.unionByName(row)
+    return (
+        h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
+        .unionByName(es).unionByName(adj).unionByName(vc)
+    )
 
 
 SQL_AGG_EXTRAS = """
@@ -1803,6 +2004,51 @@ SELECT * FROM (
   SELECT 'terms_sub', lang, count(*), round(avg(n_chars), 6) AS m
   FROM documents GROUP BY lang ORDER BY m DESC, lang ASC LIMIT 3
 )
+UNION ALL
+-- extended_stats: closed forms over single-pass exact sums (n_chars is
+-- integer-valued, so sum and sum-of-squares are exact doubles and the
+-- derived avg/variance/std expressions are bit-identical to the engine's)
+SELECT 'extended_stats', k, cnt, round(v, 6) FROM (
+  SELECT cnt,
+         unnest(['min', 'max', 'avg', 'sum', 'sum_of_squares',
+                 'variance', 'std_deviation', 'std_upper', 'std_lower']) AS k,
+         unnest([mn, mx, sm / cnt, sm, ssq,
+                 ssq / cnt - (sm / cnt) * (sm / cnt),
+                 sqrt(ssq / cnt - (sm / cnt) * (sm / cnt)),
+                 sm / cnt + 2.0 * sqrt(ssq / cnt - (sm / cnt) * (sm / cnt)),
+                 sm / cnt - 2.0 * sqrt(ssq / cnt - (sm / cnt) * (sm / cnt))]) AS v
+  FROM (
+    SELECT count(*) AS cnt,
+           CAST(min(n_chars) AS DOUBLE) AS mn,
+           CAST(max(n_chars) AS DOUBLE) AS mx,
+           CAST(sum(n_chars) AS DOUBLE) AS sm,
+           sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS ssq
+    FROM documents
+  )
+)
+UNION ALL
+SELECT 'adjacency', k, CAST(c AS BIGINT), CAST(c AS DOUBLE) FROM (
+  SELECT unnest(['en', 'long', 'has_data', 'en&long', 'en&has_data', 'long&has_data']) AS k,
+         unnest([
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END),
+           sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END),
+           sum(CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END),
+           sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END),
+           sum(CASE WHEN lang = 'en' AND contains(text, 'data') THEN 1 ELSE 0 END),
+           sum(CASE WHEN n_chars >= 300 AND contains(text, 'data') THEN 1 ELSE 0 END)
+         ]) AS c
+  FROM documents
+) WHERE c > 0
+UNION ALL
+SELECT 'value_count', 'props.k',
+       count(json_extract_string(props, '$.k')),
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value_count', 'props.absent',
+       count(json_extract_string(props, '$.absent')),
+       CAST(sum(CASE WHEN json_extract_string(props, '$.absent') IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+FROM events
 """
 
 

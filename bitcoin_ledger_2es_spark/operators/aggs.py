@@ -149,24 +149,36 @@ def rare_terms(
 
 def extended_stats(df: DataFrame, field: str, sigma: float = 2.0) -> DataFrame:
     """ES extended_stats agg: one row with count, min, max, avg, sum,
-    sum_of_squares, variance (population — the ES default), std_deviation
-    and the sigma bounds (avg +/- sigma * std). One aggregate pass; the
-    moments are plain sums so map-side partials survive."""
+    sum_of_squares, variance (population — the ES default, and exactly
+    ES's own formula: sum_of_squares/count - avg^2), std_deviation and
+    the sigma bounds (avg +/- sigma * std). One aggregate pass; only
+    plain sums, so map-side partials survive. The derived moments are
+    CLOSED FORMS over (count, sum, sum_of_squares) rather than
+    var_pop/stddev_pop, so an oracle computing the same expressions over
+    the same sums reproduces them bit-for-bit (for integer-valued fields
+    the sums themselves are exact, hence order-independent)."""
     c = F.col(field).cast("double")
     row = df.agg(
         F.count(c).alias("count"),
         F.min(c).alias("min"),
         F.max(c).alias("max"),
-        F.avg(c).alias("avg"),
         F.sum(c).alias("sum"),
         F.sum(c * c).alias("sum_of_squares"),
-        F.var_pop(c).alias("variance"),
-        F.stddev_pop(c).alias("std_deviation"),
     )
+    avg = F.col("sum") / F.col("count")
+    var = F.col("sum_of_squares") / F.col("count") - avg * avg
     s = F.lit(float(sigma))
-    return row.withColumn(
-        "std_upper", F.col("avg") + s * F.col("std_deviation")
-    ).withColumn("std_lower", F.col("avg") - s * F.col("std_deviation"))
+    return (
+        row.withColumn("avg", avg)
+        .withColumn("variance", var)
+        .withColumn("std_deviation", F.sqrt(var))
+        .withColumn("std_upper", F.col("avg") + s * F.col("std_deviation"))
+        .withColumn("std_lower", F.col("avg") - s * F.col("std_deviation"))
+        .select(
+            "count", "min", "max", "avg", "sum", "sum_of_squares",
+            "variance", "std_deviation", "std_upper", "std_lower",
+        )
+    )
 
 
 def value_count_missing(df: DataFrame, col: Column) -> DataFrame:
