@@ -11,7 +11,7 @@ Elasticsearch/Lucene + IR-literature semantics rather than file:line.
 from .config import DEFAULT, EngineConfig
 from .oracle import PandasOracle
 from .plans.build import IndexFrames, build_index, read_index, write_index
-from .plans.query import BM25Searcher
+from .plans.query import BM25Searcher, multi_match
 
 __all__ = [
     "DEFAULT",
@@ -22,4 +22,5 @@ __all__ = [
     "read_index",
     "write_index",
     "BM25Searcher",
+    "multi_match",
 ]

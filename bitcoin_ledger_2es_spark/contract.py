@@ -1548,6 +1548,30 @@ _MLT_MAX_TERMS = 5
 SPAN_FIRST = ("data", 5)
 
 
+def _engine_source_searcher(spark, sf_dir: str):
+    """Engine index over the documents' SOURCE keyword as a second
+    analyzed field (same doc space / doc_ids as the text index — conv
+    rank preserves documents.doc_id): the per-field index multi_match
+    scores with its own statistics (every doc has dl=1, so avgdl=1 and a
+    source hit scores exactly its idf)."""
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    key = (sf_dir, "source-field")
+    if key not in _ENGINE_CACHE:
+        cfg = DEFAULT.with_(
+            docs_per_shard=256, block_size=64, index_rollups=False,
+        )
+        docs = _t(spark, sf_dir, "documents")
+        _ENGINE_CACHE[key] = BM25Searcher(
+            build_index(
+                _docs_as_transcripts(docs.withColumn("text", F.col("source"))),
+                cfg,
+            )
+        )
+    return _ENGINE_CACHE[key]
+
+
 def _engine_conv_searcher(spark, sf_dir: str):
     """Engine index over documents grouped 5-to-a-conversation (conv_id =
     doc_id // 5, turn_idx = doc_id % 5) — the parent-child corpus for the
@@ -1595,7 +1619,11 @@ def q_advanced_queries(spark, sf_dir):
     * ``boosting`` — ES boosting query: 'data row' demoted (not
       excluded) by 0.4 where 'table' also matches; key = doc_id, n = 0.
     * ``collapse`` — ES field collapsing on the conv hierarchy: best
-      turn per conversation, key = conv_id:rep_doc_id, n = inner_hits."""
+      turn per conversation, key = conv_id:rep_doc_id, n = inner_hits.
+    * ``multi_match`` — per-FIELD indexes (text body + source keyword,
+      each with its own df/avgdl statistics, the ES/Lucene model) for
+      'data src3', best_fields with tie_breaker 0.2; key = doc_id,
+      n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1645,9 +1673,20 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.col("inner_hits").cast("long").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.plans.query import multi_match
+
+    mm = multi_match(
+        {"body": s, "source": _engine_source_searcher(spark, sf_dir)},
+        "data src3", "best_fields", tie_breaker=0.2, k=1_000_000,
+    ).select(
+        F.lit("multi_match").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
     return (
         mlt.unionByName(sp).unionByName(hc)
-        .unionByName(dm).unionByName(bo).unionByName(co)
+        .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
     )
 
 
@@ -1841,9 +1880,38 @@ FROM (
 ) WHERE r = 1
 """
 
+# multi_match best_fields (tie_breaker 0.2) over two per-field indexes:
+# body = documents.text (full BM25 twin), source = the keyword field where
+# every doc has dl=1 (avgdl=1, so a hit scores exactly its idf — the
+# formula below is written in full anyway to stay structurally parallel).
+_SQL_MULTI_MATCH = f"""
+SELECT 'multi_match' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(mx + 0.2 * (sm - mx) AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  SELECT doc_id,
+         max(CAST(CAST(score AS REAL) AS DOUBLE)) AS mx,
+         sum(CAST(CAST(score AS REAL) AS DOUBLE)) AS sm
+  FROM (
+    SELECT doc_id, score FROM ({_sql_doc_scores(["data", "src3"])})
+    UNION ALL
+    SELECT doc_id, score FROM (
+      WITH src AS (SELECT doc_id, lower(source) AS tok FROM documents),
+      corpus AS (SELECT count(*) AS n_docs FROM documents),
+      dfreq AS (SELECT tok, count(*) AS df FROM src GROUP BY tok)
+      SELECT s.doc_id,
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0 / 1.0)) AS score
+      FROM src s JOIN dfreq d USING (tok), corpus c
+      WHERE s.tok IN ('data', 'src3')
+    )
+  ) GROUP BY doc_id
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
-     _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE]
+     _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH]
 )
 
 

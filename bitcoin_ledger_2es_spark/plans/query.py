@@ -835,6 +835,35 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def scroll(
+        self,
+        query_text: str,
+        page_size: int = 10,
+        mode: str = "or",
+        max_pages: int | None = None,
+    ):
+        """ES scroll / point-in-time analogue: a driver-side generator of
+        result pages, each a pandas DataFrame of ``page_size`` hits,
+        cursor-advanced via search_after — so every page is O(k) work at
+        any depth (the scroll contract ES keeps server-side state for;
+        here the cursor IS the state, stateless like a PIT +
+        search_after). The index frames are immutable for the searcher's
+        lifetime, which is the point-in-time consistency ES's scroll
+        context pins."""
+        after = None
+        pages = 0
+        while max_pages is None or pages < max_pages:
+            page = self.top_k(
+                query_text, k=page_size, mode=mode, with_meta=False,
+                search_after=after,
+            ).toPandas()
+            if page.empty:
+                return
+            yield page
+            pages += 1
+            last = page.iloc[-1]
+            after = (float(last["score"]), int(last["doc_id"]))
+
     def span_first_query(
         self, term: str, end: int, k: int = 10, with_meta: bool = True
     ) -> DataFrame:
@@ -1758,3 +1787,73 @@ class BM25Searcher:
             .filter(F.col("rank") <= F.col("qk"))
             .select("query_id", "rank", "doc_id", "score")
         )
+
+
+def multi_match(
+    field_searchers: "dict[str, BM25Searcher]",
+    query_text: str,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """ES multi_match over per-FIELD indexes: each field is scored
+    independently with its OWN statistics (df, avgdl, doc lengths — the
+    ES/Lucene per-field model, which is why this takes one
+    ``BM25Searcher`` per field rather than one index with merged
+    postings), then combined per doc:
+
+    * ``best_fields`` (ES default) — DisjunctionMax over the field
+      scores: best + ``tie_breaker`` * rest.
+    * ``most_fields`` — sum of the field scores.
+
+    (``cross_fields`` — blended term statistics across fields — is a
+    different scoring model, not a combination of per-field scores, and
+    is intentionally not offered; ES docs recommend best_fields for the
+    common case.)
+
+    All searchers must index the SAME document space (same docmap ids) —
+    asserted via n_docs. Determinism: per-field scores are f32
+    emissions, combined in f64 in field order (sorted-array fold), f32
+    emit — the dis_max contract. Scale shape: one pruned scan per field
+    index, doc_id-keyed partial agg, k-row merge."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError("match_type: best_fields | most_fields")
+    searchers = list(field_searchers.values())
+    if not searchers:
+        raise ValueError("multi_match requires at least one field")
+    n0 = searchers[0].ix.n_docs
+    for s in searchers[1:]:
+        if s.ix.n_docs != n0:
+            raise ValueError(
+                "multi_match field indexes must cover the same documents "
+                f"(n_docs {s.ix.n_docs} != {n0})"
+            )
+    subs = []
+    for i, s in enumerate(searchers):
+        c = s._all_match_scores(query_text, mode)
+        if c is not None:
+            subs.append(c.withColumn("q", F.lit(i)))
+    primary = searchers[0]
+    if not subs:
+        return primary._spark.createDataFrame(
+            [], "rank int, doc_id long, score float")
+    allc = subs[0]
+    for c in subs[1:]:
+        allc = allc.unionByName(c)
+    folded_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("q", "score"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["score"].cast("double"),
+    )
+    grouped = allc.groupBy("doc_id").agg(
+        F.max(F.col("score").cast("double")).alias("_mx"),
+        folded_sum.alias("_sum"),
+    )
+    if match_type == "most_fields":
+        final = F.col("_sum")
+    else:
+        tb = float(tie_breaker)
+        final = F.col("_mx") + F.lit(tb) * (F.col("_sum") - F.col("_mx"))
+    per_doc = grouped.select("doc_id", final.cast("float").alias("score"))
+    return primary._ranked(per_doc, k, with_meta=False)

@@ -160,3 +160,77 @@ def test_intervals_requires_finite_gaps(searcher):
                                  k=5).toPandas()
     b = searcher.phrase_query("w0001 w0002", k=5, slop=3, ordered=True).toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# multi_match: per-field indexes with independent statistics
+
+
+@pytest.fixture(scope="module")
+def titled_df(spark, tiny_df):
+    """Second field over the SAME doc space: the first 3 tokens of each
+    turn ('title'), indexed separately — ES's per-field statistics
+    model (rollups concatenate the truncated turns, engine-side)."""
+    from pyspark.sql import functions as F
+
+    return tiny_df.withColumn(
+        "text", F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def title_ix(titled_df):
+    return build_index(titled_df, CFG)
+
+
+@pytest.fixture(scope="module")
+def title_oracle(spark, titled_df):
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+
+    docs, _ = tokenized_documents(titled_df, CFG)
+    pdf = docs.select("doc_id", "text").toPandas()
+    return PandasOracle(pdf, CFG)
+
+
+def test_multi_match_best_and_most_fields(searcher, title_ix, oracle, title_oracle):
+    from bitcoin_ledger_2es_spark import BM25Searcher
+    from bitcoin_ledger_2es_spark.plans.query import multi_match
+
+    ts = BM25Searcher(title_ix)
+    q = "w0001 w0005"
+    body_scores = _all_scores(oracle, q)
+    title_scores = _all_scores(title_oracle, q)
+    exp_best, exp_most = {}, {}
+    tb = 0.25
+    for d in set(body_scores) | set(title_scores):
+        subs = [np.float64(s[d]) for s in (body_scores, title_scores) if d in s]
+        mx, sm = max(subs), sum(subs)
+        exp_best[d] = np.float32(mx + tb * (sm - mx))
+        exp_most[d] = np.float32(sm)
+    fields = {"body": searcher, "title": ts}
+    got_b = multi_match(fields, q, "best_fields", tie_breaker=tb, k=30).toPandas()
+    ids, scores = _rank(exp_best.items(), 30)
+    assert got_b["doc_id"].tolist() == ids
+    assert got_b["score"].tolist() == scores
+    got_m = multi_match(fields, q, "most_fields", k=30).toPandas()
+    ids, scores = _rank(exp_most.items(), 30)
+    assert got_m["doc_id"].tolist() == ids
+    assert got_m["score"].tolist() == scores
+
+
+def test_multi_match_guards(searcher):
+    from bitcoin_ledger_2es_spark.plans.query import multi_match
+
+    with pytest.raises(ValueError, match="match_type"):
+        multi_match({"a": searcher}, "w0001", "cross_fields")
+    with pytest.raises(ValueError, match="at least one"):
+        multi_match({}, "w0001")
+
+
+def test_scroll_pages_match_topk(searcher):
+    pages = list(searcher.scroll("w0001 w0005", page_size=7, max_pages=3))
+    flat_ids = [d for p in pages for d in p["doc_id"].tolist()]
+    flat_scores = [s for p in pages for s in p["score"].tolist()]
+    ref = searcher.top_k("w0001 w0005", k=21, with_meta=False).toPandas()
+    assert flat_ids == ref["doc_id"].tolist()
+    assert flat_scores == ref["score"].tolist()
