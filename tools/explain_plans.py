@@ -71,6 +71,18 @@ def main() -> None:
             explain_str(res_bool),
         )
     )
+    res_dismax = BM25Searcher(on_disk).dis_max(
+        ["w0004 w0123", "w0200"], tie_breaker=0.3, k=10, with_meta=False
+    )
+    sections.append(
+        (
+            "dis_max (compound query): one pruned aligned scan per subquery "
+            "— each scored inside its scan stage — then ONE doc_id "
+            "hash-aggregate exchange for the combine and the k-row merge; "
+            "no per-subquery top-k materialization, no join",
+            explain_str(res_dismax),
+        )
+    )
     pruned = on_disk.postings.filter(F.col("term_id").isin([5, 123, 200])).select(
         "shard_id", "term_id", "n_docs"
     )
