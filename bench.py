@@ -158,6 +158,28 @@ def main() -> None:
         t_batch = min(t_batch, time.monotonic() - t0)
     queries["bm25_msearch_all"] = round(t_batch, 4)
 
+    # compound-query layer (round 4): dis_max / boosting / collapse over
+    # the same on-disk aligned index — all-match subquery scoring + one
+    # doc_id combine exchange (BENCH/PLANS.md), so these bound the cost of
+    # the ES compound surface, not just single top-k. Same warm-up +
+    # best-of-N discipline.
+    q2 = [qset.iloc[0].query_text, qset.iloc[1].query_text]
+    compound = {
+        "dis_max": lambda: searcher.dis_max(
+            q2, tie_breaker=0.3, k=10, with_meta=False).collect(),
+        "boosting": lambda: searcher.boosting(
+            q2[0], q2[1], negative_boost=0.5, k=10, with_meta=False).collect(),
+        "collapse": lambda: searcher.collapse_topk(q2[0], k=10).collect(),
+    }
+    for name, fn in compound.items():
+        fn()  # warm-up
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        queries[name] = round(best, 4)
+
     # relational tail queries: same warm-up + best-of-N discipline as the
     # bm25 set — their single-shot timings showed phantom 3x regressions on
     # unchanged code under this host's +-50% run-to-run noise. Skipped when
