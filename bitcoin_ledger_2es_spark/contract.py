@@ -1546,6 +1546,11 @@ SELECT rank, doc_id, final, fn_value FROM (
 MLT_TEXT = "data data table spark row window the"
 _MLT_MAX_TERMS = 5
 SPAN_FIRST = ("data", 5)
+PERCOLATE_QUERIES = [
+    (0, "data row", "and", 0),
+    (1, "data table window", "or", 2),
+    (2, "spark", "or", 1),
+]
 
 
 def _engine_source_searcher(spark, sf_dir: str):
@@ -1623,7 +1628,11 @@ def q_advanced_queries(spark, sf_dir):
     * ``multi_match`` — per-FIELD indexes (text body + source keyword,
       each with its own df/avgdl statistics, the ES/Lucene model) for
       'data src3', best_fields with tie_breaker 0.2; key = doc_id,
-      n = 0."""
+      n = 0.
+    * ``percolate`` — reverse search: three registered queries (AND /
+      OR-with-msm / single-term) matched against every document in one
+      broadcast-join pass; key = doc_id:query_id, n = matched terms,
+      score3 = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1684,9 +1693,24 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.lit(0).cast("long").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.operators.percolate import (
+        analyzed_queries,
+        percolate,
+    )
+
+    pq = analyzed_queries(spark, PERCOLATE_QUERIES)
+    pc = percolate(_t(spark, sf_dir, "documents"), pq).select(
+        F.lit("percolate").alias("kind"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("query_id").cast("string")
+        ).alias("key"),
+        F.lit(0.0).alias("score3"),
+        F.col("n_matched").alias("n"),
+    )
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
+        .unionByName(pc)
     )
 
 
@@ -1909,9 +1933,29 @@ FROM (
 )
 """
 
+# percolate: distinct doc terms joined to the registered query terms,
+# matched-count thresholded per query (AND = all terms, OR = msm).
+_PERC_ROWS = ", ".join(
+    f"({qid}, '{t}', {len(set(text.split())) if mode == 'and' else max(1, min(msm, len(set(text.split()))))})"
+    for qid, text, mode, msm in PERCOLATE_QUERIES
+    for t in sorted(set(text.split()))
+)
+_SQL_PERCOLATE = f"""
+SELECT 'percolate' AS kind,
+       CAST(doc_id AS VARCHAR) || ':' || CAST(query_id AS VARCHAR) AS key,
+       CAST(0.0 AS DOUBLE) AS score3, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT DISTINCT doc_id, u.tok AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+) dt JOIN (VALUES {_PERC_ROWS}) AS qt(query_id, term, n_required) USING (term)
+GROUP BY doc_id, query_id, n_required
+HAVING count(*) >= n_required
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
-     _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH]
+     _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
+     _SQL_PERCOLATE]
 )
 
 
