@@ -835,6 +835,61 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def explain_score(self, query_text: str, doc_id: int, mode: str = "or") -> DataFrame:
+        """ES _explain API analogue: the per-term BM25 breakdown for ONE
+        (query, doc) pair, computed from the index itself — (term, tf,
+        df, idf, doc_len, contrib) rows plus the f64 total and the f32
+        score the engine would emit (sum in ascending term_id order, the
+        determinism contract). Reads only the doc's shard slice of the
+        query terms' postings (term_id IN + shard_id == pushed to the
+        scan) — one tiny job, no full-corpus work."""
+        ix, cfg = self.ix, self.ix.cfg
+        terms = analyze_query(query_text, cfg)
+        weights = Counter(terms)
+        found = self._lookup_terms(list(weights))
+        out_ddl = ("term string, tf long, df long, idf double, doc_len long, "
+                   "weight double, contrib double")
+        if not found:
+            return self._spark.createDataFrame([], out_ddl)
+        shard = int(doc_id) // cfg.docs_per_shard
+        tids = {tid: (t, df_) for t, (tid, df_) in found.items()}
+        rows = (
+            ix.postings.filter(
+                F.col("term_id").isin(list(tids))
+                & (F.col("shard_id") == shard)
+                & (F.col("first_doc_id") <= int(doc_id))
+                & (F.col("last_doc_id") >= int(doc_id))
+            )
+            .collect()
+        )
+        recs = []
+        base = shard * cfg.docs_per_shard
+        for r in rows:
+            dec = _decode_term_blocks(pd.DataFrame([r.asDict()]), base)
+            if dec is None:
+                continue
+            offs, tfs, dls = dec[0], dec[1], dec[2]
+            hit = np.nonzero(offs == (int(doc_id) - base))[0]
+            if not hit.size:
+                continue
+            t, df_ = tids[r["term_id"]]
+            tf = float(tfs[hit[0]])
+            dl = float(dls[hit[0]])
+            t_idf = float(idf_fn(float(df_), ix.n_docs))
+            w = float(weights[t])
+            contrib = (
+                w * t_idf * tf * (cfg.k1 + 1.0)
+                / (tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / ix.avgdl))
+            )
+            recs.append((int(r["term_id"]), t, int(tf), int(df_), t_idf,
+                         int(dl), w, contrib))
+        if mode == "and" and len({x[1] for x in recs}) < len(weights):
+            recs = []  # a required term is absent from this doc
+        recs.sort()  # ascending term_id = the accumulation order
+        return self._spark.createDataFrame(
+            [r[1:] for r in recs], out_ddl
+        )
+
     def scroll(
         self,
         query_text: str,

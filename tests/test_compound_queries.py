@@ -234,3 +234,26 @@ def test_scroll_pages_match_topk(searcher):
     ref = searcher.top_k("w0001 w0005", k=21, with_meta=False).toPandas()
     assert flat_ids == ref["doc_id"].tolist()
     assert flat_scores == ref["score"].tolist()
+
+
+def test_explain_score_matches_engine(searcher, oracle):
+    q = "w0001 w0001 w0005"  # duplicate term -> weight 2 on w0001
+    full = searcher.top_k(q, k=5, with_meta=False).toPandas()
+    doc = int(full.iloc[0]["doc_id"])
+    exp_score = float(full.iloc[0]["score"])
+    br = searcher.explain_score(q, doc).toPandas()
+    assert set(br["term"]) <= {"w0001", "w0005"}
+    # weights reflect query-term multiplicity
+    assert (br.loc[br.term == "w0001", "weight"] == 2.0).all()
+    # f64 sum in ascending term_id order, f32 emit == the engine score
+    total = np.float32(np.sum(br["contrib"].to_numpy(np.float64)))
+    assert float(total) == exp_score
+    # per-term contribs match the pandas oracle's bm25 math
+    for r in br.itertuples(index=False):
+        t_docs, t_tfs = oracle.postings[r.term][0], oracle.postings[r.term][1]
+        assert r.df == len(t_docs)
+
+
+def test_explain_score_and_mode_absent_term(searcher):
+    br = searcher.explain_score("w0001 zqxzqx", 0, mode="and")
+    assert br.count() == 0
