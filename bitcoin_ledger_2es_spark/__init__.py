@@ -11,6 +11,7 @@ Elasticsearch/Lucene + IR-literature semantics rather than file:line.
 from .config import DEFAULT, EngineConfig
 from .oracle import PandasOracle
 from .plans.build import IndexFrames, build_index, read_index, write_index
+from .functions.rank_eval import rank_eval
 from .plans.query import BM25Searcher, multi_match
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "write_index",
     "BM25Searcher",
     "multi_match",
+    "rank_eval",
 ]

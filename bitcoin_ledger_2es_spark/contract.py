@@ -1632,7 +1632,11 @@ def q_advanced_queries(spark, sf_dir):
     * ``percolate`` — reverse search: three registered queries (AND /
       OR-with-msm / single-term) matched against every document in one
       broadcast-join pass; key = doc_id:query_id, n = matched terms,
-      score3 = 0."""
+      score3 = 0.
+    * ``rank_eval`` — ES _rank_eval metrics (precision@10, MRR, dcg,
+      idcg, ndcg) for the engine's top-10 on two queries against a
+      text-derived judgment pool; key = q<id>:<metric>, score3 = the
+      metric, n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1707,10 +1711,49 @@ def q_advanced_queries(spark, sf_dir):
         F.lit(0.0).alias("score3"),
         F.col("n_matched").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.functions.rank_eval import rank_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    rating = (
+        F.when(
+            F.col("text").contains("data") & F.col("text").contains("row"),
+            2,
+        )
+        .when(F.col("text").contains("data"), 1)
+        .otherwise(0)
+    )
+    judgments = None
+    for qid in (0, 1):
+        jq = docs.select(
+            F.lit(qid).cast("long").alias("query_id"), "doc_id",
+            rating.alias("rating"),
+        )
+        judgments = jq if judgments is None else judgments.unionByName(jq)
+    res = None
+    for qid, text in ((0, "data row"), (1, "table")):
+        r = s.top_k(text, k=10, with_meta=False).select(
+            F.lit(qid).cast("long").alias("query_id"), "rank", "doc_id"
+        )
+        res = r if res is None else res.unionByName(r)
+    metrics = rank_eval(res, judgments, k=10, relevant_min=1)
+    re_rows = metrics.select(
+        F.lit("rank_eval").alias("kind"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.concat_ws(
+                        ":", F.col("query_id").cast("string"), F.lit(mname)
+                    ).alias("key"),
+                    duck_round(F.col(mname), 3).alias("score3"),
+                )
+                for mname in ("precision", "reciprocal_rank", "dcg", "idcg", "ndcg")
+            ])
+        ).alias("b"),
+    ).select("kind", "b.key", "b.score3", F.lit(0).cast("long").alias("n"))
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
-        .unionByName(pc)
+        .unionByName(pc).unionByName(re_rows)
     )
 
 
@@ -1952,10 +1995,59 @@ GROUP BY doc_id, query_id, n_required
 HAVING count(*) >= n_required
 """
 
+# rank_eval: engine top-10 (f32 ordering) joined to a text-derived
+# judgment pool; ES metric formulas — precision over retrieved, MRR,
+# dcg with 2^rating-1 gains, idcg over the judged pool's top-10.
+def _sql_rank_eval(qid: int, terms: list[str]) -> str:
+    return f"""
+SELECT 'rank_eval' AS kind, '{qid}:' || u.k AS key, round(u.v, 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH res AS (
+    SELECT * FROM (
+      SELECT row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rank,
+             doc_id
+      FROM ({_sql_doc_scores(terms)})
+    ) WHERE rank <= 10
+  ),
+  rat AS (
+    SELECT doc_id,
+           CASE WHEN contains(text, 'data') AND contains(text, 'row') THEN 2
+                WHEN contains(text, 'data') THEN 1 ELSE 0 END AS rating
+    FROM documents
+  ),
+  hits AS (
+    SELECT r.rank, CAST(coalesce(t.rating, 0) AS DOUBLE) AS rating
+    FROM res r LEFT JOIN rat t USING (doc_id)
+  ),
+  mets AS (
+    SELECT CAST(sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS prec,
+           coalesce(max(CASE WHEN rating >= 1 THEN 1.0 / rank END), 0) AS rr,
+           sum((pow(2.0, rating) - 1.0) / log2(rank + 1.0)) AS dcg
+    FROM hits
+  ),
+  ideal AS (
+    SELECT coalesce(sum((pow(2.0, rating) - 1.0) / log2(rn + 1.0)), 0) AS idcg
+    FROM (
+      SELECT CAST(rating AS DOUBLE) AS rating,
+             row_number() OVER (ORDER BY rating DESC, doc_id ASC) AS rn
+      FROM rat WHERE rating > 0
+    ) WHERE rn <= 10
+  )
+  SELECT unnest(['precision', 'reciprocal_rank', 'dcg', 'idcg', 'ndcg']) AS k,
+         unnest([m.prec, m.rr, m.dcg, i.idcg,
+                 CASE WHEN i.idcg > 0 THEN m.dcg / i.idcg ELSE 0 END]) AS v
+  FROM mets m, ideal i
+) u
+"""
+
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
-     _SQL_PERCOLATE]
+     _SQL_PERCOLATE,
+     _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"])]
 )
 
 
