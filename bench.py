@@ -64,7 +64,16 @@ def main() -> None:
     from bitcoin_ledger_2es_spark.sources.synth import gen_query_set
     from bitcoin_ledger_2es_spark.sources.transcripts import read_transcripts
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(32, 2 * CPUS))
+    # SPARK_GRAFT_TASK_CPUS caps CONCURRENT tasks (task.cpus=N on
+    # local[CPUS] -> CPUS/N tasks at once) without touching index content:
+    # this host's memory bandwidth saturates at ~8 memory-bound build
+    # workers (BENCH/BASELINE.md dram_ceiling), so the build subprocess
+    # below sets it; query stages keep full parallelism in THIS session.
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS")
+    spark = get_spark(
+        "bench", cores=CPUS, shuffle_partitions=max(32, 2 * CPUS),
+        extra={"spark.task.cpus": task_cpus} if task_cpus else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
 
@@ -82,49 +91,96 @@ def main() -> None:
     )
     cfg = DEFAULT.with_(docs_per_shard=dps)
 
-    # best-of-N build: this host's run-to-run spread on identical code is
-    # large (87 s vs 139 s at local[8] hours apart — BENCH/BASELINE.md);
-    # min-of-repeats reports the engine, not the neighbor noise
-    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
-    t_build = float("inf")
-    ix = None
-    for _ in range(build_reps):
-        spark.catalog.clearCache()
-        t0 = time.monotonic()
-        ix = build_index(transcripts, cfg)
-        ix.postings.count()  # force materialization (persisted)
-        t_build = min(t_build, time.monotonic() - t0)
-    queries["index_build"] = round(t_build, 3)
-    turns_per_sec = n_turns / t_build
+    from bitcoin_ledger_2es_spark.plans.build import read_index, write_index
 
-    if os.environ.get("BENCH_BUILD_ONLY"):
-        out = {
-            "metric": "index_build_sec",
-            "value": round(t_build, 3),
-            "unit": "sec",
-            "queries": {"index_build": round(t_build, 3)},
-            "sf": sf,
-            "n_conv": n_conv,
-            "n_turns": int(n_turns),
-            "n_docs_indexed": ix.n_docs,
-            "build_turns_per_sec": round(turns_per_sec, 1),
-            "cpus": CPUS,
-        }
-        print(json.dumps(out))
-        spark.stop()
-        return
+    ix_path = str(CACHE / f"ix_n{n_conv}_dps{dps}")
+    build_only = bool(os.environ.get("BENCH_BUILD_ONLY"))
+    # Full-bench runs build in a SUBPROCESS with task.cpus=CPUS//8
+    # (-> ~CPUS/4 concurrent build tasks): the SPIMI build is memory-
+    # bandwidth-bound and this host's DRAM ceiling sits at ~8 concurrent
+    # memory-bound workers (measured: 76 s capped vs 119 s uncapped,
+    # best-of-N, same index bytes — task.cpus is NOT content-affecting,
+    # byte-identity across parallelism is pytest-pinned). Queries stay in
+    # THIS session at full parallelism. bench_scaling.py calls the
+    # BENCH_BUILD_ONLY path directly and is unaffected (no cap unless it
+    # sets SPARK_GRAFT_TASK_CPUS itself).
+    sub = None
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    if not build_only and os.environ.get("BENCH_SUBPROCESS_BUILD", "1") != "0":
+        import subprocess
+
+        env = dict(os.environ)
+        env.update({
+            "BENCH_BUILD_ONLY": "1",
+            "BENCH_WRITE_INDEX": ix_path,
+            "SPARK_GRAFT_DPS": str(dps),
+            # target ~8 concurrent build workers (the DRAM ceiling):
+            # task.cpus = CPUS/8, no cap at or below 8 cores
+            "SPARK_GRAFT_TASK_CPUS": env.get(
+                "SPARK_GRAFT_TASK_CPUS", str(max(1, CPUS // 8))
+            ),
+        })
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            env=env, capture_output=True, text=True,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')]
+        if lines:
+            sub = json.loads(lines[-1])
+        else:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+
+    if sub is not None:
+        queries["index_build"] = sub["queries"]["index_build"]
+        queries["index_write"] = sub["queries"]["index_write"]
+        t_build = queries["index_build"]
+        turns_per_sec = n_turns / t_build
+    else:
+        # best-of-N build: this host's run-to-run spread on identical code
+        # is large (87 s vs 139 s at local[8] hours apart —
+        # BENCH/BASELINE.md); min-of-repeats reports the engine, not the
+        # neighbor noise
+        t_build = float("inf")
+        ix = None
+        for _ in range(build_reps):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            ix = build_index(transcripts, cfg)
+            ix.postings.count()  # force materialization (persisted)
+            t_build = min(t_build, time.monotonic() - t0)
+        queries["index_build"] = round(t_build, 3)
+        turns_per_sec = n_turns / t_build
+
+        # the write is part of the pipeline and is reported (index_write);
+        # a pure build-only probe (bench_scaling.py) skips it unless the
+        # parent asked for the index via BENCH_WRITE_INDEX
+        if not build_only or os.environ.get("BENCH_WRITE_INDEX"):
+            t0 = time.monotonic()
+            write_index(ix, ix_path)
+            queries["index_write"] = round(time.monotonic() - t0, 3)
+
+        if build_only:
+            out = {
+                "metric": "index_build_sec",
+                "value": round(t_build, 3),
+                "unit": "sec",
+                "queries": dict(queries),
+                "sf": sf,
+                "n_conv": n_conv,
+                "n_turns": int(n_turns),
+                "n_docs_indexed": ix.n_docs,
+                "build_turns_per_sec": round(turns_per_sec, 1),
+                "cpus": CPUS,
+            }
+            print(json.dumps(out))
+            spark.stop()
+            return
 
     # serve queries from the PERSISTED index, the deployment shape: the
     # on-disk layout enables the partition-aligned zero-exchange scan
     # (auto-selected), measured 2.1x faster per query than the in-memory
-    # groupBy path on this host. The write is part of the pipeline and is
-    # reported (index_write).
-    from bitcoin_ledger_2es_spark.plans.build import read_index, write_index
-
-    ix_path = str(CACHE / f"ix_n{n_conv}_dps{dps}")
-    t0 = time.monotonic()
-    write_index(ix, ix_path)
-    queries["index_write"] = round(time.monotonic() - t0, 3)
+    # groupBy path on this host.
     on_disk = read_index(spark, ix_path, cfg)
     searcher = BM25Searcher(on_disk)
     assert searcher.aligned, "expected the zero-exchange aligned path"
@@ -204,7 +260,7 @@ def main() -> None:
         "sf": sf,
         "n_conv": n_conv,
         "n_turns": int(n_turns),
-        "n_docs_indexed": ix.n_docs,
+        "n_docs_indexed": on_disk.n_docs,
         "build_turns_per_sec": round(turns_per_sec, 1),
         "query_p50_sec": round(p50, 4),
         "query_p95_sec": round(p95, 4),
