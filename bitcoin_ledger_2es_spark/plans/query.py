@@ -835,6 +835,42 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def terms_set_query(
+        self,
+        terms: list[str],
+        minimum_should_match: "int | callable" = None,
+        k: int = 10,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES terms_set query: documents matching at least M of the given
+        exact terms, BM25-scored. M is ``minimum_should_match`` as an int,
+        or a callable ``len(terms) -> int`` (the ES
+        minimum_should_match_script shape, e.g. ``lambda n: ceil(0.7*n)``);
+        defaults to all terms. Per-DOC msm fields
+        (minimum_should_match_field) are not supported — the transcript
+        data model has no such numeric field; use the callable form.
+        Delegates to the bool kernel's should+msm path (one pruned scan)."""
+        n = len(terms)
+        if minimum_should_match is None:
+            msm = n
+        elif callable(minimum_should_match):
+            msm = int(minimum_should_match(n))
+        else:
+            msm = int(minimum_should_match)
+        return self.bool_query(
+            should=" ".join(terms), minimum_should_match=max(1, msm),
+            k=k, with_meta=with_meta,
+        )
+
+    def count(self, query_text: str = "", mode: str = "and",
+              must_not: str = "", doc_filter: Column | None = None) -> int:
+        """ES _count API: the number of documents matching a filter-context
+        query — the match_docs pruned-scan set, counted with no scoring,
+        no sort, no fetch."""
+        return self.match_docs(
+            query_text, mode=mode, must_not=must_not, doc_filter=doc_filter
+        ).count()
+
     def explain_score(self, query_text: str, doc_id: int, mode: str = "or") -> DataFrame:
         """ES _explain API analogue: the per-term BM25 breakdown for ONE
         (query, doc) pair, computed from the index itself — (term, tf,

@@ -257,3 +257,31 @@ def test_explain_score_matches_engine(searcher, oracle):
 def test_explain_score_and_mode_absent_term(searcher):
     br = searcher.explain_score("w0001 zqxzqx", 0, mode="and")
     assert br.count() == 0
+
+
+def test_terms_set_query_is_bool_msm(searcher):
+    import math
+
+    terms = ["w0001", "w0005", "w0009"]
+    a = searcher.terms_set_query(
+        terms, minimum_should_match=lambda n: math.ceil(0.67 * n),
+        k=15, with_meta=False,
+    ).toPandas()
+    b = searcher.bool_query(
+        should=" ".join(terms), minimum_should_match=2, k=15, with_meta=False
+    ).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+    # default = ALL terms required
+    c = searcher.terms_set_query(terms, k=15, with_meta=False).toPandas()
+    d = searcher.bool_query(
+        should=" ".join(terms), minimum_should_match=3, k=15, with_meta=False
+    ).toPandas()
+    assert c["doc_id"].tolist() == d["doc_id"].tolist()
+
+
+def test_count_matches_match_docs(searcher):
+    n = searcher.count("w0001 w0005", mode="and", must_not="w0009")
+    m = searcher.match_docs("w0001 w0005", mode="and", must_not="w0009").count()
+    assert n == m and n > 0
+    assert searcher.count("zqxzqx") == 0
