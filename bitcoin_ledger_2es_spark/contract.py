@@ -2258,18 +2258,39 @@ FROM events
 
 def q_search_aggs(spark, sf_dir):
     """ES query + aggregations over the FULL match set (not the top-k
-    page): BM25Searcher.match_docs emits every docmap row matching
-    (data AND row, NOT join) straight out of the pruned-scan/docmap
-    cogroup — no scoring, no global sort — and the histogram builder
-    aggregates doc_len on top with map-side partial aggregation."""
-    from .operators.aggs import histogram
+    page), two kinds in one entry: BM25Searcher.match_docs emits every
+    docmap row matching (data AND row, NOT join) straight out of the
+    pruned-scan/docmap cogroup — no scoring, no global sort — then
+
+    * ``histogram`` — doc_len/10 buckets with map-side partial agg;
+    * ``sig_text`` — ES significant_text: JLH-significant ANALYZED terms
+      of the match set's free text vs the background corpus (one corpus
+      tokenization serves both frequencies, the foreground via a semi
+      join); key = term, doc_count = fg_df, n = bg_df, metric = jlh."""
+    from .operators.aggs import histogram, significant_text
 
     s = _engine_searcher(spark, sf_dir)
     m = s.match_docs("data row", mode="and", must_not="join")
-    return histogram(
+    h = histogram(
         m, "doc_len", 10.0,
         metrics={"metric": duck_round(F.avg("doc_len"), 6)},
-    ).select(F.col("bucket").cast("long").alias("bucket"), "doc_count", "metric")
+    ).select(
+        F.lit("histogram").alias("kind"),
+        F.col("bucket").cast("long").cast("string").alias("key"),
+        "doc_count",
+        F.lit(0).cast("long").alias("n"),
+        "metric",
+    )
+    st = significant_text(
+        m, _t(spark, sf_dir, "documents"), size=12, min_doc_count=3
+    ).select(
+        F.lit("sig_text").alias("kind"),
+        F.col("term").alias("key"),
+        F.col("fg_df").alias("doc_count"),
+        F.col("bg_df").alias("n"),
+        duck_round("jlh", 6).alias("metric"),
+    )
+    return h.unionByName(st)
 
 
 SQL_SEARCH_AGGS = """
@@ -2283,11 +2304,33 @@ m AS (
   GROUP BY doc_id HAVING count(DISTINCT term) = 2
   EXCEPT
   SELECT doc_id FROM toks WHERE term = 'join'
+),
+dtok AS (SELECT DISTINCT doc_id, term FROM toks),
+bg AS (SELECT term, count(*) AS bg_df FROM dtok GROUP BY term),
+fg AS (
+  SELECT term, count(*) AS fg_df FROM dtok JOIN m USING (doc_id) GROUP BY term
+),
+tot AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_bg,
+         CAST((SELECT count(*) FROM m) AS DOUBLE) AS n_fg
 )
-SELECT CAST(floor(dl / 10.0) * 10.0 AS BIGINT) AS bucket,
-       count(*) AS doc_count, round(avg(dl), 6) AS metric
+SELECT 'histogram' AS kind,
+       CAST(CAST(floor(dl / 10.0) * 10.0 AS BIGINT) AS VARCHAR) AS key,
+       count(*) AS doc_count, CAST(0 AS BIGINT) AS n,
+       round(avg(dl), 6) AS metric
 FROM m JOIN dls USING (doc_id)
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'sig_text', term, fg_df, bg_df, round(raw, 6) FROM (
+  -- selection by the UNROUNDED score (the operator's order), rounded
+  -- only for the emitted column
+  SELECT term, fg_df, bg_df,
+         (fg_df / t.n_fg - bg_df / t.n_bg)
+           * ((fg_df / t.n_fg) / (bg_df / t.n_bg)) AS raw
+  FROM fg JOIN bg USING (term), tot t
+  WHERE fg_df >= 3
+  ORDER BY raw DESC, term ASC LIMIT 12
+)
 """
 
 

@@ -276,6 +276,60 @@ def bucket_sort(
     return out
 
 
+def significant_text(
+    fg_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    cfg=None,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES significant_text agg: terms from the FREE TEXT of a query's
+    match set (``fg_docs`` — any frame with a doc_id column, e.g.
+    BM25Searcher.match_docs output) that are unusually frequent vs the
+    background ``corpus`` (doc_id, text). JLH heuristic, doc-frequency
+    based on DISTINCT (doc, term) pairs — exactly significant_terms but
+    with the foreground defined by a query and the terms produced by the
+    ANALYZER over text instead of a keyword field. One corpus
+    tokenization serves both frequencies (the foreground reuses it via a
+    semi join), one term-keyed aggregation each — no re-analysis of the
+    match set, no driver-side text. Returns (term, fg_df, bg_df, jlh),
+    top ``size`` by (jlh desc, term asc)."""
+    from ..config import DEFAULT
+    from ..functions.analyze import tokenize_sql_builtin
+
+    cfg = cfg or DEFAULT
+    tok = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokenize_sql_builtin(F.col(text_col), cfg))
+        ).alias("term"),
+    )
+    fg_ids = fg_docs.select("doc_id").distinct()
+    n_bg = corpus.count()
+    n_fg = fg_ids.count()
+    if n_fg == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "term string, fg_df long, bg_df long, jlh double"
+        )
+    bg = tok.groupBy("term").agg(F.count("*").alias("bg_df"))
+    fg = (
+        tok.join(fg_ids, "doc_id", "semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    fgp = F.col("fg_df") / F.lit(float(n_fg))
+    bgp = F.col("bg_df") / F.lit(float(n_bg))
+    return (
+        fg.join(bg, "term")
+        .filter(F.col("fg_df") >= min_doc_count)
+        .withColumn("jlh", (fgp - bgp) * (fgp / bgp))
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(size)
+        .select("term", "fg_df", "bg_df", "jlh")
+    )
+
+
 def terms_agg(
     df: DataFrame,
     field: str,

@@ -248,3 +248,39 @@ def test_serial_diff_and_selector_and_sort(daily_df):
     )
     top = bucket_sort(df, [("sv", "desc"), ("day", "asc")], size=3).toPandas()
     assert top["sv"].tolist() == sorted(pdf.sv, reverse=True)[:3]
+
+
+def test_significant_text_matches_pandas(spark, searcher, tiny_df):
+    from bitcoin_ledger_2es_spark.functions.analyze import tokenize_series
+    from bitcoin_ledger_2es_spark.operators.aggs import significant_text
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+
+    docs, _ = tokenized_documents(tiny_df, CFG)
+    corpus = docs.select("doc_id", "text")
+    fg = searcher.match_docs("w0001", mode="and")
+    got = significant_text(fg, corpus, cfg=CFG, size=12, min_doc_count=3).toPandas()
+
+    pdf = corpus.toPandas()
+    fg_ids = set(r.doc_id for r in fg.select("doc_id").collect())
+    toks = tokenize_series(pdf["text"], CFG)
+    bg_df, fg_df = {}, {}
+    for doc_id, ts in zip(pdf["doc_id"], toks):
+        for t in set(ts):
+            bg_df[t] = bg_df.get(t, 0) + 1
+            if doc_id in fg_ids:
+                fg_df[t] = fg_df.get(t, 0) + 1
+    n_bg, n_fg = float(len(pdf)), float(len(fg_ids))
+    rows = []
+    for t, f in fg_df.items():
+        if f < 3:
+            continue
+        fgp, bgp = f / n_fg, bg_df[t] / n_bg
+        rows.append((t, f, bg_df[t], (fgp - bgp) * (fgp / bgp)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:12]
+    assert got["term"].tolist() == [r[0] for r in rows]
+    assert got["fg_df"].tolist() == [r[1] for r in rows]
+    assert got["bg_df"].tolist() == [r[2] for r in rows]
+    assert got["jlh"].tolist() == pytest.approx([r[3] for r in rows], rel=1e-12)
+    # the foreground is genuinely a subset
+    assert 0 < n_fg < n_bg
