@@ -91,10 +91,22 @@ def start_incremental_index(
     cfg: EngineConfig = DEFAULT,
     checkpoint: str | None = None,
     available_now: bool = True,
+    percolate_queries: DataFrame | None = None,
+    on_percolate=None,
 ):
     """Tail ``source_path`` (parquet file source) and index each micro-batch
     as a segment. With ``available_now`` the query drains existing files
-    and stops (incremental batch); otherwise it runs continuously."""
+    and stops (incremental batch); otherwise it runs continuously.
+
+    ``percolate_queries`` (an ``operators.percolate.analyzed_queries``
+    frame) turns the stream into the ES percolate/alerting shape: each
+    arriving micro-batch is ALSO matched against the registered queries
+    — one broadcast join over the batch, before segment build — and the
+    (doc text, query_id, n_matched) matches are appended to
+    ``<root>/_percolated`` parquet (or handed to ``on_percolate(df,
+    batch_id)`` if given). Idempotent like the segment build: replayed
+    batch_ids overwrite their own output partition."""
+
     from ..sources.transcripts import TRANSCRIPTS_SCHEMA
 
     stream = (
@@ -106,6 +118,27 @@ def start_incremental_index(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if percolate_queries is not None:
+            from ..operators.percolate import percolate
+
+            docs = batch_df.withColumn(
+                "doc_key",
+                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+            )
+            matches = percolate(
+                docs, percolate_queries, text_col="text", id_col="doc_key",
+                cfg=cfg,
+            ).withColumnRenamed("doc_id", "doc_key")
+            if on_percolate is not None:
+                on_percolate(matches, int(batch_id))
+            else:
+                (
+                    matches.withColumn("batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(f"{root}/_percolated")
+                )
         build_segment(spark, batch_df, root, int(batch_id), cfg)
 
     writer = stream.writeStream.foreachBatch(handle).option(

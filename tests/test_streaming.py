@@ -271,3 +271,59 @@ def test_segmented_search_matches_across_segment_counts(spark, tmp_path):
         np.testing.assert_array_equal(
             a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
         )
+
+
+def test_streaming_percolate_alerts(spark, tmp_path):
+    """ES percolate-on-ingest: each micro-batch is matched against the
+    registered queries before segment build; matches land under
+    <root>/_percolated partitioned by batch_id, idempotent on replay."""
+    from bitcoin_ledger_2es_spark.functions.analyze import analyze_query, tokenize_series
+    from bitcoin_ledger_2es_spark.operators.percolate import analyzed_queries
+
+    src = tmp_path / "src"
+    root = str(tmp_path / "root")
+    src.mkdir()
+    full = gen_transcripts_pdf(60, seed=7)
+    halves = np.array_split(sorted(full["conv_id"].unique()), 2)
+    import shutil
+    from pathlib import Path
+
+    for i, cs in enumerate(halves):
+        chunk = full[full["conv_id"].isin(cs)]
+        d = src / f"b{i}.d"
+        spark.createDataFrame(chunk, TRANSCRIPTS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        f = next(p for p in Path(d).glob("*.parquet"))
+        shutil.move(str(f), str(src / f"batch_{i}.parquet"))
+        shutil.rmtree(d)
+    queries = [(0, "w0000 w0001", "and", 0), (1, "w0002 w0005 w0009", "or", 2)]
+    q = analyzed_queries(spark, queries, CFG)
+    start_incremental_index(
+        spark, str(src), root, CFG, available_now=True, percolate_queries=q
+    )
+    got = spark.read.parquet(f"{root}/_percolated").toPandas()
+    assert set(got["batch_id"]) == {0, 1}
+
+    # pandas twin over ALL turns
+    exp = set()
+    toks = tokenize_series(full["text"], CFG)
+    for (cid, tix), ts in zip(zip(full["conv_id"], full["turn_idx"]), toks):
+        present = set(ts)
+        for qid, text, mode, msm in queries:
+            terms = set(analyze_query(text, CFG))
+            need = len(terms) if mode == "and" else max(1, min(msm, len(terms)))
+            hit = len(terms & present)
+            if hit >= need:
+                exp.add((f"{cid}#{tix}", qid, hit))
+    assert set(zip(got["doc_key"], got["query_id"], got["n_matched"])) == exp
+    assert exp  # non-trivial
+
+    # replay idempotence: re-running the drained stream with a fresh
+    # checkpoint reprocesses both batches and overwrites, not duplicates
+    start_incremental_index(
+        spark, str(src), root, CFG, available_now=True,
+        percolate_queries=q, checkpoint=str(tmp_path / "cp2"),
+    )
+    again = spark.read.parquet(f"{root}/_percolated").toPandas()
+    assert len(again) == len(got)
