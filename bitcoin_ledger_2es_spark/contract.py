@@ -1636,7 +1636,11 @@ def q_advanced_queries(spark, sf_dir):
     * ``rank_eval`` — ES _rank_eval metrics (precision@10, MRR, dcg,
       idcg, ndcg) for the engine's top-10 on two queries against a
       text-derived judgment pool; key = q<id>:<metric>, score3 = the
-      metric, n = 0."""
+      metric, n = 0.
+    * ``synonyms`` — Lucene SynonymQuery BLENDED semantics for 'data
+      table' with data->{row}: tf summed across group members BEFORE
+      BM25 saturation, idf from the max member docFreq; key = doc_id,
+      n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1750,10 +1754,18 @@ def q_advanced_queries(spark, sf_dir):
             ])
         ).alias("b"),
     ).select("kind", "b.key", "b.score3", F.lit(0).cast("long").alias("n"))
+    sy = s.match_synonyms(
+        "data table", {"data": ["row"]}, k=1_000_000, with_meta=False
+    ).select(
+        F.lit("synonyms").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
-        .unionByName(pc).unionByName(re_rows)
+        .unionByName(pc).unionByName(re_rows).unionByName(sy)
     )
 
 
@@ -2043,11 +2055,56 @@ FROM (
 """
 
 
+# synonyms: blended SynonymQuery — group 0 = {data, row} (tf summed per
+# doc BEFORE saturation, idf from max member df), group 1 = {table}; OR.
+_SQL_SYNONYMS = """
+SELECT 'synonyms' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN ('data', 'row', 'table') GROUP BY doc_id, term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  gidf AS (
+    SELECT 0 AS g, ln(1.0 + (c.n_docs - mx + 0.5) / (mx + 0.5)) AS v
+    FROM (SELECT max(df) AS mx FROM dfreq WHERE term IN ('data', 'row')), corpus c
+    UNION ALL
+    SELECT 1, ln(1.0 + (c.n_docs - mx + 0.5) / (mx + 0.5))
+    FROM (SELECT max(df) AS mx FROM dfreq WHERE term = 'table'), corpus c
+  ),
+  gtf AS (
+    SELECT doc_id, 0 AS g, sum(tf) AS tf FROM tf
+    WHERE term IN ('data', 'row') GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 1, sum(tf) FROM tf WHERE term = 'table' GROUP BY doc_id
+  ),
+  contrib AS (
+    SELECT gtf.doc_id,
+           i.v * (gtf.tf * 2.2) / (gtf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS x
+    FROM gtf JOIN gidf i USING (g) JOIN dls USING (doc_id), corpus c
+    WHERE i.v IS NOT NULL
+  )
+  SELECT doc_id, sum(x) AS score FROM contrib GROUP BY doc_id
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
      _SQL_PERCOLATE,
-     _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"])]
+     _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
+     _SQL_SYNONYMS]
 )
 
 

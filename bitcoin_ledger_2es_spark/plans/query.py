@@ -835,6 +835,116 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def match_synonyms(
+        self,
+        query_text: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES match query through a query-time synonym filter, with
+        Lucene SynonymQuery BLENDED semantics (what ES builds per token
+        position when the analyzer emits synonyms) — NOT the weaker
+        scoring_boolean rewrite: each query token and its synonyms form
+        ONE group scored as a single virtual term with
+
+          * tf  = SUM of the member terms' tfs in the doc (saturation
+            applies to the blended tf, so a doc can't stack BM25 credit
+            across synonyms), and
+          * idf from the MAX member docFreq (Lucene SynonymQuery's
+            docFreq blending).
+
+        ``mode='and'`` requires every group (a group matches if ANY
+        member does). Determinism: per-shard f64 accumulation in query
+        token order, members decoded in ascending term_id order, f32
+        emit, (score desc, doc_id asc) ties. Scale shape: one pruned
+        scan over the union of member term_ids, shard-local kernel,
+        k-row merge — identical to top_k."""
+        ix, cfg = self.ix, self.ix.cfg
+        tokens = analyze_query(query_text, cfg)
+        if not tokens:
+            return self._empty()
+        weights = Counter(tokens)
+        member_map: dict[str, list[str]] = {}
+        for tok in dict.fromkeys(tokens):
+            mem = [tok]
+            for s in synonyms.get(tok, []):
+                mem.extend(analyze_query(s, cfg))
+            member_map[tok] = list(dict.fromkeys(mem))
+        found = self._lookup_terms(
+            sorted({m for ms in member_map.values() for m in ms})
+        )
+        groups: list[tuple[float, float, list[int]]] = []
+        for tok in dict.fromkeys(tokens):
+            hits = [(found[m][0], found[m][1]) for m in member_map[tok] if m in found]
+            if not hits:
+                if mode == "and":
+                    return self._empty()
+                continue
+            idf = float(idf_fn(float(max(df_ for _, df_ in hits)), ix.n_docs))
+            groups.append((float(weights[tok]), idf, sorted(t for t, _ in hits)))
+        if not groups:
+            return self._empty()
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        n_groups, and_mode = len(groups), mode == "and"
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY_CAND
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+            score = np.zeros(dps, dtype=np.float64)
+            seen = np.zeros(dps, dtype=np.int32)
+            dlarr = np.zeros(dps, dtype=np.float64)
+            for w, gidf, tids in groups:  # query token order (f64 contract)
+                tfacc = np.zeros(dps, dtype=np.float64)
+                present = False
+                for tid in tids:  # ascending term_id
+                    g = by_tid.get(tid)
+                    if g is None:
+                        continue
+                    dec = _decode_term_blocks(g, base)
+                    if dec is None:
+                        continue
+                    offs, tfs, dls = dec
+                    tfacc[offs] += tfs
+                    dlarr[offs] = dls
+                    present = True
+                if not present:
+                    continue
+                m = tfacc > 0
+                tf = tfacc[m]
+                dl = dlarr[m]
+                score[m] += (
+                    w * gidf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                seen[m] += 1
+            live = seen == n_groups if and_mode else seen > 0
+            offs = np.flatnonzero(live)
+            if not offs.size:
+                return _EMPTY_CAND
+            s32 = score[offs].astype(np.float32)
+            if offs.size > k:
+                kth = np.partition(-s32, k - 1)[k - 1]
+                sup = np.flatnonzero(-s32 <= kth)
+                order = sup[np.lexsort((offs[sup], -s32[sup].astype(np.float64)))][:k]
+            else:
+                order = np.lexsort((offs, -s32.astype(np.float64)))[:k]
+            return pd.DataFrame(
+                {"doc_id": (offs[order] + base).astype(np.int64),
+                 "score": s32[order]}
+            )
+
+        scan_tids = sorted({t for _, _, tids in groups for t in tids})
+        pruned = ix.postings.filter(F.col("term_id").isin(scan_tids))
+        if self.aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+        return self._ranked(cands, k, with_meta)
+
     def terms_set_query(
         self,
         terms: list[str],

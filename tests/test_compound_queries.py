@@ -285,3 +285,73 @@ def test_count_matches_match_docs(searcher):
     m = searcher.match_docs("w0001 w0005", mode="and", must_not="w0009").count()
     assert n == m and n > 0
     assert searcher.count("zqxzqx") == 0
+
+
+def _synonym_twin(oracle, tokens, syn_map, mode="or"):
+    """Blended SynonymQuery pandas twin: tf summed across members, idf
+    from max member df, f64 accumulation in token order."""
+    from collections import Counter
+
+    from bitcoin_ledger_2es_spark.functions.bm25 import idf as idf_fn
+
+    weights = Counter(tokens)
+    score, seen = {}, {}
+    groups = []
+    for tok in dict.fromkeys(tokens):
+        members = [m for m in dict.fromkeys([tok] + syn_map.get(tok, []))
+                   if m in oracle.postings]
+        if members:
+            groups.append((float(weights[tok]), members))
+        elif mode == "and":
+            return {}
+    for w, members in groups:
+        max_df = max(len(oracle.postings[m][0]) for m in members)
+        gidf = float(idf_fn(float(max_df), oracle.n_docs))
+        tfacc = {}
+        for m in sorted(members, key=lambda t: oracle.term_id[t]):
+            for row, tf in zip(*oracle.postings[m]):
+                tfacc[row] = tfacc.get(row, 0.0) + float(tf)
+        for row, tf in tfacc.items():
+            dl = float(oracle.doc_len[row])
+            c = w * gidf * tf * (1.2 + 1.0) / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * dl / oracle.avgdl))
+            d = int(oracle.doc_ids[row])
+            score[d] = score.get(d, 0.0) + c
+            seen[d] = seen.get(d, 0) + 1
+    need = len(groups)
+    return {
+        d: np.float32(s) for d, s in score.items()
+        if (seen[d] == need if mode == "and" else True)
+    }
+
+
+def test_match_synonyms_blended(searcher, oracle):
+    syn = {"w0001": ["w0002", "w0777"], "w0005": ["w0009"]}
+    tokens = ["w0001", "w0005"]
+    for mode in ("or", "and"):
+        exp = _synonym_twin(oracle, tokens, syn, mode)
+        got = searcher.match_synonyms(
+            "w0001 w0005", syn, k=len(exp) + 5, mode=mode, with_meta=False
+        ).toPandas()
+        ids, scores = _rank(exp.items(), len(exp) + 5)
+        assert got["doc_id"].tolist() == ids, mode
+        assert got["score"].tolist() == scores, mode
+    # blending != boolean rewrite: a doc with both members must NOT score
+    # like two independent terms (saturation on the summed tf)
+    boolean = searcher.top_k("w0001 w0002", k=10, with_meta=False).toPandas()
+    blended = searcher.match_synonyms(
+        "w0001", {"w0001": ["w0002"]}, k=10, with_meta=False
+    ).toPandas()
+    assert blended["score"].tolist() != boolean["score"].tolist()
+
+
+def test_match_synonyms_no_members_and_mode(searcher):
+    assert searcher.match_synonyms(
+        "zzqqx", {"zzqqx": ["zzqqy"]}, mode="and", k=5
+    ).count() == 0
+    # unknown synonym falls back to the plain term
+    a = searcher.match_synonyms("w0001", {"w0001": ["zzqqy"]}, k=10,
+                                with_meta=False).toPandas()
+    b = searcher.top_k("w0001", k=10, with_meta=False).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
