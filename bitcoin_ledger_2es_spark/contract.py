@@ -1990,9 +1990,12 @@ FROM (
 
 # percolate: distinct doc terms joined to the registered query terms,
 # matched-count thresholded per query (AND = all terms, OR = msm).
+# Lockstep with analyzed_queries: an OR query whose msm exceeds its
+# distinct-term count is unsatisfiable and is dropped, not clamped.
 _PERC_ROWS = ", ".join(
-    f"({qid}, '{t}', {len(set(text.split())) if mode == 'and' else max(1, min(msm, len(set(text.split()))))})"
+    f"({qid}, '{t}', {len(set(text.split())) if mode == 'and' else max(1, msm)})"
     for qid, text, mode, msm in PERCOLATE_QUERIES
+    if mode == "and" or max(1, msm) <= len(set(text.split()))
     for t in sorted(set(text.split()))
 )
 _SQL_PERCOLATE = f"""

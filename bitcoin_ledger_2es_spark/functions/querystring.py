@@ -91,6 +91,10 @@ class ParsedQuery:
     phrases: list[PhraseClause] = field(default_factory=list)
     expands: list[ExpandClause] = field(default_factory=list)
     filters: list[FilterClause] = field(default_factory=list)
+    # roles of clauses addressing UNKNOWN fields (ES unmapped-field
+    # semantics: such a clause matches NOTHING — a must kills the query,
+    # a should contributes nothing, a must_not excludes nothing)
+    unmapped: list[str] = field(default_factory=list)
 
     def scoring_clauses(self) -> int:
         return (
@@ -110,10 +114,11 @@ def parse_query_string(
     default_operator: str = "or",
 ) -> ParsedQuery:
     """Parse a classic query string into clause lists. Pure function of
-    (qs, cfg, default_operator); raises ValueError on an unknown filter
-    field or a bad default_operator — never on user text (lenient like
-    Lucene's escape-tolerant mode: unparseable fragments analyze to
-    nothing and drop out)."""
+    (qs, cfg, default_operator); raises ValueError only on a bad
+    default_operator — never on user text (lenient like Lucene's
+    escape-tolerant mode: unparseable fragments analyze to nothing and
+    drop out; tokens addressing unknown fields — URLs, key:value text —
+    become unmapped clauses that match nothing, the ES behavior)."""
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
     bare = "should" if default_operator == "or" else "must"
@@ -139,10 +144,10 @@ def parse_query_string(
             if fld == "text":
                 word = fm.group("v")  # text: addresses the indexed field
             else:
-                raise ValueError(
-                    f"unknown field '{fld}' (filterable: {FILTER_FIELDS}, "
-                    "indexed: text)"
-                )
+                # ES unmapped-field semantics: no error — the clause
+                # matches nothing (URLs like http://x parse here too)
+                out.unmapped.append(role)
+                continue
         zm = _FUZZY.match(word)
         if zm and "*" not in word and "?" not in word:
             stem = _unescape(zm.group("stem")).lower()

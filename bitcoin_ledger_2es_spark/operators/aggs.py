@@ -73,18 +73,21 @@ def range_agg(
         branches.append((key, cond))
     named = _as_masked(metrics)
     aggs = []
-    for key, cond in branches:
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c_{key}"))
-        for n, fn in named:
-            aggs.append(fn(cond).alias(f"__m_{key}_{n}"))
+    # internal aliases are INDEX-based: user keys (e.g. the ES-default
+    # "*-50.0" / "50.0-150.0" forms) may contain dots or backticks that
+    # F.col would misparse as struct accessors
+    for i, (_, cond) in enumerate(branches):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c_{i}"))
+        for j, (_, fn) in enumerate(named):
+            aggs.append(fn(cond).alias(f"__m_{i}_{j}"))
     rows = df.agg(*aggs)
     structs = [
         F.struct(
             F.lit(key).alias("key"),
-            F.col(f"__c_{key}").cast("long").alias("doc_count"),
-            *[F.col(f"__m_{key}_{n}").alias(n) for n, _ in named],
+            F.col(f"__c_{i}").cast("long").alias("doc_count"),
+            *[F.col(f"__m_{i}_{j}").alias(n) for j, (n, _) in enumerate(named)],
         )
-        for key, _ in branches
+        for i, (key, _) in enumerate(branches)
     ]
     return rows.select(F.explode(F.array(*structs)).alias("b")).select("b.*")
 
@@ -114,20 +117,22 @@ def filters_agg(
     """ES filters agg: one named bucket per independent predicate, all
     evaluated in ONE aggregate pass (conditional sums), emitted in the
     given order as (key, doc_count, *metrics)."""
-    names = [n for n, _ in _as_masked(metrics)]
+    named = _as_masked(metrics)
     aggs = []
-    for key, cond in filters.items():
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c_{key}"))
-        for n, fn in _as_masked(metrics):
-            aggs.append(fn(cond).alias(f"__m_{key}_{n}"))
+    # index-based internal aliases — see range_agg (user keys may contain
+    # characters F.col would misparse)
+    for i, (_, cond) in enumerate(filters.items()):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c_{i}"))
+        for j, (_, fn) in enumerate(named):
+            aggs.append(fn(cond).alias(f"__m_{i}_{j}"))
     rows = df.agg(*aggs)
     structs = [
         F.struct(
             F.lit(key).alias("key"),
-            F.col(f"__c_{key}").cast("long").alias("doc_count"),
-            *[F.col(f"__m_{key}_{n}").alias(n) for n in names],
+            F.col(f"__c_{i}").cast("long").alias("doc_count"),
+            *[F.col(f"__m_{i}_{j}").alias(n) for j, (n, _) in enumerate(named)],
         )
-        for key in filters
+        for i, key in enumerate(filters)
     ]
     return rows.select(F.explode(F.array(*structs)).alias("b")).select("b.*")
 

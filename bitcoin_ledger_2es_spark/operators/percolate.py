@@ -40,13 +40,21 @@ def analyzed_queries(
     (query_id, term, n_required) rows, analyzed with the INDEX analyzer
     (the percolator contract: query terms and doc tokens must come from
     the same analysis chain). mode='and' requires every distinct term;
-    mode='or' requires max(minimum_should_match, 1) distinct terms."""
+    mode='or' requires max(minimum_should_match, 1) distinct terms. A
+    minimum_should_match ABOVE the distinct-term count is unsatisfiable
+    and matches nothing (the ES msm contract) — the query is simply not
+    registered, rather than silently degrading to all-terms AND."""
     rows = []
     for qid, text, mode, msm in queries:
         terms = sorted(set(analyze_query(text, cfg)))
         if not terms:
             continue
-        need = len(terms) if mode == "and" else max(1, min(int(msm), len(terms)))
+        if mode == "and":
+            need = len(terms)
+        else:
+            need = max(1, int(msm))
+            if need > len(terms):
+                continue  # unsatisfiable: matches nothing
         rows.extend((int(qid), t, need) for t in terms)
     return spark.createDataFrame(
         rows, "query_id long, term string, n_required int"

@@ -366,6 +366,11 @@ class PandasOracle:
                 should_groups.append(names)
             return True
 
+        # unmapped-field clauses: like all-OOV clauses (lockstep with
+        # BM25Searcher.query_string — change one, change both)
+        for role in parsed.unmapped:
+            if not _add([], role):
+                return empty
         for c in parsed.terms:
             tw = [(t, float(n)) for t, n in Counter(c.terms).items()
                   if t in self.postings]

@@ -188,6 +188,26 @@ def _aligned_kernel(shard_fn):
     return fn
 
 
+def _fold_tagged_scores(subs: "list[DataFrame]") -> DataFrame:
+    """Shared combine for dis_max / multi_match: union the q-tagged
+    (doc_id, score, q) sub-frames and aggregate per doc into _mx (max,
+    order-free) and _sum (f64 fold in ascending q order via a
+    sorted-array aggregate — a plain SUM would accumulate in
+    partition-arrival order and break byte-stability)."""
+    allc = subs[0]
+    for c in subs[1:]:
+        allc = allc.unionByName(c)
+    folded_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("q", "score"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["score"].cast("double"),
+    )
+    return allc.groupBy("doc_id").agg(
+        F.max(F.col("score").cast("double")).alias("_mx"),
+        folded_sum.alias("_sum"),
+    )
+
+
 class BM25Searcher:
     def __init__(
         self, ix: IndexFrames, use_wand: bool = True, aligned: bool | None = None
@@ -322,23 +342,7 @@ class BM25Searcher:
         else:
             cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
-        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        top = top.withColumn("rank", F.row_number().over(w))
-        if not with_meta:
-            return top.select("rank", "doc_id", "score").orderBy("rank")
-        # fetch phase: broadcast the <= k winners INTO the docmap scan.
-        # Winners come from the index, so they always exist in docmap —
-        # an INNER join loses nothing, and inner+broadcast(top) gives
-        # BuildRight over k rows: docmap is scan-only at any corpus size
-        # (a right-outer join could only build/broadcast the docmap side,
-        # which is broadcast-OOM at 10^12 docs).
-        return (
-            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
-            .join(F.broadcast(top), "doc_id", "inner")
-            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
-            .orderBy("rank")
-        )
+        return self._ranked(cands, k, with_meta)
 
     def bool_query(
         self,
@@ -377,11 +381,14 @@ class BM25Searcher:
         if not must_terms and not should_terms:
             if not_terms:
                 # ES serves {"bool": {"must_not": ...}} as match_all minus
-                # the exclusions, every hit scored 1.0 (Lucene
-                # MatchAllDocsQuery) — the docmap-backed constant-score
-                # path; no ghost slots because real docs come from docmap
+                # the exclusions, and because the clause is pure filter
+                # context every hit scores 0.0 ("Because scoring is
+                # ignored, a score of 0 is returned for all documents" —
+                # ES bool reference; match_all ALONE still scores 1.0).
+                # Docmap-backed constant-score path, boost 0.0; ranking is
+                # doc_id asc, the stable order under a constant score.
                 return self.match_all(
-                    must_not=must_not, k=k, doc_filter=doc_filter,
+                    must_not=must_not, k=k, boost=0.0, doc_filter=doc_filter,
                     with_meta=with_meta, search_after=search_after,
                 )
             return self._empty()
@@ -467,17 +474,7 @@ class BM25Searcher:
         else:
             cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
-        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        top = top.withColumn("rank", F.row_number().over(w))
-        if not with_meta:
-            return top.select("rank", "doc_id", "score").orderBy("rank")
-        return (
-            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
-            .join(F.broadcast(top), "doc_id", "inner")
-            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
-            .orderBy("rank")
-        )
+        return self._ranked(cands, k, with_meta)
 
     def match_all(
         self,
@@ -617,17 +614,7 @@ class BM25Searcher:
             .cogroup(docmap_lite.groupBy("shard_id"))
             .applyInPandas(kernel, schema=_CAND_DDL)
         )
-        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        top = top.withColumn("rank", F.row_number().over(w))
-        if not with_meta:
-            return top.select("rank", "doc_id", "score").orderBy("rank")
-        return (
-            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
-            .join(F.broadcast(top), "doc_id", "inner")
-            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
-            .orderBy("rank")
-        )
+        return self._ranked(cands, k, with_meta)
 
     def more_like_this(
         self,
@@ -698,10 +685,14 @@ class BM25Searcher:
         return pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
     def _ranked(self, cands: DataFrame, k: int, with_meta: bool) -> DataFrame:
-        """Shared selection + fetch tail: global (score desc, doc_id asc)
-        top-k over a candidate frame, rank column, optional docmap fetch
-        (broadcast the <= k winners into the docmap scan — inner +
-        BuildRight, the only scale-safe orientation)."""
+        """Shared selection + fetch tail for EVERY query surface: global
+        (score desc, doc_id asc) top-k over a candidate frame, rank
+        column, optional docmap fetch. Fetch phase broadcasts the <= k
+        winners INTO the docmap scan: winners come from the index, so an
+        INNER join loses nothing, and inner+broadcast(top) gives
+        BuildRight over k rows — docmap stays scan-only at any corpus
+        size (a right-outer join could only build/broadcast the docmap
+        side, which is broadcast-OOM at 10^12 docs)."""
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))
@@ -743,19 +734,9 @@ class BM25Searcher:
         if not subs:
             return self._empty() if with_meta else self._spark.createDataFrame(
                 [], "rank int, doc_id long, score float")
-        allc = subs[0]
-        for c in subs[1:]:
-            allc = allc.unionByName(c)
         tb = float(tie_breaker)
-        folded_sum = F.aggregate(
-            F.array_sort(F.collect_list(F.struct("q", "score"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["score"].cast("double"),
-        )
-        best = F.max(F.col("score").cast("double"))
-        per_doc = allc.groupBy("doc_id").agg(
-            best.alias("_mx"), folded_sum.alias("_sum")
-        ).select(
+        grouped = _fold_tagged_scores(subs)
+        per_doc = grouped.select(
             "doc_id",
             (F.col("_mx") + F.lit(tb) * (F.col("_sum") - F.col("_mx")))
             .cast("float").alias("score"),
@@ -1125,17 +1106,7 @@ class BM25Searcher:
             cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
         else:
             cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
-        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        top = top.withColumn("rank", F.row_number().over(w))
-        if not with_meta:
-            return top.select("rank", "doc_id", "score").orderBy("rank")
-        return (
-            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
-            .join(F.broadcast(top), "doc_id", "inner")
-            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
-            .orderBy("rank")
-        )
+        return self._ranked(cands, k, with_meta)
 
     def conversations_topk(
         self,
@@ -1362,10 +1333,13 @@ class BM25Searcher:
                      with_meta: bool = True) -> DataFrame:
         """ES regexp query: dictionary terms fully matching the regular
         expression (ES anchors both ends, Lucene RegExp syntax — the
-        JVM-regex common subset is honored here). Same
+        JVM-regex common subset is honored here). Like Lucene, the
+        pattern is NOT analyzed or case-folded — the dictionary stores
+        lowercased terms, so write the pattern in lowercase (folding it
+        here would invert escape classes like \\D / \\W). Same
         rewrite=scoring_boolean expansion as wildcard: dictionary scan
         with the regex as a pushed filter, top-df cap, weight-1 OR."""
-        rx = "^(?:" + pattern.lower() + ")$"
+        rx = "^(?:" + pattern + ")$"
         found = self._expanded(F.col("term").rlike(rx), max_expansions)
         return self._scored_top_k(found, Counter(dict.fromkeys(found, 1)), k, "or", None, with_meta)
 
@@ -1522,6 +1496,13 @@ class BM25Searcher:
                 should_groups.append(tids)
             return True
 
+        # unmapped-field clauses (ES semantics): behave exactly like a
+        # clause whose every member is out-of-vocabulary — a must kills
+        # the query, a should counts toward the msm denominator but can
+        # never match, a must_not excludes nothing
+        for role in parsed.unmapped:
+            if not _add([], role):
+                return self._empty()
         for c in parsed.terms:
             tw = [
                 (found[t][0], found[t][1], float(n))
@@ -1574,13 +1555,15 @@ class BM25Searcher:
                     "has no positions to subtract a phrase from)"
                 )
             if excl_tids or flt is not None:
-                # pure-negative / pure-filter query: match_all semantics
+                # pure-negative / pure-filter query: match_all semantics,
+                # and like must_not-only bool this is filter context —
+                # every hit scores 0.0 (the ES rule)
                 not_text = " ".join(
                     sorted(t for t, v in self._term_cache.items()
                            if v is not None and v[0] in excl_tids)
                 )
                 return self.match_all(
-                    must_not=not_text, k=k, doc_filter=flt,
+                    must_not=not_text, k=k, boost=0.0, doc_filter=flt,
                     with_meta=with_meta, search_after=search_after,
                 )
             return self._empty()
@@ -1647,17 +1630,7 @@ class BM25Searcher:
         else:
             cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
-        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        top = top.withColumn("rank", F.row_number().over(w))
-        if not with_meta:
-            return top.select("rank", "doc_id", "score").orderBy("rank")
-        return (
-            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
-            .join(F.broadcast(top), "doc_id", "inner")
-            .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
-            .orderBy("rank")
-        )
+        return self._ranked(cands, k, with_meta)
 
     def span_near_query(
         self,
@@ -2039,18 +2012,7 @@ def multi_match(
     if not subs:
         return primary._spark.createDataFrame(
             [], "rank int, doc_id long, score float")
-    allc = subs[0]
-    for c in subs[1:]:
-        allc = allc.unionByName(c)
-    folded_sum = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("q", "score"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["score"].cast("double"),
-    )
-    grouped = allc.groupBy("doc_id").agg(
-        F.max(F.col("score").cast("double")).alias("_mx"),
-        folded_sum.alias("_sum"),
-    )
+    grouped = _fold_tagged_scores(subs)
     if match_type == "most_fields":
         final = F.col("_sum")
     else:

@@ -114,9 +114,11 @@ def test_bool_with_doc_filter(ix, oracle, tiny_pdf):
 
 
 def test_must_not_only_is_match_all_minus_exclusions(ix, oracle):
-    """bool_query with ONLY must_not serves ES's match_all-minus-exclusions:
-    every surviving doc scores exactly 1.0 (Lucene MatchAllDocsQuery) and
-    the ranking is doc_id ascending (the stable constant-score order)."""
+    """bool_query with ONLY must_not serves ES's match_all-minus-exclusions
+    in FILTER context: every surviving doc scores exactly 0.0 ("Because
+    scoring is ignored, a score of 0 is returned for all documents" — ES
+    bool/must_not reference; match_all ALONE still scores 1.0) and the
+    ranking is doc_id ascending (the stable constant-score order)."""
     s = BM25Searcher(ix)
     r = s.bool_query(must_not="w0000 w0003", k=1_000_000, with_meta=False).toPandas()
     excl = set(oracle.doc_ids[oracle.postings["w0000"][0]].tolist()) | set(
@@ -124,7 +126,7 @@ def test_must_not_only_is_match_all_minus_exclusions(ix, oracle):
     )
     expect = sorted(set(oracle.doc_ids.tolist()) - excl)
     assert r["doc_id"].tolist() == expect
-    assert (r["score"].to_numpy(np.float32) == np.float32(1.0)).all()
+    assert (r["score"].to_numpy(np.float32) == np.float32(0.0)).all()
     assert r["rank"].tolist() == list(range(1, len(expect) + 1))
 
 

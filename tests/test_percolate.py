@@ -16,6 +16,7 @@ QUERIES = [
     (2, "w0003", "or", 1),               # single term
     (3, "w0001 w0001 W0002!", "and", 0), # analyzer dedup + normalization
     (4, "", "or", 1),                    # empty after analysis -> dropped
+    (5, "w0001 w0005", "or", 3),         # msm > terms: unsatisfiable -> dropped
 ]
 
 
@@ -36,7 +37,14 @@ def _pandas_twin(docs_pdf):
             terms = set(analyze_query(text, CFG))
             if not terms:
                 continue
-            need = len(terms) if mode == "and" else max(1, min(msm, len(terms)))
+            # lockstep with analyzed_queries: msm above the distinct-term
+            # count is unsatisfiable and matches nothing (ES msm contract)
+            if mode == "and":
+                need = len(terms)
+            else:
+                need = max(1, msm)
+                if need > len(terms):
+                    continue
             hit = len(terms & present)
             if hit >= need:
                 out.add((int(doc_id), qid, hit))
@@ -46,6 +54,7 @@ def _pandas_twin(docs_pdf):
 def test_percolate_matches_pandas(spark, docs):
     q = analyzed_queries(spark, QUERIES, CFG)
     assert q.filter(F.col("query_id") == 4).count() == 0  # empty query dropped
+    assert q.filter(F.col("query_id") == 5).count() == 0  # unsatisfiable msm dropped
     got = {
         (r["doc_id"], r["query_id"], r["n_matched"])
         for r in percolate(docs, q, cfg=CFG).collect()

@@ -53,8 +53,13 @@ def test_parse_default_operator_and_field_errors():
     assert all(c.role == "must" for c in p.terms)
     with pytest.raises(ValueError, match="default_operator"):
         parse_query_string("a", default_operator="xor")
-    with pytest.raises(ValueError, match="unknown field"):
-        parse_query_string("nosuch:field")
+    # unknown field: ES unmapped semantics — no error, a clause that can
+    # never match (URLs and key:value text parse here too)
+    p = parse_query_string("nosuch:field")
+    assert p.unmapped == ["should"] and not p.terms and not p.filters
+    p = parse_query_string("visit http://example.com now")
+    assert p.unmapped == ["should"]
+    assert [c.terms for c in p.terms] == [["visit"], ["now"]]
     # text: addresses the indexed field -> term clause, not filter
     p = parse_query_string("text:hello")
     assert p.terms[0].terms == ["hello"] and not p.filters
@@ -116,7 +121,8 @@ def test_qs_filter_clause_equals_doc_filter(searcher):
 def test_qs_pure_negative_is_match_all(searcher):
     s = searcher
     got = s.query_string("-w0001", k=12, with_meta=False)
-    exp = s.match_all(must_not="w0001", k=12, with_meta=False)
+    # filter context -> score 0.0 (the same ES rule as must_not-only bool)
+    exp = s.match_all(must_not="w0001", k=12, boost=0.0, with_meta=False)
     assert _rows(got) == _rows(exp)
     with pytest.raises(ValueError, match="pure-negative phrase"):
         s.query_string('-"w0001 w0002"', k=5)
@@ -197,3 +203,17 @@ def test_qs_positions_required(spark, tiny_df):
     ix = build_index(tiny_df, CFG.with_(store_positions=False))
     with pytest.raises(ValueError, match="store_positions"):
         BM25Searcher(ix).query_string('"w0001 w0002"')
+
+
+def test_qs_unmapped_field_clause_semantics(searcher):
+    s = searcher
+    # should-role unmapped clause contributes nothing: same results as
+    # the query without it
+    a = _rows(s.query_string("w0001 http://example.com", k=10, with_meta=False))
+    b = _rows(s.query_string("w0001", k=10, with_meta=False))
+    assert a == b and a
+    # must-role unmapped clause kills the query (it can never match)
+    assert s.query_string("w0001 +nosuch:x", k=10).count() == 0
+    # must_not-role unmapped clause excludes nothing
+    c = _rows(s.query_string("w0001 -nosuch:x", k=10, with_meta=False))
+    assert c == b
