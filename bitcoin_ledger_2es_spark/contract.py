@@ -1640,7 +1640,12 @@ def q_advanced_queries(spark, sf_dir):
     * ``synonyms`` — Lucene SynonymQuery BLENDED semantics for 'data
       table' with data->{row}: tf summed across group members BEFORE
       BM25 saturation, idf from the max member docFreq; key = doc_id,
-      n = 0."""
+      n = 0.
+    * ``phrase_prefix`` — ES match_phrase_prefix for 'data s': ordered
+      bigram whose last slot is the union of dictionary terms starting
+      with 's' (alphabetical expansion, Lucene MultiPhraseQuery), tf =
+      multi-phrase freq, idf = idf(data) + blended idf from the MAX
+      expansion docFreq; key = doc_id, n = phrase_freq."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1762,10 +1767,17 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.lit(0).cast("long").alias("n"),
     )
+    pp = s.phrase_prefix_query("data s", k=1_000_000, with_meta=False).select(
+        F.lit("phrase_prefix").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.col("phrase_freq").cast("long").alias("n"),
+    )
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
         .unionByName(pc).unionByName(re_rows).unionByName(sy)
+        .unionByName(pp)
     )
 
 
@@ -2102,12 +2114,61 @@ FROM (
 )
 """
 
+# phrase_prefix twin: the expansion set is the DISTINCT corpus vocabulary
+# starting with the stem, capped alphabetically (LIMIT mirrors the engine's
+# _expanded_alpha orderBy(term).limit); phrase freq is the positional bigram
+# join with the last slot IN the expansion; idf = idf(df(fixed)) + one
+# blended idf from the MAX expansion df (Lucene SynonymQuery blend, same
+# convention as _SQL_SYNONYMS).
+_SQL_PHRASE_PREFIX = """
+SELECT 'phrase_prefix' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(phrase_freq AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  dls AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
+  ),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  exp AS (
+    SELECT tok FROM (SELECT DISTINCT tok FROM toks WHERE tok LIKE 's%')
+    ORDER BY tok LIMIT 50
+  ),
+  dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+  sumidf AS (
+    SELECT ln(1.0 + (c.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+         + ln(1.0 + (c.n_docs - mx.df + 0.5) / (mx.df + 0.5)) AS sidf
+    FROM corpus c,
+         (SELECT df FROM dfreq WHERE tok = 'data') d1,
+         (SELECT max(df) AS df FROM dfreq WHERE tok IN (SELECT tok FROM exp)) mx
+  ),
+  pf AS (
+    SELECT t0.doc_id, count(*) AS phrase_freq
+    FROM toks t0
+    JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+    WHERE t0.tok = 'data' AND t1.tok IN (SELECT tok FROM exp)
+    GROUP BY t0.doc_id
+  )
+  SELECT pf.doc_id,
+         s.sidf * pf.phrase_freq * 2.2
+           / (pf.phrase_freq + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS score,
+         pf.phrase_freq
+  FROM pf JOIN dls USING (doc_id), corpus c, sumidf s
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
      _SQL_PERCOLATE,
      _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
-     _SQL_SYNONYMS]
+     _SQL_SYNONYMS, _SQL_PHRASE_PREFIX]
 )
 
 

@@ -58,6 +58,17 @@ def _slot_keys(blocks: pd.DataFrame, slot: int, n_slots: int, base: int):
             "build-time validation should have rejected this corpus"
         )
     keys = (np.repeat(local, tfs) << np.int64(_POS_BITS)) + (pos - slot + n_slots)
+    if keys.size > 1 and not np.all(keys[:-1] <= keys[1:]):
+        # multi-term UNION slot (match_phrase_prefix: the last slot is the
+        # union of the prefix expansion's postings, concatenated per term,
+        # so keys arrive per-term-sorted, not globally sorted). Sort here:
+        # every consumer below (intersect1d's merge, _sloppy_starts'
+        # searchsorted, the run-length pf, the dl searchsorted) assumes
+        # ascending keys/docs. Single-term slots are already sorted and
+        # skip this (the check is O(n), the sort is not).
+        keys = np.sort(keys)
+        o = np.argsort(local, kind="stable")
+        local, dls = local[o], dls[o]
     return keys, local, dls
 
 

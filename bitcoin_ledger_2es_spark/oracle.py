@@ -240,23 +240,27 @@ class PandasOracle:
             }
         )
 
-    def _phrase_rows_pf_ordered(self, terms: list[str], slop: int):
+    def _phrase_rows_pf_ordered(self, terms: list, slop: int):
         """Brute-force per-doc ordered phrase frequencies: slop=0 counts
         consecutive occurrences, slop>0 counts start positions from which
-        the terms appear in order within span <= len + slop. Returns
-        (row indices int64, pf float64) — shared by phrase_topk and the
-        query_string oracle."""
+        the terms appear in order within span <= len + slop. Each slot may
+        be a single term (str) or a SET of alternatives (the MultiPhrase
+        shape phrase_prefix_topk uses for the expanded last slot). Returns
+        (row indices int64, pf float64) — shared by phrase_topk, the
+        query_string oracle, and phrase_prefix_topk."""
         rows, pfs = [], []
         n = len(terms)
+        slots = [frozenset((t,)) if isinstance(t, str) else frozenset(t)
+                 for t in terms]
 
         def _window_match(ts, i):  # ordered within span <= n + slop, from p0=i
-            if ts[i] != terms[0]:
+            if ts[i] not in slots[0]:
                 return False
             cur = i
             for j in range(1, n):
                 q = next(
                     (p for p in range(cur + 1, i + j + slop + 1)
-                     if p < len(ts) and ts[p] == terms[j]),
+                     if p < len(ts) and ts[p] in slots[j]),
                     None,
                 )
                 if q is None:
@@ -269,7 +273,7 @@ class PandasOracle:
                 pf = sum(
                     1
                     for i in range(len(ts) - n + 1)
-                    if all(ts[i + j] == terms[j] for j in range(n))
+                    if all(ts[i + j] in slots[j] for j in range(n))
                 )
             else:
                 pf = sum(1 for i in range(len(ts)) if _window_match(ts, i))
@@ -493,6 +497,52 @@ class PandasOracle:
         for t in terms:
             sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
         rows, pf = self._phrase_rows_pf_ordered(terms, slop)
+        if rows.size == 0:
+            return empty
+        dl = self.doc_len[rows].astype(np.float64)
+        denom = pf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / self.avgdl)
+        s32 = (sum_idf * pf * (cfg.k1 + 1.0) / denom).astype(np.float32)
+        order = np.lexsort((self.doc_ids[rows], -s32.astype(np.float64)))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": self.doc_ids[rows][order],
+                "score": s32[order],
+                "phrase_freq": pf[order].astype(np.int64),
+            }
+        )
+
+    def phrase_prefix_topk(
+        self, query_text: str, k: int = 10, slop: int = 0,
+        max_expansions: int = 50,
+    ) -> pd.DataFrame:
+        """match_phrase_prefix oracle — lockstep with
+        BM25Searcher.phrase_prefix_query (change one, change both): last
+        analyzed token expands to up to max_expansions vocabulary terms in
+        ALPHABETICAL order; ordered multi-phrase matching with the last
+        slot a set of alternatives; idf = sum of fixed-term idfs (query
+        order) + one blended idf from the MAX expansion docFreq (Lucene
+        SynonymQuery blend)."""
+        cfg = self.cfg
+        terms = analyze_query(query_text, cfg)
+        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32),
+                              "phrase_freq": pd.Series([], dtype=np.int64)})
+        if not terms:
+            return empty
+        fixed, stem = terms[:-1], terms[-1]
+        if any(t not in self.postings for t in fixed):
+            return empty
+        exp = sorted(t for t in self.postings if t.startswith(stem))[:max_expansions]
+        if not exp:
+            return empty
+        sum_idf = 0.0
+        for t in fixed:
+            sum_idf += float(idf(float(len(self.postings[t][0])), self.n_docs))
+        max_df = max(len(self.postings[t][0]) for t in exp)
+        sum_idf += float(idf(float(max_df), self.n_docs))
+        rows, pf = self._phrase_rows_pf_ordered([*fixed, frozenset(exp)], slop)
         if rows.size == 0:
             return empty
         dl = self.doc_len[rows].astype(np.float64)

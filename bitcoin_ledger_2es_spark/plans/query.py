@@ -1311,6 +1311,23 @@ class BM25Searcher:
         self._term_cache.update(found)
         return found
 
+    def _expanded_alpha(self, cond: Column, max_expansions: int) -> dict[str, tuple[int, int]]:
+        """Dictionary expansion capped in ALPHABETICAL term order — the
+        Lucene rewrite match_phrase_prefix uses (TopTermsBlendedFreq is
+        the scoring_boolean family; the phrase-prefix expansion walks the
+        term dictionary in term order and stops at max_expansions), as
+        opposed to _expanded's top-df cap for scoring_boolean queries."""
+        rows = (
+            self.ix.dictionary.filter(cond)
+            .select("term", "term_id", "df")
+            .orderBy(F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        found = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows}
+        self._term_cache.update(found)
+        return found
+
     def prefix_query(self, prefix: str, k: int = 10, max_expansions: int = 50,
                      with_meta: bool = True) -> DataFrame:
         """ES prefix query: all dictionary terms starting with ``prefix``."""
@@ -1750,6 +1767,114 @@ class BM25Searcher:
 
         pruned = ix.postings.filter(F.col("term_id").isin(uniq_tids))
         phrase_ddl = f"doc_id long, score float, phrase_freq {freq_t}"
+        if self.aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=phrase_ddl)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=phrase_ddl)
+        top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = top.withColumn("rank", F.row_number().over(w))
+        if not with_meta:
+            return top.select("rank", "doc_id", "score", "phrase_freq").orderBy("rank")
+        return (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(top), "doc_id", "inner")
+            .select("rank", "doc_id", "score", "phrase_freq",
+                    "conv_id", "turn_idx", "is_rollup")
+            .orderBy("rank")
+        )
+
+    def phrase_prefix_query(
+        self,
+        query_text: str,
+        k: int = 10,
+        slop: int = 0,
+        max_expansions: int = 50,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (autocomplete-as-you-type): the
+        analyzed query is matched as an ordered phrase whose LAST token is
+        a PREFIX — Lucene MultiPhraseQuery with the last position holding
+        the union of up to ``max_expansions`` dictionary terms starting
+        with that token, expanded in ALPHABETICAL term order (the ES/
+        Lucene phrase-prefix rewrite; a complete indexed term equal to the
+        stem is included).
+
+        Semantics on this engine:
+          * a phrase occurrence may end in ANY expansion term — the last
+            slot's postings are the union of the expansions' postings
+            (positions are disjoint across terms, one token per position),
+            fed through the SAME ordered kernel as phrase_query (slop=0
+            adjacency; slop>0 ordered-within-window);
+          * tf = phrase freq of the multi-phrase (windows ending in any
+            expansion), saturation applies to the blended tf;
+          * idf = sum of the fixed terms' idfs in query order + ONE
+            blended idf for the prefix slot from the MAX expansion
+            docFreq — the Lucene SynonymQuery docFreq blend, the same
+            convention as match_synonyms (change one, change both, and
+            the oracle twin phrase_prefix_topk).
+        A single-token query (prefix only) degenerates to the blended
+        one-slot multi-phrase: tf = sum of expansion tfs per doc.
+        Determinism: expansion postings concatenated in ascending term_id
+        order, per-slot keys re-sorted in the kernel (operators/phrase.py
+        _slot_keys), f64 accumulate, f32 emit, (score desc, doc_id asc).
+        Scale shape identical to phrase_query: one dictionary scan for the
+        expansion (alphabetical LIMIT pushdown), one pruned postings scan
+        over fixed + expansion term_ids, shard-local kernel, k-row merge.
+        """
+        from ..operators.phrase import score_shard_phrase
+
+        ix, cfg = self.ix, self.ix.cfg
+        if not cfg.store_positions:
+            raise ValueError(
+                "phrase_prefix_query needs a positional index: build with "
+                "EngineConfig(store_positions=True)"
+            )
+        terms = analyze_query(query_text, cfg)
+        if not terms:
+            return self._empty_phrase()
+        fixed, stem = terms[:-1], terms[-1]
+        found = self._lookup_terms(list(dict.fromkeys(fixed))) if fixed else {}
+        if len(found) < len(set(fixed)):
+            return self._empty_phrase()  # a fixed phrase term matches nothing
+        exp = self._expanded_alpha(F.col("term").startswith(stem), max_expansions)
+        if not exp:
+            return self._empty_phrase()  # nothing in the dictionary extends the stem
+        sum_idf = 0.0
+        for t in fixed:  # query order, duplicates counted (PhraseWeight)
+            sum_idf += float(idf_fn(float(found[t][1]), ix.n_docs))
+        # blended idf for the prefix slot: max member docFreq (SynonymQuery)
+        sum_idf += float(idf_fn(float(max(df_ for _, df_ in exp.values())), ix.n_docs))
+        slot_tids = [found[t][0] for t in fixed]
+        exp_tids = sorted(tid for tid, _ in exp.values())
+        uniq_tids = sorted(set(slot_tids) | set(exp_tids))
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "score": pd.Series([], dtype=np.float32),
+                 "phrase_freq": pd.Series([], dtype=np.int64)}
+            )
+            if pdf.empty:
+                return empty
+            by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+            if any(tid not in by_tid for tid in slot_tids):
+                return empty  # this shard lacks a fixed phrase term
+            last_parts = [by_tid[tid] for tid in exp_tids if tid in by_tid]
+            if not last_parts:
+                return empty  # no expansion term present in this shard
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            slots = [by_tid[tid] for tid in slot_tids]
+            slots.append(
+                last_parts[0] if len(last_parts) == 1 else pd.concat(last_parts)
+            )
+            return score_shard_phrase(
+                slots, sum_idf, base, k, avgdl, k1, b, slop=slop
+            )
+
+        pruned = ix.postings.filter(F.col("term_id").isin(uniq_tids))
+        phrase_ddl = "doc_id long, score float, phrase_freq long"
         if self.aligned:
             cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=phrase_ddl)
         else:

@@ -276,3 +276,58 @@ def test_phrase_random_differential(spark, pix, oracle):
         np.testing.assert_array_equal(
             got["phrase_freq"].to_numpy(), exp["phrase_freq"].to_numpy()
         ), case
+
+
+# --- match_phrase_prefix (ordered multi-phrase with expanded last slot) ---
+
+PREFIX_PHRASES = [
+    ("w0000 w000", 0),    # fixed term + short prefix (several expansions)
+    ("w0000 w0001", 0),   # prefix IS a complete term (still expanded set)
+    ("w000", 0),          # single-token query: blended one-slot multi-phrase
+    ("w0003 w00", 2),     # sloppy ordered with a wide expansion
+    ("zz_oov w000", 0),   # OOV fixed term -> empty
+    ("w0000 zzz", 0),     # nothing extends the stem -> empty
+]
+
+
+def test_phrase_prefix_matches_oracle(spark, pix, oracle):
+    s = BM25Searcher(pix)
+    for q, slop in PREFIX_PHRASES:
+        got = s.phrase_prefix_query(q, k=25, slop=slop, max_expansions=8).toPandas()
+        exp = oracle.phrase_prefix_topk(q, k=25, slop=slop, max_expansions=8)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), q
+        assert got["score"].tolist() == exp["score"].tolist(), q
+        assert got["phrase_freq"].tolist() == exp["phrase_freq"].tolist(), q
+
+
+def test_phrase_prefix_expansion_cap_is_alphabetical(spark, pix, oracle):
+    """max_expansions caps the expansion in ALPHABETICAL term order (the
+    Lucene phrase-prefix rewrite), NOT top-df: with cap=1 the stem 'w000'
+    must expand to exactly 'w0000' (alphabetically first), so the result
+    equals the plain phrase query on that term with the blended idf ==
+    idf(df(w0000)) — identical here since the group is a singleton."""
+    s = BM25Searcher(pix)
+    got = s.phrase_prefix_query("w0003 w000", k=25, max_expansions=1).toPandas()
+    exp = oracle.phrase_topk("w0003 w0000", k=25)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+
+
+def test_phrase_prefix_complete_term_scores_blended_idf(spark, pix, oracle):
+    """When the stem is a complete term with siblings (w0001 extends to
+    w0001, w0010..), the blended multi-phrase must differ from the plain
+    phrase exactly by (a) extra windows ending in sibling terms and (b)
+    the max-df blended idf — i.e. every plain-phrase match doc appears in
+    the prefix result with pf >= the plain pf."""
+    s = BM25Searcher(pix)
+    plain = oracle.phrase_topk("w0000 w0001", k=10_000)
+    pref = s.phrase_prefix_query("w0000 w0001", k=10_000, max_expansions=50).toPandas()
+    pf_by_doc = dict(zip(pref["doc_id"], pref["phrase_freq"]))
+    for d, pf in zip(plain["doc_id"], plain["phrase_freq"]):
+        assert pf_by_doc.get(d, 0) >= pf
+
+
+def test_phrase_prefix_requires_positions(spark, tiny_df):
+    ix = build_index(tiny_df, CFG.with_(store_positions=False))
+    with pytest.raises(ValueError, match="store_positions"):
+        BM25Searcher(ix).phrase_prefix_query("w0000 w000")
