@@ -113,7 +113,17 @@ def _spimi_kernel(cfg: EngineConfig):
         doc_ids = np.concatenate(doc_ids_parts)
         dls = np.concatenate(dl_parts)
 
-        text = pa.chunked_array([pa.array([], type=pa.string())] + text_parts).combine_chunks()
+        # 64-bit string offsets (large_utf8): one partition gathers a few
+        # shards of documents, and at ~10^6 docs/partition the combined
+        # text (and, before this cast, the split's token values) exceeds
+        # the 2 GiB capacity of 32-bit utf8 offsets — ArrowCapacityError
+        # at sf>=1. Casting per CHUNK (before combine_chunks) keeps the
+        # combine itself in large offsets too. Token-level traffic is
+        # unchanged: dictionary_encode still yields int32 codes.
+        text = pa.chunked_array(
+            [pa.array([], type=pa.large_string())]
+            + [p.cast(pa.large_string()) for p in text_parts]
+        ).combine_chunks()
         toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(text, "")), sep)
         lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
         denc = pc.dictionary_encode(toks.values)
