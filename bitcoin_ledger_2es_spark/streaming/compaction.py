@@ -497,3 +497,79 @@ def merge_postings_frames(
     # free them (release_merge_cache) once the result is materialized
     ix._merge_cached = [idmap, new_dict]
     return ix
+
+
+def expunge_deletes(
+    spark: SparkSession, ix: IndexFrames, tombstones: DataFrame
+) -> IndexFrames:
+    """ES ``_forcemerge?only_expunge_deletes`` analogue: physically remove
+    tombstoned docs from an index (the docs ``BM25Searcher.
+    delete_by_query`` marked), producing a clean in-memory IndexFrames.
+
+    Contract (its own, NOT rebuild-byte-identity — documented):
+      * **doc_ids are PRESERVED** — they are external keys (docmap,
+        conv/turn identity); shards keep gaps, which the scoring kernels
+        never notice (they address by local offset and read doc_ids from
+        the blocks).
+      * **term_ids are PRESERVED** for surviving terms; terms whose live
+        df drops to 0 leave the dictionary (their old term_id is simply
+        never referenced again). Old term_ids are alphabetical ranks, so
+        ascending-term_id accumulation order — the scoring determinism
+        contract — is unchanged, and a PandasOracle over the live docs
+        matches the expunged engine bit-for-bit (tests pin this).
+      * **statistics are recomputed over live docs** (df, cf, n_docs,
+        avgdl, block maxes) — the ES post-merge behavior, where deleted
+        docs stop polluting idf.
+    Shape: one postings decode pass (the compaction ``_decode_kernel``),
+    a doc_id anti-join against the tombstones, a per-term live-df
+    aggregation, and the standard re-block kernel — same cost class as a
+    posting-level compaction; no raw sources touched.
+    """
+    cfg = ix.cfg
+    tombs = tombstones.select("doc_id").distinct()
+    live_dm = ix.docmap.join(tombs, "doc_id", "left_anti").persist()
+    n_docs, avgdl = live_dm.agg(F.count("*"), F.avg("doc_len")).collect()[0]
+    n_docs, avgdl = int(n_docs), float(avgdl or 0.0)
+
+    joined = ix.postings.select(
+        F.col("term_id").alias("new_term_id"),
+        F.lit(0).cast("long").alias("df"),  # refreshed after the filter
+        "first_doc_id", "n_docs", "doc_id_deltas", "tfs", "dls", "poss",
+    )
+    decoded = joined.mapInArrow(_decode_kernel(), schema=_DECODED_DDL)
+    live = decoded.drop("df").join(tombs, "doc_id", "left_anti")
+    live_stats = live.groupBy("term_id").agg(
+        F.count("*").alias("live_df"), F.sum("tf").alias("live_cf")
+    ).persist()
+    relabeled = live.join(
+        live_stats.select("term_id", F.col("live_df").alias("df")), "term_id"
+    )
+    remapped = with_shard(relabeled, cfg)
+    p = spark.sparkContext.defaultParallelism * 2
+    postings = (
+        remapped.repartition(p, "shard_id")
+        .mapInArrow(_reblock_kernel(n_docs, avgdl, cfg), schema=POSTINGS_DDL)
+        .persist()
+    )
+    dictionary = (
+        ix.dictionary.select("term", "term_id")
+        .join(live_stats, "term_id")  # inner: zero-df terms drop out
+        .join(
+            postings.groupBy("term_id").agg(
+                F.max("block_max_score").alias("max_score")
+            ),
+            "term_id",
+            "left",
+        )
+        .select(
+            "term", "term_id",
+            F.col("live_df").alias("df"), F.col("live_cf").alias("cf"),
+            "max_score",
+        )
+    )
+    stats = spark.createDataFrame(
+        [corpus_stats_row(n_docs, avgdl, cfg)], CORPUS_STATS_DDL
+    )
+    out = IndexFrames(live_dm, stats, dictionary, postings, n_docs, avgdl, cfg)
+    out._merge_cached = [live_stats]
+    return out
