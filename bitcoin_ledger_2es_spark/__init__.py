@@ -12,9 +12,10 @@ from .config import DEFAULT, EngineConfig
 from .oracle import PandasOracle
 from .plans.build import IndexFrames, build_index, read_index, write_index
 from .functions.rank_eval import rank_eval
-from .plans.query import BM25Searcher, multi_match
+from .plans.query import BM25Searcher, multi_match, rrf_fuse
 
 __all__ = [
+    "rrf_fuse",
     "DEFAULT",
     "EngineConfig",
     "PandasOracle",

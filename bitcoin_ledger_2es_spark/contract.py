@@ -1301,21 +1301,52 @@ FROM hl JOIN frag USING (doc_id) JOIN nh USING (doc_id)
 
 
 def q_term_suggest(spark, sf_dir):
-    """ES term suggester on the REAL engine dictionary: corrections for
-    two misspelled inputs within 2 edits, ranked (distance asc, df desc,
-    term asc), 5 per input."""
+    """BOTH suggester surfaces in ONE entry (kind-tagged union, schema
+    (kind, input, term, score6, n)):
+
+    * ``term`` — ES term suggester on the REAL engine dictionary:
+      corrections for three misspelled inputs within 2 edits, ranked
+      (distance asc, df desc, term asc), 5 per input; score6 = distance,
+      n = df.
+    * ``phrase`` — ES phrase suggester ("did you mean") for 'dat tabl'
+      (both tokens OOV in the documents vocab): per-slot candidates
+      within 1 edit (original kept as a cf=0 candidate, cap 5), the
+      candidate cross product scored by the index-derived Laplace bigram
+      LM (alpha 0.5) times the pinned error model (log10(0.95)
+      unchanged / distance*log10(0.1) per edit), summed left-to-right
+      in gram order; score6 = round(score, 6), n = rank under
+      (score desc, suggestion asc)."""
     s = _engine_searcher(spark, sf_dir)
-    return s.suggest("dat spak tabel", fuzziness=2, size=5)
+    term = s.suggest("dat spak tabel", fuzziness=2, size=5).select(
+        F.lit("term").alias("kind"),
+        "input",
+        "term",
+        F.col("distance").cast("double").alias("score6"),
+        F.col("df").cast("long").alias("n"),
+    )
+    sp = _engine_searcher(spark, sf_dir, positions=True)
+    phrase = sp.phrase_suggest(
+        "dat tabl", max_edits=1, candidates_per_term=5, size=5
+    ).select(
+        F.lit("phrase").alias("kind"),
+        F.lit("dat tabl").alias("input"),
+        F.col("suggestion").alias("term"),
+        duck_round(F.col("score"), 6).alias("score6"),
+        F.col("rank").cast("long").alias("n"),
+    )
+    return term.unionByName(phrase)
 
 
-SQL_TERM_SUGGEST = """
+_SQL_SUGGEST_TERM = """
 WITH dict AS (
   SELECT u.tok AS term, count(DISTINCT doc_id) AS df
   FROM documents, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS u(tok)
   GROUP BY term
 ),
 inputs AS (SELECT unnest(['dat', 'spak', 'tabel']) AS input)
-SELECT input, term, distance, df FROM (
+SELECT 'term' AS kind, input, term, CAST(distance AS DOUBLE) AS score6,
+       CAST(df AS BIGINT) AS n
+FROM (
   SELECT i.input, d.term, levenshtein(d.term, i.input) AS distance, d.df,
          row_number() OVER (
            PARTITION BY i.input
@@ -1325,6 +1356,73 @@ SELECT input, term, distance, df FROM (
   WHERE levenshtein(d.term, i.input) <= 2
 ) WHERE r <= 5
 """
+
+# phrase-suggester twin: both gate tokens ('dat', 'tabl') are OOV in the
+# documents vocabulary, so each slot is the original cf=0 candidate
+# prepended to the top-4 scanned corrections (mirroring the engine's
+# [original, *scanned][:cap]); score summed LEFT-TO-RIGHT in gram order
+# exactly as the engine does (head lp + err0 + bigram lp + err1).
+_SQL_SUGGEST_PHRASE = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+),
+vocab AS (
+  SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS cf FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(cf) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+),
+big AS (
+  SELECT t0.tok AS a, t1.tok AS b, count(*) AS c
+  FROM toks t0 JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  GROUP BY 1, 2
+),
+c0 AS (
+  SELECT 'dat' AS tok, CAST(0 AS BIGINT) AS cf, 0 AS d
+  UNION ALL
+  SELECT tok, cf, d FROM (
+    SELECT tok, cf, levenshtein(tok, 'dat') AS d,
+           row_number() OVER (
+             ORDER BY levenshtein(tok, 'dat') ASC, df DESC, tok ASC
+           ) AS r
+    FROM vocab WHERE levenshtein(tok, 'dat') <= 1
+  ) WHERE r <= 4
+),
+c1 AS (
+  SELECT 'tabl' AS tok, CAST(0 AS BIGINT) AS cf, 0 AS d
+  UNION ALL
+  SELECT tok, cf, d FROM (
+    SELECT tok, cf, levenshtein(tok, 'tabl') AS d,
+           row_number() OVER (
+             ORDER BY levenshtein(tok, 'tabl') ASC, df DESC, tok ASC
+           ) AS r
+    FROM vocab WHERE levenshtein(tok, 'tabl') <= 1
+  ) WHERE r <= 4
+),
+phr AS (
+  SELECT c0.tok || ' ' || c1.tok AS suggestion,
+         log10((c0.cf + 0.5) / (tot.n + 0.5 * tot.v))
+         + (CASE WHEN c0.d = 0 THEN log10(0.95) ELSE c0.d * log10(0.1) END)
+         + log10((coalesce(b.c, 0) + 0.5) / (c0.cf + 0.5 * tot.v))
+         + (CASE WHEN c1.d = 0 THEN log10(0.95) ELSE c1.d * log10(0.1) END)
+         AS score
+  FROM c0 CROSS JOIN c1 CROSS JOIN tot
+  LEFT JOIN big b ON b.a = c0.tok AND b.b = c1.tok
+)
+SELECT 'phrase' AS kind, 'dat tabl' AS input, suggestion AS term,
+       round(score, 6) AS score6, CAST(rnk AS BIGINT) AS n
+FROM (
+  SELECT suggestion, score,
+         row_number() OVER (ORDER BY score DESC, suggestion ASC) AS rnk
+  FROM phr
+) WHERE rnk <= 5
+"""
+
+SQL_TERM_SUGGEST = (
+    "SELECT * FROM (" + _SQL_SUGGEST_TERM + ")\nUNION ALL\n"
+    "SELECT * FROM (" + _SQL_SUGGEST_PHRASE + ")"
+)
 
 
 def q_significant_terms(spark, sf_dir):
@@ -1645,7 +1743,12 @@ def q_advanced_queries(spark, sf_dir):
       bigram whose last slot is the union of dictionary terms starting
       with 's' (alphabetical expansion, Lucene MultiPhraseQuery), tf =
       multi-phrase freq, idf = idf(data) + blended idf from the MAX
-      expansion docFreq; key = doc_id, n = phrase_freq."""
+      expansion docFreq; key = doc_id, n = phrase_freq.
+    * ``bool_prefix`` — ES match_bool_prefix for 'table s': pure-should
+      bool of BM25 term clauses (here: 'table') + a CONSTANT-SCORE
+      prefix clause (+1.0 for docs containing any 's'-expansion term,
+      Lucene CONSTANT_SCORE_REWRITE); score = f32(f64(or_f32) + 1.0 *
+      prefix_hit); key = doc_id, n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1773,11 +1876,19 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.col("phrase_freq").cast("long").alias("n"),
     )
+    bp = s.match_bool_prefix(
+        "table s", k=1_000_000, with_meta=False
+    ).select(
+        F.lit("bool_prefix").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
         .unionByName(pc).unionByName(re_rows).unionByName(sy)
-        .unionByName(pp)
+        .unionByName(pp).unionByName(bp)
     )
 
 
@@ -2163,12 +2274,54 @@ FROM (
 )
 """
 
+# bool_prefix twin: fixed-term BM25 OR with the kernel's f32 emission
+# mirrored BEFORE the f64 combine (CAST(... AS REAL) on the or-part), then
+# +1.0 where the doc contains any expansion term; final f32 at emission.
+_SQL_BOOL_PREFIX = """
+SELECT 'bool_prefix' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS tok
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  exp AS (
+    SELECT tok FROM (SELECT DISTINCT tok FROM toks WHERE tok LIKE 's%')
+    ORDER BY tok LIMIT 50
+  ),
+  tf AS (
+    SELECT doc_id, count(*) AS tf FROM toks WHERE tok = 'table' GROUP BY doc_id
+  ),
+  dfx AS (SELECT count(DISTINCT doc_id) AS df FROM tf),
+  orpart AS (
+    SELECT tf.doc_id,
+           CAST(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl))
+                AS REAL) AS s32
+    FROM tf JOIN dls USING (doc_id), corpus c, dfx d
+  ),
+  pref AS (
+    SELECT DISTINCT doc_id FROM toks WHERE tok IN (SELECT tok FROM exp)
+  )
+  SELECT coalesce(o.doc_id, p.doc_id) AS doc_id,
+         coalesce(CAST(o.s32 AS DOUBLE), 0.0)
+           + (CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+  FROM orpart o FULL OUTER JOIN pref p ON o.doc_id = p.doc_id
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
      _SQL_PERCOLATE,
      _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
-     _SQL_SYNONYMS, _SQL_PHRASE_PREFIX]
+     _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX]
 )
 
 

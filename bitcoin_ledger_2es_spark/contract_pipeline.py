@@ -390,11 +390,49 @@ def _qv(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Vector-search surfaces in ONE entry, kind-tagged, unified schema
+    (kind, q_id, rank, id, score6):
+
+    * ``cosine`` — exact brute-force cosine top-10 per query vector
+      (3 query vectors vs the vec_id >= 3 corpus), ranked on the rounded
+      cosine (ties id asc).
+    * ``hybrid_rrf`` — the ES Reciprocal Rank Fusion retriever (8.x
+      ``rrf``, the standard lexical+vector hybrid): fuse the BM25 top-20
+      for 'data row' over documents (relational scorer, ranked on the
+      round-6 f64 score — rank-identical to the twin by construction)
+      with the cosine top-20 for query vector 0; rrf(d) = sum of
+      1/(60 + rank_r(d)), folded f64 in retriever order (plans/query.py
+      rrf_fuse), rank on the raw f64 rrf (ties doc_id asc), top 10;
+      q_id = 0, score6 = round(rrf, 6)."""
+    from .contract import _bm25_relational  # runtime import: no cycle
+    from .functions.parity import duck_round
+    from .plans.query import rrf_fuse
+
     v, q = _qv(spark, sf_dir)
-    return S.cosine_topk_bruteforce(v, q, k=10)
+    cos = S.cosine_topk_bruteforce(v, q, k=10).select(
+        F.lit("cosine").alias("kind"),
+        F.col("q_id").cast("long").alias("q_id"),
+        "rank",
+        F.col("neighbor_id").alias("id"),
+        F.col("cosine").alias("score6"),
+    )
+    lex = _bm25_relational(spark, sf_dir, ["data", "row"], "or", 20).select(
+        "doc_id", "rank"
+    )
+    vec = S.cosine_topk_bruteforce(v, q.filter(F.col("q_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    hyb = rrf_fuse([lex, vec], rank_constant=60, k=10).select(
+        F.lit("hybrid_rrf").alias("kind"),
+        F.lit(0).cast("long").alias("q_id"),
+        "rank",
+        F.col("doc_id").alias("id"),
+        duck_round(F.col("rrf"), 6).alias("score6"),
+    )
+    return cos.unionByName(hyb)
 
 
-SQL_ANN_COSINE_TOPK = """
+_SQL_ANN_COSINE = """
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id >= 3),
      s AS (
@@ -403,12 +441,80 @@ WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddi
                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.ev, v.ev))) AS cosine
        FROM q, v
      )
-SELECT q_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+SELECT 'cosine' AS kind, CAST(q_id AS BIGINT) AS q_id, rank,
+       CAST(neighbor_id AS BIGINT) AS id, round(cosine, 6) AS score6
+FROM (
   SELECT q_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY q_id ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS rank
   FROM s
 ) WHERE rank <= 10
 """
+
+# hybrid_rrf twin: BM25 lexical ranks (round-6 f64 ordering — the same key
+# the engine's relational scorer ranks on) full-outer-joined with the
+# cosine ranks for query vector 0; rrf summed lexical-first (the engine's
+# retriever-order fold; adding a 0.0 for an absent side is exact).
+_SQL_ANN_HYBRID = """
+WITH toks AS (
+  SELECT doc_id, u.tok AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('data', 'row') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+agg AS (
+  SELECT doc_id, round(sum(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg
+  ) WHERE rank <= 20
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id >= 3),
+vecr AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    SELECT vv.vec_id,
+           row_number() OVER (
+             ORDER BY round(
+               list_dot_product(q.qv, vv.ev)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(vv.ev, vv.ev))), 6
+             ) DESC, vv.vec_id ASC
+           ) AS rank
+    FROM vv, qv q
+  ) WHERE rank <= 20
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + l.rank), 0.0)
+           + coalesce(1.0 / (60 + v.rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT 'hybrid_rrf' AS kind, CAST(0 AS BIGINT) AS q_id, rank,
+       CAST(doc_id AS BIGINT) AS id, round(rrf, 6) AS score6
+FROM (
+  SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+SQL_ANN_COSINE_TOPK = (
+    "SELECT * FROM (" + _SQL_ANN_COSINE + ")\nUNION ALL\n"
+    "SELECT * FROM (" + _SQL_ANN_HYBRID + ")"
+)
 
 
 def q_ann_lsh_topk(spark, sf_dir):  # approximate -> rows-only

@@ -557,3 +557,140 @@ class PandasOracle:
                 "phrase_freq": pf[order].astype(np.int64),
             }
         )
+
+    def bool_prefix_topk(
+        self, query_text: str, k: int = 10, max_expansions: int = 50
+    ) -> pd.DataFrame:
+        """match_bool_prefix oracle — lockstep with
+        BM25Searcher.match_bool_prefix (change one, change both): fixed
+        terms are a BM25 pure-should OR (f64 accumulate ascending
+        term_id, f32 EMIT — the engine's kernel emission); the last token
+        is a constant-score prefix clause (+1.0 for docs containing any
+        alphabetical-capped expansion term); combined in f64, f32 emit."""
+        cfg = self.cfg
+        terms = analyze_query(query_text, cfg)
+        empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int32),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32)})
+        if not terms:
+            return empty
+        fixed, stem = terms[:-1], terms[-1]
+        exp = sorted(t for t in self.postings if t.startswith(stem))[:max_expansions]
+
+        weights = Counter(fixed)
+        in_vocab = [t for t in weights if t in self.postings]
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        seen_fixed = np.zeros(self.n_docs, dtype=bool)
+        for t in sorted(in_vocab, key=lambda t: self.term_id[t]):
+            rows, tfs = self.postings[t]
+            t_idf = idf(float(len(rows)), self.n_docs)
+            scores[rows] += weights[t] * contrib(
+                tfs, self.doc_len[rows], t_idf, self.avgdl, cfg.k1, cfg.b
+            )
+            seen_fixed[rows] = True
+        or32 = scores.astype(np.float32)  # the kernel's f32 emission
+
+        pref = np.zeros(self.n_docs, dtype=bool)
+        for t in exp:
+            pref[self.postings[t][0]] = True
+
+        matched = seen_fixed | pref
+        cand = np.flatnonzero(matched)
+        if cand.size == 0:
+            return empty
+        total = (
+            np.where(seen_fixed, or32.astype(np.float64), 0.0)
+            + np.where(pref, 1.0, 0.0)
+        )
+        s32 = total[cand].astype(np.float32)
+        order = np.lexsort((self.doc_ids[cand], -s32.astype(np.float64)))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+                "doc_id": self.doc_ids[cand][order],
+                "score": s32[order],
+            }
+        )
+
+    def phrase_suggest_topk(
+        self, text: str, max_edits: int = 1, candidates_per_term: int = 5,
+        size: int = 5, alpha: float = 0.5,
+    ) -> pd.DataFrame:
+        """Phrase-suggester oracle — lockstep with
+        BM25Searcher.phrase_suggest (change one, change both): Laplace
+        bigram LM from the corpus token streams + the pinned error model
+        (log10(0.95) unchanged slot, distance*log10(0.1) per edited
+        slot), candidates (distance asc, df desc, term asc) capped per
+        slot, score summed left-to-right in gram order, ties
+        (score desc, suggestion asc)."""
+        import math
+        from itertools import product
+
+        def lev(a: str, b: str) -> int:
+            if a == b:
+                return 0
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        terms = analyze_query(text, self.cfg)
+        cols = {"rank": pd.Series([], dtype=np.int32),
+                "suggestion": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+                "n_changed": pd.Series([], dtype=np.int64)}
+        if not terms:
+            return pd.DataFrame(cols)
+
+        cf = {t: int(tfs.sum()) for t, (rows, tfs) in self.postings.items()}
+        n_tok = float(sum(cf.values()))
+        vocab = float(len(cf))
+        big: dict[tuple[str, str], int] = {}
+        for ts in self._toks:
+            for a, b in zip(ts, ts[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+
+        slots = []
+        for t in terms:
+            cands = sorted(
+                (
+                    (lev(v, t), -len(self.postings[v][0]), v)
+                    for v in self.postings
+                    if lev(v, t) <= max_edits
+                ),
+            )[:candidates_per_term]
+            cs = [(v, d) for d, _, v in cands]
+            if not any(v == t for v, _ in cs):
+                cs = [(t, 0), *cs][:candidates_per_term]
+            slots.append(cs)
+
+        def err(d: int) -> float:
+            return math.log10(0.95) if d == 0 else d * math.log10(0.1)
+
+        scored = []
+        for combo in product(*slots):
+            s = 0.0
+            s += math.log10((cf.get(combo[0][0], 0) + alpha)
+                            / (n_tok + alpha * vocab))
+            s += err(combo[0][1])
+            for i in range(1, len(combo)):
+                c = big.get((combo[i - 1][0], combo[i][0]), 0)
+                pcf = cf.get(combo[i - 1][0], 0)
+                s += math.log10((c + alpha) / (pcf + alpha * vocab))
+                s += err(combo[i][1])
+            scored.append((" ".join(v for v, _ in combo), s,
+                           sum(1 for _, d in combo if d > 0)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        top = scored[:size]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+                "suggestion": [p for p, _, _ in top],
+                "score": np.asarray([s for _, s, _ in top], dtype=np.float64),
+                "n_changed": np.asarray([n for _, _, n in top], dtype=np.int64),
+            }
+        )

@@ -247,6 +247,114 @@ class BM25Searcher:
         # the dictionary is immutable for an index, so repeated queries
         # skip the lookup job entirely once their terms are warm
         self._term_cache: dict[str, tuple[int, int] | None] = {}
+        # lazily-built corpus bigram LM (phrase_suggest); persisted frames
+        self._bigram = None
+        # pending delete_by_query tombstones (doc_id frame, persisted) —
+        # honored by every allowed-mask path and the full-match-set
+        # surfaces; physically removed by expunge()
+        self._deletes: DataFrame | None = None
+        self._n_deleted = 0
+
+    def _docmap_allowed(self, doc_filter: Column | None) -> DataFrame | None:
+        """docmap with the ``_allowed`` mask column for the cogroup
+        filter path: the user's ``doc_filter`` AND not-tombstoned (pending
+        ``delete_by_query`` docs). Returns None when neither applies, so
+        callers keep the unfiltered fast path. The kernels treat docmap
+        rows absent from the mask as excluded, so the left join below
+        (which keeps every live row) composes correctly."""
+        if doc_filter is None and self._deletes is None:
+            return None
+        dm = self.ix.docmap
+        allowed = doc_filter if doc_filter is not None else F.lit(True)
+        if self._deletes is not None:
+            dm = dm.join(
+                self._deletes.withColumn("_tomb", F.lit(True)), "doc_id", "left"
+            )
+            allowed = allowed & F.col("_tomb").isNull()
+        return dm.withColumn("_allowed", allowed).select(
+            "shard_id", "doc_id", "_allowed"
+        )
+
+    def _apply_deletes(self, cands: DataFrame) -> DataFrame:
+        """Anti-join pending tombstones out of a FULL-match-set candidate
+        frame (the compound-query surfaces). Correct there because those
+        frames carry every match (kernel cap = docs_per_shard), so the
+        exclusion happens before any selection edge."""
+        if self._deletes is None:
+            return cands
+        return cands.join(self._deletes, "doc_id", "left_anti")
+
+    def _no_pending_deletes(self, surface: str) -> None:
+        """Surfaces whose kernels apply a shard-local top-k cap WITHOUT an
+        allowed-mask hook (the plain phrase/span family) cannot exclude
+        tombstones before the cap — serving them with pending deletes
+        would silently return deleted docs or under-fill. ES hides this
+        behind the live-docs bitset; here the honest contract is: expunge
+        first (or use query_string, whose generalized kernel masks
+        phrases too)."""
+        if self._deletes is not None:
+            raise ValueError(
+                f"{surface} does not serve with pending delete_by_query "
+                "tombstones: call expunge() to fold the deletes into the "
+                "index (or phrase via query_string, which applies the "
+                "exclusion mask inside its kernel)"
+            )
+
+    def delete_by_query(
+        self,
+        filter_text: str = "",
+        mode: str = "and",
+        must_not: str = "",
+        doc_filter: Column | None = None,
+    ) -> int:
+        """ES ``_delete_by_query``: mark every doc matching the filter-
+        context query deleted. Returns the number of NEWLY deleted docs
+        (the ES response's ``deleted``). Semantics mirrored from ES:
+
+          * tombstoned docs disappear from every match/bool/filter/
+            aggregation surface immediately, but **corpus statistics
+            (df, idf, avgdl) keep counting them until expunge()** — the
+            Lucene deleted-docs model, so surviving docs' scores are
+            unchanged during the tombstone era (tests pin this);
+          * deleting a TURN also tombstones its conversation's ROLLUP doc
+            (the rollup's indexed text contains the deleted turn's
+            content — leaving it serving would leak what was deleted);
+          * repeated calls accumulate; ``expunge()`` rewrites the index
+            without the tombstoned docs and resets the pending set.
+        The match set comes from ``match_docs`` (non-scoring pruned scan +
+        docmap cogroup) — no scoring work, no global sort."""
+        hits = self.match_docs(filter_text, mode, must_not, doc_filter)
+        convs = hits.filter(~F.col("is_rollup")).select("conv_id").distinct()
+        rolls = (
+            self.ix.docmap.filter(F.col("is_rollup"))
+            .join(convs, "conv_id")
+            .select("doc_id")
+        )
+        tombs = hits.select("doc_id").unionByName(rolls).distinct()
+        if self._deletes is not None:
+            tombs = tombs.unionByName(self._deletes.select("doc_id")).distinct()
+        tombs = tombs.persist()
+        n = tombs.count()
+        newly = n - self._n_deleted
+        old = self._deletes
+        self._deletes, self._n_deleted = tombs, n
+        if old is not None:
+            old.unpersist()
+        return newly
+
+    def expunge(self) -> "BM25Searcher":
+        """ES ``_forcemerge?only_expunge_deletes``: physically rewrite the
+        index without the pending tombstones (streaming/compaction.py
+        ``expunge_deletes`` — doc_ids and surviving term_ids preserved,
+        statistics recomputed over live docs). Returns a NEW searcher
+        over the clean index; this searcher keeps serving the tombstone
+        era unchanged."""
+        if self._deletes is None:
+            return self
+        from ..streaming.compaction import expunge_deletes
+
+        clean = expunge_deletes(self._spark, self.ix, self._deletes)
+        return BM25Searcher(clean, use_wand=self.use_wand)
 
     def _lookup_terms(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         missing = [t for t in terms if t not in self._term_cache]
@@ -317,7 +425,8 @@ class BM25Searcher:
         term_ids = [m[0] for m in term_meta]
 
         cand_postings = ix.postings.filter(F.col("term_id").isin(term_ids))
-        has_filter = doc_filter is not None
+        docmap_lite = self._docmap_allowed(doc_filter)
+        has_filter = docmap_lite is not None
 
         after = None
         if search_after is not None:
@@ -327,9 +436,6 @@ class BM25Searcher:
             self.use_wand, cfg.wand_min_postings, has_filter, after=after,
         )
         if has_filter:
-            docmap_lite = ix.docmap.withColumn("_allowed", doc_filter).select(
-                "shard_id", "doc_id", "_allowed"
-            )
             cands = (
                 cand_postings.groupBy("shard_id")
                 .cogroup(docmap_lite.groupBy("shard_id"))
@@ -423,7 +529,8 @@ class BM25Searcher:
             {m[0] for m in must_meta} | {m[0] for m in should_meta} | set(not_tids)
         )
         avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
-        has_filter = doc_filter is not None
+        docmap_lite = self._docmap_allowed(doc_filter)
+        has_filter = docmap_lite is not None
         mm, sm, nt = list(must_meta), list(should_meta), list(not_tids)
         after = None
         if search_after is not None:
@@ -461,9 +568,6 @@ class BM25Searcher:
 
         cand_postings = ix.postings.filter(F.col("term_id").isin(scan_tids))
         if has_filter:
-            docmap_lite = ix.docmap.withColumn("_allowed", doc_filter).select(
-                "shard_id", "doc_id", "_allowed"
-            )
             cands = (
                 cand_postings.groupBy("shard_id")
                 .cogroup(docmap_lite.groupBy("shard_id"))
@@ -602,10 +706,13 @@ class BM25Searcher:
                 {"doc_id": ids, "score": np.full(ids.size, b32, dtype=np.float32)}
             )
 
-        docmap_lite = ix.docmap.withColumn(
-            "_allowed",
-            doc_filter if doc_filter is not None else F.lit(True),
-        ).select("shard_id", "doc_id", "_allowed")
+        # the docmap slice is always needed here (it IS the live set);
+        # _docmap_allowed folds pending delete_by_query tombstones in
+        docmap_lite = self._docmap_allowed(doc_filter)
+        if docmap_lite is None:
+            docmap_lite = ix.docmap.withColumn("_allowed", F.lit(True)).select(
+                "shard_id", "doc_id", "_allowed"
+            )
         pruned = ix.postings.filter(
             F.col("term_id").isin(scan_tids) if scan_tids else F.lit(False)
         )
@@ -681,8 +788,108 @@ class BM25Searcher:
             F.col("term_id").isin([m[0] for m in term_meta])
         )
         if self.aligned:
-            return pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
-        return pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+            out = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            out = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+        # FULL match set (no selection edge) -> post-hoc tombstone
+        # exclusion is exact; covers every compound surface built on this
+        return self._apply_deletes(out)
+
+    def _match_set(self, term_ids: list[int]) -> DataFrame | None:
+        """Non-scoring match SET of a term_id union (filter context): the
+        same pruned postings scan as the scorers, but the shard kernel
+        only decodes doc_ids into a presence mask — no tf/idf arithmetic.
+        Used by constant-score clauses (match_bool_prefix's prefix slot).
+        Returns a (doc_id long) frame, distinct by construction (one
+        emission per set bit per shard), or None for an empty term set."""
+        if not term_ids:
+            return None
+        ix = self.ix
+        dps = ix.cfg.docs_per_shard
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+            if pdf.empty:
+                return empty
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            seen = np.zeros(dps, dtype=bool)
+            for _, g in pdf.groupby("term_id"):
+                dec = _decode_term_blocks(g, base)
+                if dec is not None:
+                    seen[dec[0]] = True
+            return pd.DataFrame(
+                {"doc_id": np.flatnonzero(seen).astype(np.int64) + base}
+            )
+
+        pruned = ix.postings.filter(F.col("term_id").isin(list(term_ids)))
+        if self.aligned:
+            out = pruned.mapInPandas(_aligned_kernel(kernel), schema="doc_id long")
+        else:
+            out = pruned.groupBy("shard_id").applyInPandas(kernel, schema="doc_id long")
+        return self._apply_deletes(out)  # full set: post-hoc exclusion exact
+
+    def match_bool_prefix(
+        self,
+        query_text: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES ``match_bool_prefix`` (search-as-you-type over unordered
+        terms): the analyzed query becomes a pure-should bool — a TERM
+        clause per token except the last, plus a PREFIX clause on the
+        last token. Unlike match_phrase_prefix, terms may match in any
+        position and any order.
+
+        Semantics on this engine (the ES/Lucene model):
+          * fixed terms score BM25 and are OR-combined (at least one
+            clause must match — pure-should bool, msm=1);
+          * the prefix clause is Lucene CONSTANT_SCORE_REWRITE: +1.0 for
+            any doc containing ANY dictionary expansion of the stem
+            (alphabetical cap at ``max_expansions``, the same
+            ``_expanded_alpha`` rewrite as phrase_prefix_query), no
+            per-term scoring;
+          * score = f32( f64(fixed-OR f32 emission) + 1.0 * prefix_hit )
+            — the fixed part keeps the kernel's standard f32 emission
+            before the f64 combine, same two-stage contract as the
+            compound queries. Oracle twin: PandasOracle.bool_prefix_topk
+            (change one, change both).
+        Scale shape: one pruned scoring scan for the fixed terms + one
+        pruned non-scoring scan for the expansion (mask decode only),
+        doc_id-keyed outer join, k-row merge. No dictionary-size work
+        beyond the alphabetical LIMIT pushdown."""
+        terms = analyze_query(query_text, self.ix.cfg)
+        empty = (self._empty() if with_meta else
+                 self._spark.createDataFrame([], "rank int, doc_id long, score float"))
+        if not terms:
+            return empty
+        fixed, stem = terms[:-1], terms[-1]
+        exp = self._expanded_alpha(F.col("term").startswith(stem), max_expansions)
+        pref = self._match_set(sorted(tid for tid, _ in exp.values()))
+        fixed_scores = (
+            self._all_match_scores(" ".join(fixed), "or") if fixed else None
+        )
+        if fixed_scores is None and pref is None:
+            return empty
+        if pref is None:
+            combined = fixed_scores
+        elif fixed_scores is None:
+            combined = pref.select(
+                "doc_id", F.lit(1.0).cast("float").alias("score")
+            )
+        else:
+            combined = (
+                fixed_scores
+                .join(pref.withColumn("_p", F.lit(True)), "doc_id", "full")
+                .select(
+                    "doc_id",
+                    (
+                        F.coalesce(F.col("score").cast("double"), F.lit(0.0))
+                        + F.when(F.col("_p"), F.lit(1.0)).otherwise(F.lit(0.0))
+                    ).cast("float").alias("score"),
+                )
+            )
+        return self._ranked(combined, k, with_meta)
 
     def _ranked(self, cands: DataFrame, k: int, with_meta: bool) -> DataFrame:
         """Shared selection + fetch tail for EVERY query surface: global
@@ -842,6 +1049,7 @@ class BM25Searcher:
         emit, (score desc, doc_id asc) ties. Scale shape: one pruned
         scan over the union of member term_ids, shard-local kernel,
         k-row merge — identical to top_k."""
+        self._no_pending_deletes("match_synonyms")
         ix, cfg = self.ix, self.ix.cfg
         tokens = analyze_query(query_text, cfg)
         if not tokens:
@@ -969,8 +1177,20 @@ class BM25Searcher:
         score the engine would emit (sum in ascending term_id order, the
         determinism contract). Reads only the doc's shard slice of the
         query terms' postings (term_id IN + shard_id == pushed to the
-        scan) — one tiny job, no full-corpus work."""
+        scan) — one tiny job, no full-corpus work. With pending
+        delete_by_query tombstones, explaining a DELETED doc raises (the
+        ES _explain of a deleted doc is found=false); a live doc's
+        breakdown still uses tombstone-era statistics — the Lucene
+        deleted-docs model this engine pins (df/idf count deleted docs
+        until expunge())."""
         ix, cfg = self.ix, self.ix.cfg
+        if self._deletes is not None and (
+            self._deletes.filter(F.col("doc_id") == int(doc_id)).count() > 0
+        ):
+            raise ValueError(
+                f"explain_score: doc {doc_id} is tombstoned by "
+                "delete_by_query (ES _explain: found=false)"
+            )
         terms = analyze_query(query_text, cfg)
         weights = Counter(terms)
         found = self._lookup_terms(list(weights))
@@ -1056,6 +1276,7 @@ class BM25Searcher:
         inside the shard kernel."""
         from ..operators.phrase import _POS_BITS, _slot_keys
 
+        self._no_pending_deletes("span_first_query")
         ix, cfg = self.ix, self.ix.cfg
         if not cfg.store_positions:
             raise ValueError(
@@ -1159,6 +1380,8 @@ class BM25Searcher:
             cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
         else:
             cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+        # full match set -> tombstone exclusion before the conv rollup
+        cands = self._apply_deletes(cands)
         children = (
             self.ix.docmap.select("doc_id", "conv_id", "is_rollup")
             .join(cands, "doc_id", "inner")
@@ -1232,7 +1455,8 @@ class BM25Searcher:
         scan_tids = sorted(set(req_tids) | not_tids)
         dps = cfg.docs_per_shard
         req_list, n_req = list(req_tids), len(req_tids)
-        has_filter = doc_filter is not None
+        # pending delete_by_query tombstones ride the same _allowed mask
+        has_filter = doc_filter is not None or self._deletes is not None
 
         def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             out = right[out_cols]
@@ -1274,9 +1498,16 @@ class BM25Searcher:
             keep = allowed[right["doc_id"].to_numpy(np.int64) - base]
             return out[keep]
 
-        docmap_lite = ix.docmap.withColumn(
-            "_allowed", doc_filter if has_filter else F.lit(True)
-        ).select("shard_id", "_allowed", *out_cols)
+        dm = ix.docmap
+        allowed_expr = doc_filter if doc_filter is not None else F.lit(True)
+        if self._deletes is not None:
+            dm = dm.join(
+                self._deletes.withColumn("_tomb", F.lit(True)), "doc_id", "left"
+            )
+            allowed_expr = allowed_expr & F.col("_tomb").isNull()
+        docmap_lite = dm.withColumn("_allowed", allowed_expr).select(
+            "shard_id", "_allowed", *out_cols
+        )
         pruned = ix.postings.filter(
             F.col("term_id").isin(scan_tids) if scan_tids else F.lit(False)
         )
@@ -1402,6 +1633,152 @@ class BM25Searcher:
             .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= size)
             .select("input", "term", "distance", "df")
+        )
+
+    def phrase_suggest(
+        self,
+        text: str,
+        max_edits: int = 1,
+        candidates_per_term: int = 5,
+        size: int = 5,
+        alpha: float = 0.5,
+        max_terms: int = 6,
+    ) -> DataFrame:
+        """ES *phrase suggester* ("did you mean"): whole-phrase correction
+        candidates ranked by a Laplace-smoothed corpus BIGRAM language
+        model (the ES phrase suggester's default ``laplace`` smoothing,
+        ``gram_size=2``) times a deterministic error model.
+
+        Pinned model (oracle twins mirror it exactly — change one, change
+        all):
+          * per-slot candidates: dictionary terms within ``max_edits``
+            Levenshtein edits, ranked (distance asc, df desc, term asc),
+            top ``candidates_per_term`` (the original token always ranks
+            first at distance 0; an out-of-vocabulary original is kept as
+            an unscorable cf=0 candidate);
+          * candidate phrases: the cross product of the slot candidate
+            lists (bounded by candidates_per_term^n_terms; inputs longer
+            than ``max_terms`` tokens raise);
+          * score (log10, f64, summed LEFT-TO-RIGHT in gram order):
+            log10((cf(w1)+a)/(N+aV)) for the head gram, then
+            log10((c(w_{i-1},w_i)+a)/(cf(w_{i-1})+aV)) per following
+            gram, plus per slot log10(0.95) if the slot is unchanged
+            (ES real_word_error_likelihood) else distance * log10(0.1)
+            (each edit costs one decade);
+          * output ties (score desc, suggestion asc), rank 1-based.
+
+        The bigram model is derived from the positional index on first use
+        (operators/bigram.py — one postings pass, persisted) and cached on
+        the searcher. Query-time Spark work is three tiny-by-construction
+        lookups: one dictionary scan for all slots' candidates (the
+        single-pass ``suggest`` shape), then filtered collects of the <=
+        cap^2-per-gram bigram counts and <= n_slots*cap unigram counts —
+        scoring the <= cap^n candidate phrases is driver-side arithmetic
+        on k-row data, the same class as ``_lookup_terms``.
+
+        Returns (rank int, suggestion string, score double, n_changed int).
+        """
+        import math as _math
+
+        from ..operators.bigram import bigram_model
+
+        ix = self.ix
+        ddl = "rank int, suggestion string, score double, n_changed int"
+        terms = analyze_query(text, ix.cfg)
+        if not terms:
+            return self._spark.createDataFrame([], ddl)
+        if len(terms) > max_terms:
+            raise ValueError(
+                f"phrase_suggest input has {len(terms)} tokens; "
+                f"max_terms={max_terms} bounds the candidate product"
+            )
+        if self._bigram is None:
+            self._bigram = bigram_model(ix)
+        model = self._bigram
+        n_tok, vocab = float(model.n_tokens), float(model.vocab)
+
+        # one dictionary scan for EVERY slot's candidates (suggest's shape)
+        inputs = self._spark.createDataFrame(
+            [(t,) for t in dict.fromkeys(terms)], "input string"
+        )
+        w = Window.partitionBy("input").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("term")
+        )
+        cand_rows = (
+            ix.dictionary.select("term", "term_id", "df")
+            .join(F.broadcast(inputs))
+            .withColumn("distance", F.levenshtein(F.col("term"), F.col("input")))
+            .filter(F.col("distance") <= max_edits)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= candidates_per_term)
+            .select("input", "term", "term_id", "distance", "_r")
+            .collect()
+        )
+        by_input: dict[str, list[tuple[int, str, int, int]]] = {}
+        for r in cand_rows:
+            by_input.setdefault(r["input"], []).append(
+                (int(r["_r"]), r["term"], int(r["term_id"]), int(r["distance"]))
+            )
+        # collect() row order is not deterministic — restore the ranking
+        # order before any truncation below
+        by_input = {
+            t: [(term, tid, d) for _, term, tid, d in sorted(rs)]
+            for t, rs in by_input.items()
+        }
+        slots: list[list[tuple[str, int, int]]] = []
+        for t in terms:
+            cs = by_input.get(t, [])
+            if not any(c[0] == t for c in cs):
+                # OOV original: kept as an unscorable (cf=0) candidate
+                cs = [(t, -1, 0), *cs][: candidates_per_term]
+            slots.append(cs)
+
+        # tiny-by-construction stat lookups: unigram cf for every distinct
+        # candidate tid; bigram c for every per-gram (prev, cur) tid pair
+        all_tids = sorted({tid for cs in slots for _, tid, _ in cs if tid >= 0})
+        cf: dict[int, int] = {tid: 0 for tid in all_tids}
+        if all_tids:
+            for r in model.unigrams.filter(F.col("tid").isin(all_tids)).collect():
+                cf[int(r["tid"])] = int(r["cf"])
+        bc: dict[tuple[int, int], int] = {}
+        if len(slots) > 1 and all_tids:
+            pair_cond = None
+            for i in range(1, len(slots)):
+                prevs = [tid for _, tid, _ in slots[i - 1] if tid >= 0]
+                curs = [tid for _, tid, _ in slots[i] if tid >= 0]
+                if not prevs or not curs:
+                    continue
+                cond = F.col("t1").isin(prevs) & F.col("t2").isin(curs)
+                pair_cond = cond if pair_cond is None else (pair_cond | cond)
+            if pair_cond is not None:
+                for r in model.bigrams.filter(pair_cond).collect():
+                    bc[(int(r["t1"]), int(r["t2"]))] = int(r["c"])
+
+        def _err(dist: int) -> float:
+            return _math.log10(0.95) if dist == 0 else dist * _math.log10(0.1)
+
+        from itertools import product as _product
+
+        scored: list[tuple[str, float, int]] = []
+        for combo in _product(*slots):
+            s = 0.0  # f64, LEFT-TO-RIGHT in gram order (the contract)
+            w0_cf = cf.get(combo[0][1], 0)
+            s += _math.log10((w0_cf + alpha) / (n_tok + alpha * vocab))
+            s += _err(combo[0][2])
+            for i in range(1, len(combo)):
+                prev_tid, cur_tid = combo[i - 1][1], combo[i][1]
+                c = bc.get((prev_tid, cur_tid), 0)
+                prev_cf = cf.get(prev_tid, 0)
+                s += _math.log10((c + alpha) / (prev_cf + alpha * vocab))
+                s += _err(combo[i][2])
+            scored.append(
+                (" ".join(c[0] for c in combo), s,
+                 sum(1 for c in combo if c[2] > 0))
+            )
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        top = scored[:size]
+        return self._spark.createDataFrame(
+            [(i + 1, p, s, n) for i, (p, s, n) in enumerate(top)], ddl
         )
 
     def query_string(
@@ -1592,7 +1969,8 @@ class BM25Searcher:
             | {tid for p in phrase_list for tid in p[0]}
         )
         avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
-        has_filter = flt is not None
+        docmap_lite = self._docmap_allowed(flt)
+        has_filter = docmap_lite is not None
         after = None
         if search_after is not None:
             after = (float(np.float32(search_after[0])), int(search_after[1]))
@@ -1634,9 +2012,6 @@ class BM25Searcher:
 
         cand_postings = ix.postings.filter(F.col("term_id").isin(scan_tids))
         if has_filter:
-            docmap_lite = ix.docmap.withColumn("_allowed", flt).select(
-                "shard_id", "doc_id", "_allowed"
-            )
             cands = (
                 cand_postings.groupBy("shard_id")
                 .cogroup(docmap_lite.groupBy("shard_id"))
@@ -1715,6 +2090,7 @@ class BM25Searcher:
         query order (Lucene PhraseWeight; operators/phrase.py)."""
         from ..operators.phrase import score_shard_phrase, score_shard_phrase_unordered
 
+        self._no_pending_deletes("phrase_query")
         ix, cfg = self.ix, self.ix.cfg
         if not cfg.store_positions:
             raise ValueError(
@@ -1824,6 +2200,7 @@ class BM25Searcher:
         """
         from ..operators.phrase import score_shard_phrase
 
+        self._no_pending_deletes("phrase_prefix_query")
         ix, cfg = self.ix, self.ix.cfg
         if not cfg.store_positions:
             raise ValueError(
@@ -1997,6 +2374,7 @@ class BM25Searcher:
         per-query driver/job overhead is amortized across the whole set.
         Results are rank-identical to per-query ``top_k``.
         """
+        self._no_pending_deletes("top_k_batch")
         ix, cfg = self.ix, self.ix.cfg
         qspecs = []  # (query_id, k, mode, Counter(terms))
         all_terms: set[str] = set()
@@ -2145,3 +2523,60 @@ def multi_match(
         final = F.col("_mx") + F.lit(tb) * (F.col("_sum") - F.col("_mx"))
     per_doc = grouped.select("doc_id", final.cast("float").alias("score"))
     return primary._ranked(per_doc, k, with_meta=False)
+
+
+def rrf_fuse(
+    results: "list[DataFrame]",
+    rank_constant: int = 60,
+    rank_window: int | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES Reciprocal Rank Fusion retriever (the 8.x ``rrf`` hybrid-search
+    combiner): fuse N independently-RANKED result lists —
+    ``rrf(d) = sum over retrievers of 1 / (rank_constant + rank_r(d))``
+    for the retrievers whose top-``rank_window`` contains ``d``. Score
+    scales are irrelevant (only ranks count), which is what makes this
+    the standard lexical+vector hybrid combiner.
+
+    Each input frame needs (``id_col``, ``rank``) — every query surface
+    here emits exactly that (top_k, phrase_query, cosine_topk_bruteforce
+    after renaming neighbor_id). Determinism: contributions are folded in
+    f64 in RETRIEVER-INDEX order per doc (sorted-array fold, the dis_max
+    contract); output ties (rrf desc, id asc), rank 1-based. Scale
+    shape: the inputs are already <= rank_window rows each — the fusion
+    is a k-row groupBy, no scan of anything."""
+    if not results:
+        raise ValueError("rrf_fuse requires at least one ranked input")
+    rc = float(rank_constant)
+    subs = []
+    for i, r in enumerate(results):
+        r = r.select(
+            F.col(id_col).alias("_id"),
+            F.col("rank").cast("long").alias("_rk"),
+            F.lit(i).alias("_q"),
+        )
+        if rank_window is not None:
+            r = r.filter(F.col("_rk") <= int(rank_window))
+        subs.append(r)
+    allr = subs[0]
+    for r in subs[1:]:
+        allr = allr.unionByName(r)
+    contrib = allr.select(
+        "_id", "_q",
+        (F.lit(1.0) / (F.lit(rc) + F.col("_rk").cast("double"))).alias("_c"),
+    )
+    fused = contrib.groupBy("_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_q", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("rrf")
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("_id")).limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", F.col("_id").alias(id_col), "rrf")
+        .orderBy("rank")
+    )

@@ -277,3 +277,47 @@ def test_suggest_single_pass_and_ranking(ix, oracle):
     n1 = len(sc.statusTracker().getJobIdsForGroup("sg1"))
     n5 = len(sc.statusTracker().getJobIdsForGroup("sg5"))
     assert n5 == n1, f"suggest jobs grew with token count: {n1} -> {n5}"
+
+
+# --- match_bool_prefix (search-as-you-type: term shoulds + constant-score
+# prefix on the last token) ---
+
+BOOL_PREFIX_CASES = [
+    "w0000 w000",        # fixed term + multi-expansion prefix
+    "w0003 w0001",       # prefix IS a complete term (still constant-score)
+    "w000",              # single token: pure constant-score prefix clause
+    "zzzz w000",         # OOV fixed term: should-bool still serves prefix hits
+    "w0000 zzz",         # nothing extends the stem: fixed-only OR
+    "w0000 w0000 w000",  # duplicate fixed terms (2x weight) + prefix
+]
+
+
+def test_match_bool_prefix_matches_oracle(ix, oracle):
+    s = BM25Searcher(ix)
+    for q in BOOL_PREFIX_CASES:
+        got = s.match_bool_prefix(
+            q, k=50, max_expansions=8, with_meta=False
+        ).toPandas()
+        exp = oracle.bool_prefix_topk(q, k=50, max_expansions=8)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), q
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+        )
+
+
+def test_match_bool_prefix_constant_score_is_one(ix, oracle):
+    """A single-token query is a pure prefix clause: every hit scores
+    exactly 1.0 (Lucene CONSTANT_SCORE_REWRITE), ties broken doc_id asc."""
+    s = BM25Searcher(ix)
+    got = s.match_bool_prefix("w000", k=30, max_expansions=4,
+                              with_meta=False).toPandas()
+    assert len(got) == 30
+    assert (got["score"] == np.float32(1.0)).all()
+    assert got["doc_id"].is_monotonic_increasing
+
+
+def test_match_bool_prefix_empty_cases(ix):
+    s = BM25Searcher(ix)
+    assert s.match_bool_prefix("", with_meta=False).count() == 0
+    # OOV fixed term AND un-extendable stem -> nothing can match
+    assert s.match_bool_prefix("zzzz yyy", with_meta=False).count() == 0
