@@ -554,7 +554,13 @@ def q_bm25_indexed_engine(spark, sf_dir):
     return out
 
 
-def _sql_bm25_allmatch(qid: int, terms: list[str], mode: str) -> str:
+def _sql_bm25_allmatch(
+    qid: int, terms: list[str], mode: str, src: str = "documents"
+) -> str:
+    """Full-match BM25 twin over corpus ``src`` (a table name or a
+    parenthesized subquery — the expunged-index twin scores over the
+    LIVE corpus only, which is exactly the post-merge Lucene statistics
+    model)."""
     term_list = ", ".join(f"'{t}'" for t in terms)
     and_filter = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
     return f"""
@@ -563,12 +569,12 @@ SELECT {qid} AS query_id, doc_id,
 FROM (
   WITH toks AS (
     SELECT doc_id, u.tok AS term
-    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+    FROM {src} AS documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
   ),
   dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
   corpus AS (
-    SELECT (SELECT count(*) FROM documents) AS n_docs,
-           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+    SELECT (SELECT count(*) FROM {src} AS d0) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM {src} AS documents LEFT JOIN dls USING (doc_id)) AS avgdl
   ),
   tf AS (
     SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
@@ -758,17 +764,24 @@ SQL_BOOL_MUST_NOT_QUERY = "\nUNION ALL\n".join(
 
 
 def q_bm25_nrt_compaction(spark, sf_dir):
-    """The full NRT segment LIFECYCLE in one gate entry (was two —
-    bm25_segmented + bm25_compacted, both green in r3): the documents
+    """The full NRT segment LIFECYCLE in one gate entry: the documents
     corpus is split into TWO index segments (docs below/above the median
-    id), (a) queried through SegmentedSearcher with GLOBAL corpus stats,
-    then (b) the raw transcripts are DELETED and the segments are merged
-    from their postings alone (Lucene-style posting-level compaction) and
-    queried again. Both variants must score every query (k unbounded)
-    exactly like one from-scratch index, so the oracle is plain
-    full-corpus BM25 scoring tagged per variant. Segment doc_ids are
-    internal (offset by seg base); the stable external id is recovered
-    from conv_id on the segmented side."""
+    id), (a) ``segmented`` — queried through SegmentedSearcher with
+    GLOBAL corpus stats; (b) ``compacted`` — the raw transcripts are
+    DELETED and the segments merged from their postings alone
+    (Lucene-style posting-level compaction), queried again; both must
+    score exactly like one from-scratch index (full-corpus BM25 oracle).
+    Round 4 extends the lifecycle with the deleted-docs era:
+    (c) ``tombstoned`` — after ``delete_by_query('window')`` the same
+    queries must return exactly the compacted scores MINUS the deleted
+    docs (Lucene deleted-docs model: df/idf/avgdl keep counting
+    tombstones, so surviving scores are bit-unchanged — oracle = the
+    full-corpus twin filtered by the delete set); (d) ``expunged`` —
+    after ``expunge()`` statistics are recomputed over live docs only
+    (oracle = the same BM25 twin with the corpus src replaced by the
+    live subset). Segment doc_ids are internal (offset by seg base);
+    the stable external id is recovered from conv_id on the segmented
+    side."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -816,13 +829,55 @@ def q_bm25_nrt_compaction(spark, sf_dir):
             duck_round(F.col("score").cast("double"), 3).alias("score3"),
         )
         out = out.unionByName(r)
+    s.delete_by_query(NRT_DELETE_TERM)
+    for qid, text, mode in ENGINE_QUERIES:
+        r = s.top_k(text, k=1_000_000, mode=mode, with_meta=False).select(
+            F.lit("tombstoned").alias("variant"),
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = out.unionByName(r)
+    s2 = s.expunge()
+    for qid, text, mode in ENGINE_QUERIES:
+        r = s2.top_k(text, k=1_000_000, mode=mode, with_meta=False).select(
+            F.lit("expunged").alias("variant"),
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = out.unionByName(r)
     return out
 
 
+NRT_DELETE_TERM = "window"
+_SQL_NRT_DELSET = (
+    "SELECT DISTINCT doc_id FROM documents, "
+    "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok) "
+    f"WHERE u.tok = '{NRT_DELETE_TERM}'"
+)
+_SQL_NRT_LIVE = f"(SELECT * FROM documents WHERE doc_id NOT IN ({_SQL_NRT_DELSET}))"
+
 SQL_BM25_NRT_COMPACTION = "\nUNION ALL\n".join(
-    f"SELECT '{variant}' AS variant, * FROM ({SQL_BM25_INDEXED_ENGINE})"
-    for variant in ("segmented", "compacted")
-)  # segmentation AND compaction must both be invisible to scoring
+    [
+        # segmentation AND compaction must both be invisible to scoring
+        f"SELECT '{variant}' AS variant, * FROM ({SQL_BM25_INDEXED_ENGINE})"
+        for variant in ("segmented", "compacted")
+    ]
+    + [
+        # tombstone era: FULL-corpus statistics, live rows only (the
+        # Lucene deleted-docs model — surviving scores bit-unchanged)
+        "SELECT 'tombstoned' AS variant, * FROM "
+        f"({SQL_BM25_INDEXED_ENGINE}) WHERE doc_id NOT IN ({_SQL_NRT_DELSET})",
+        # expunged: statistics recomputed over the LIVE corpus only
+        "SELECT 'expunged' AS variant, * FROM ("
+        + "\nUNION ALL\n".join(
+            _sql_bm25_allmatch(qid, text.split(), mode, src=_SQL_NRT_LIVE)
+            for qid, text, mode in ENGINE_QUERIES
+        )
+        + ")",
+    ]
+)
 
 
 def q_search_after(spark, sf_dir):
@@ -1748,7 +1803,11 @@ def q_advanced_queries(spark, sf_dir):
       bool of BM25 term clauses (here: 'table') + a CONSTANT-SCORE
       prefix clause (+1.0 for docs containing any 's'-expansion term,
       Lucene CONSTANT_SCORE_REWRITE); score = f32(f64(or_f32) + 1.0 *
-      prefix_hit); key = doc_id, n = 0."""
+      prefix_hit); key = doc_id, n = 0.
+    * ``termvectors`` — ES _termvectors for doc 7, from the index alone
+      (block-pruned shard-slice decode): key = term '@' the 0-based
+      positions CSV, n = tf, score3 = df + ttf/1000 (both term
+      statistics pinned in one f64 — identical expression both sides)."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1884,11 +1943,22 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.lit(0).cast("long").alias("n"),
     )
+    tv = s.term_vectors(7).select(
+        F.lit("termvectors").alias("kind"),
+        F.concat_ws(
+            "@", F.col("term"),
+            F.array_join(F.col("positions").cast("array<string>"), ","),
+        ).alias("key"),
+        duck_round(
+            F.col("df").cast("double") + F.col("ttf").cast("double") / 1000.0, 3
+        ).alias("score3"),
+        F.col("tf").cast("long").alias("n"),
+    )
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
         .unionByName(pc).unionByName(re_rows).unionByName(sy)
-        .unionByName(pp).unionByName(bp)
+        .unionByName(pp).unionByName(bp).unionByName(tv)
     )
 
 
@@ -2316,12 +2386,38 @@ FROM (
 )
 """
 
+# termvectors twin: re-derive doc 7's term vector + corpus term stats
+# from first principles (the engine reads them from its posting blocks
+# and dictionary); score3 packs (df, ttf) into one f64 with the SAME
+# expression shape as the engine side.
+_SQL_TERMVECTORS = """
+SELECT 'termvectors' AS kind, key, score3, n FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  stats AS (
+    SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS ttf
+    FROM toks GROUP BY tok
+  ),
+  tv AS (
+    SELECT tok, count(*) AS tf,
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS poss
+    FROM toks WHERE doc_id = 7 GROUP BY tok
+  )
+  SELECT tv.tok || '@' || tv.poss AS key,
+         round(CAST(s.df AS DOUBLE) + CAST(s.ttf AS DOUBLE) / 1000.0, 3) AS score3,
+         CAST(tv.tf AS BIGINT) AS n
+  FROM tv JOIN stats s ON s.tok = tv.tok
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
      _SQL_PERCOLATE,
      _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
-     _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX]
+     _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS]
 )
 
 

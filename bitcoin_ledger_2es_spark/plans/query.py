@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig
 from ..functions.analyze import analyze_query
 from ..functions.bm25 import idf as idf_fn
+from ..functions.codec import decode_doc_gaps, decode_positions, decode_tfs
 from ..operators.wand import (
     _TermList,
     _decode_term_blocks,
@@ -1235,6 +1236,78 @@ class BM25Searcher:
         recs.sort()  # ascending term_id = the accumulation order
         return self._spark.createDataFrame(
             [r[1:] for r in recs], out_ddl
+        )
+
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """ES ``_termvectors`` API from the INDEX itself (no stored
+        source): every term of one document with its in-doc frequency,
+        0-based token positions (when the index stores positions), and
+        term statistics — ``df`` (doc_freq) and ``ttf`` (total term
+        frequency across the corpus, ES total_term_freq) from the
+        dictionary. Matches ES's term_statistics=true response shape.
+
+        Plan shape: the doc lives in exactly one shard, and within it in
+        at most one block per term — so the scan predicate
+        ``shard_id == doc's shard AND first_doc_id <= doc <=
+        last_doc_id`` prunes to O(terms-in-shard) blocks BEFORE any
+        decode (both columns are parquet min/max-pruned). The kernel
+        varint-decodes only the surviving blocks and emits one row per
+        term containing the doc; the k-row result joins the dictionary
+        (broadcast of the k rows). With pending delete_by_query
+        tombstones, a deleted doc raises (ES: found=false); live docs
+        report tombstone-era statistics — the deleted-docs model.
+
+        Returns (term, tf, positions, df, ttf) ordered term asc.
+        """
+        ix, cfg = self.ix, self.ix.cfg
+        doc = int(doc_id)
+        if self._deletes is not None and (
+            self._deletes.filter(F.col("doc_id") == doc).count() > 0
+        ):
+            raise ValueError(
+                f"term_vectors: doc {doc} is tombstoned by delete_by_query "
+                "(ES _termvectors: found=false)"
+            )
+        sid = doc // cfg.docs_per_shard
+        has_pos = cfg.store_positions
+
+        def kernel(it):
+            for pdf in it:
+                terms, tfs_out, poss_out = [], [], []
+                for r in pdf.itertuples(index=False):
+                    ids = decode_doc_gaps(
+                        r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)
+                    )
+                    i = int(np.searchsorted(ids, doc))
+                    if i >= ids.size or ids[i] != doc:
+                        continue
+                    tfs = decode_tfs(r.tfs)
+                    tf = int(tfs[i])
+                    if has_pos:
+                        allpos = decode_positions(r.poss, tfs)
+                        start = int(tfs[:i].sum())
+                        pos = allpos[start : start + tf].astype(np.int32)
+                    else:
+                        pos = np.array([], dtype=np.int32)
+                    terms.append(int(r.term_id))
+                    tfs_out.append(tf)
+                    poss_out.append(pos.tolist())
+                yield pd.DataFrame(
+                    {"term_id": pd.Series(terms, dtype=np.int64),
+                     "tf": pd.Series(tfs_out, dtype=np.int64),
+                     "positions": pd.Series(poss_out, dtype=object)}
+                )
+
+        hits = ix.postings.filter(
+            (F.col("shard_id") == sid)
+            & (F.col("first_doc_id") <= doc)
+            & (F.col("last_doc_id") >= doc)
+        ).mapInPandas(kernel, schema="term_id long, tf long, positions array<int>")
+        return (
+            ix.dictionary.select("term", "term_id", "df", F.col("cf").alias("ttf"))
+            .join(F.broadcast(hits), "term_id")
+            .select("term", "tf", "positions", "df", "ttf")
+            .orderBy("term")
         )
 
     def scroll(

@@ -142,3 +142,41 @@ def test_conversations_excludes_rollups(searcher, docs_pdf):
     per_conv_turns = turns.groupby("conv_id").size()
     for cid, n in zip(got.conv_id, got.n_matching):
         assert n <= per_conv_turns[cid]
+
+
+def test_term_vectors_first_principles(searcher, docs_pdf):
+    """ES _termvectors from the index alone: tf, 0-based positions, df and
+    ttf must equal a first-principles re-analysis of the corpus."""
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9_]+")
+    texts = {int(r.doc_id): tok.findall(str(r.text).lower())
+             for r in docs_pdf.itertuples()}
+    df_c, ttf_c = Counter(), Counter()
+    for ts in texts.values():
+        ttf_c.update(ts)
+        df_c.update(set(ts))
+    for doc in (0, 5, len(texts) // 2):
+        got = searcher.term_vectors(doc).toPandas()
+        toks = texts[doc]
+        exp_tf = Counter(toks)
+        exp_pos = {}
+        for i, t in enumerate(toks):
+            exp_pos.setdefault(t, []).append(i)
+        assert got["term"].tolist() == sorted(exp_tf), doc
+        for r in got.itertuples():
+            assert r.tf == exp_tf[r.term], (doc, r.term)
+            assert list(r.positions) == exp_pos[r.term], (doc, r.term)
+            assert r.df == df_c[r.term], (doc, r.term)
+            assert r.ttf == ttf_c[r.term], (doc, r.term)
+
+
+def test_term_vectors_deleted_doc_raises(pix):
+    s = BM25Searcher(pix)
+    victim = int(
+        s.top_k("w0000", k=1, with_meta=False).collect()[0]["doc_id"]
+    )
+    s.delete_by_query("w0000")
+    with pytest.raises(ValueError, match="tombstoned"):
+        s.term_vectors(victim)
