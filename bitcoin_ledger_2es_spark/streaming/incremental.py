@@ -195,6 +195,7 @@ def compact(
         from .compaction import merge_postings_frames, recover_merges
 
         recover_merges(root)
+        recover_rewrites(root)
         dirs = _seg_dirs(root)
         if not dirs:
             raise ValueError("no segments to compact")
@@ -220,6 +221,155 @@ def compact(
     return ix
 
 
+def recover_rewrites(root: str) -> None:
+    """Roll back update_by_query / delete_by_query segment rewrites
+    interrupted by a crash. The rewrite protocol renames the old segment
+    aside (``_rewriting_<id>``) before rebuilding ``seg_<id>`` and only
+    deletes the aside copy as its COMMIT step — so any surviving
+    ``_rewriting_*`` dir means the rewrite did NOT commit: discard the
+    (possibly partial) rebuilt segment and restore the original. Stray
+    ``_rewrite_src_*`` staging dirs are deleted. Idempotent; called from
+    every open path (SegmentedSearcher, compact) like recover_merges."""
+    seg_root = Path(root) / "segments"
+    if not seg_root.is_dir():
+        return
+    for aside in sorted(seg_root.glob("_rewriting_*")):
+        tgt = seg_root / f"seg_{aside.name.split('_', 2)[2]}"
+        if tgt.exists():
+            shutil.rmtree(tgt)
+        aside.rename(tgt)
+    for tmp in sorted(seg_root.glob("_rewrite_src_*")):
+        shutil.rmtree(tmp)
+
+
+def _rewrite_by_query(
+    spark: SparkSession,
+    root: str,
+    filter_text: str,
+    transform,
+    mode: str,
+    must_not: str,
+    cfg: EngineConfig,
+) -> int:
+    from ..plans.query import BM25Searcher
+
+    recover_rewrites(root)
+    total = 0
+    for d in _seg_dirs(root):
+        ix = read_index(spark, str(d / "index"), cfg)
+        s = BM25Searcher(ix)
+        hits = (
+            s.match_docs(filter_text, mode=mode, must_not=must_not)
+            .filter(~F.col("is_rollup"))
+            .select("conv_id", "turn_idx")
+        )
+        n = int(hits.count())
+        if n == 0:
+            continue  # untouched segments are never rewritten
+        total += n
+        seg_root, digits = d.parent, d.name.split("_", 1)[1]
+        seg_id = int(digits)
+        raw = spark.read.parquet(str(d / "transcripts"))
+        if transform is None:
+            new_raw = raw.join(hits, ["conv_id", "turn_idx"], "left_anti")
+        else:
+            new_raw = (
+                raw.join(
+                    hits.withColumn("_m", F.lit(True)),
+                    ["conv_id", "turn_idx"],
+                    "left",
+                )
+                .withColumn(
+                    "text",
+                    F.when(F.col("_m"), transform).otherwise(F.col("text")),
+                )
+                .drop("_m")
+            )
+        aside = seg_root / f"_rewriting_{digits}"
+        if transform is None and new_raw.limit(1).count() == 0:
+            # every row deleted: retire the whole segment (rename-first)
+            d.rename(aside)
+            shutil.rmtree(aside)
+            continue
+        # stage the rewritten source OUTSIDE the segment dir first — the
+        # lazily-read input must survive the rename + rebuild below
+        tmp = seg_root / f"_rewrite_src_{digits}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        new_raw.write.mode("overwrite").parquet(str(tmp / "transcripts"))
+        staged = spark.read.parquet(str(tmp / "transcripts"))
+        d.rename(aside)  # old content safe until the commit point
+        build_segment(spark, staged, root, seg_id, ix.cfg)
+        shutil.rmtree(aside)  # COMMIT: rewrite is now the durable state
+        shutil.rmtree(tmp)
+    return total
+
+
+def update_by_query(
+    spark: SparkSession,
+    root: str,
+    filter_text: str,
+    transform,
+    mode: str = "and",
+    must_not: str = "",
+    cfg: EngineConfig = DEFAULT,
+) -> int:
+    """ES ``_update_by_query`` over the durable segment store: re-index
+    every TURN document matching the filter-context query with
+    ``transform`` (a Column over the transcripts schema, e.g.
+    ``F.regexp_replace("text", ...)``) applied to its raw row. Returns
+    the number of updated turns (the ES response's ``updated``).
+
+    Semantics (ES model: snapshot search + reindex of matching docs):
+      * only segments CONTAINING matches are rebuilt — the rebuild is the
+        same deterministic ``build_segment`` the ingest path uses, so a
+        rewritten segment is byte-identical to one ingested with the
+        transformed batch (idempotent under replay, resume-compatible);
+      * conversation ROLLUP docs are derived at build time, so they
+        automatically reflect the updated turn text — no cascade
+        bookkeeping;
+      * doc_ids within a rewritten segment are stable under update (the
+        docID spec orders by (conv_id, turn_idx), which a text transform
+        preserves); external identity is (conv_id, turn_idx) throughout.
+    Crash safety: old segment renamed aside before the rebuild, deleted
+    only as the commit step; ``recover_rewrites`` (run on every open)
+    rolls an uncommitted rewrite back to the original — the update either
+    fully applies or cleanly never happened, per segment.
+
+    Scale shape: matching is the pruned-scan ``match_docs`` per segment;
+    rewrite cost is proportional to AFFECTED segments only (micro-batch
+    sized), the segment-granular analogue of Lucene's doc-granular
+    soft-delete + append — the write amplification trade that buys
+    byte-deterministic segments."""
+    if transform is None:
+        raise ValueError("update_by_query requires a transform Column; "
+                         "use delete_by_query to remove documents")
+    return _rewrite_by_query(spark, root, filter_text, transform, mode, must_not, cfg)
+
+
+def delete_by_query(
+    spark: SparkSession,
+    root: str,
+    filter_text: str,
+    mode: str = "and",
+    must_not: str = "",
+    cfg: EngineConfig = DEFAULT,
+) -> int:
+    """ES ``_delete_by_query`` over the durable segment store: remove
+    every TURN matching the filter-context query by deterministically
+    rebuilding the affected segments without those raw rows (a segment
+    whose rows are all deleted is retired entirely). Rollups are derived
+    at build time, so a conversation's rollup automatically loses the
+    deleted content. Complements ``BM25Searcher.delete_by_query``, the
+    serving-time tombstone path: tombstones are cheap and instant on a
+    live searcher; this is the durable rewrite (the expunge analogue for
+    the on-disk segment store). doc_ids within a rewritten segment are
+    re-assigned densely (the build_segment spec); external identity is
+    (conv_id, turn_idx). Same crash-safe rename-aside protocol as
+    update_by_query. Returns the number of deleted turns."""
+    return _rewrite_by_query(spark, root, filter_text, None, mode, must_not, cfg)
+
+
 class SegmentedSearcher:
     """Exact BM25 top-k over the union of segments with global stats.
 
@@ -236,6 +386,7 @@ class SegmentedSearcher:
         from .compaction import recover_merges
 
         recover_merges(root)  # finish any crash-interrupted committed merge
+        recover_rewrites(root)  # roll back any uncommitted segment rewrite
         self.spark = spark
         dirs = _seg_dirs(root)
         self.segments = [read_index(spark, str(s / "index"), cfg) for s in dirs]
