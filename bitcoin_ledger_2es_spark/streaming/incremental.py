@@ -420,7 +420,10 @@ class SegmentedSearcher:
             )
         self._docmap_all = None
         for seg in self.segments:
-            d = seg.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            d = seg.docmap.select(
+                "doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup",
+                "shard_id",
+            )
             self._docmap_all = (
                 d if self._docmap_all is None else self._docmap_all.unionByName(d)
             )
@@ -560,10 +563,25 @@ class SegmentedSearcher:
             .orderBy("rank")
         )
 
-    def top_k(self, query_text: str, k: int = 10, mode: str = "or") -> DataFrame:
+    def top_k(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "or",
+        doc_filter=None,
+    ) -> DataFrame:
         """Two Spark jobs total, whatever the segment count: one unioned
         dictionary lookup, one unioned-postings kernel pass (plus the tiny
-        k-row merge + broadcast fetch of the final action)."""
+        k-row merge + broadcast fetch of the final action).
+
+        ``doc_filter``: optional non-scoring predicate over docmap columns
+        (doc_id, conv_id, turn_idx, doc_len, is_rollup) — the ES
+        bool.filter context on the NRT path, same semantics as
+        BM25Searcher.top_k. The unioned docmaps are cogrouped with the
+        pruned postings per shard (one exchange), the kernel applies the
+        allowed-mask BEFORE its shard-local top-k cap, and scores are
+        bit-identical to the unfiltered ranking restricted to allowed
+        docs (global stats are unchanged by a filter, the Lucene model)."""
         import numpy as np
         import pandas as pd
         from collections import Counter
@@ -600,11 +618,10 @@ class SegmentedSearcher:
         avgdl, k1, b, dps = self.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
         sps, kk, md = self._shards_per_seg, k, mode
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                  "score": pd.Series([], dtype=np.float32)})
-            if pdf.empty:
-                return empty
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float32)})
+
+        def _score(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
             sid = int(pdf["shard_id"].iloc[0]) // sps
             metas = meta_by_seg.get(sid)
             if metas is None:
@@ -616,13 +633,42 @@ class SegmentedSearcher:
             if not blocks or (md == "and" and len(blocks) < n_req):
                 return empty
             base = int(pdf["shard_id"].iloc[0]) * dps
-            return score_shard_exact(blocks, base, dps, None, kk, md, avgdl, k1, b)
+            return score_shard_exact(blocks, base, dps, allowed, kk, md, avgdl, k1, b)
 
         pruned = self._postings_all.filter(self._scan_filter(seg_scan))
-        if self._aligned:
-            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        if doc_filter is not None:
+            # ES filter context on the NRT path: the shard's docmap slice
+            # carries the allowed-mask, applied in-kernel BEFORE the
+            # shard-local top-k cap (docs absent from the mask never score)
+            docmap_lite = self._docmap_all.withColumn(
+                "_allowed", doc_filter
+            ).select("shard_id", "doc_id", "_allowed")
+
+            def kernel_f(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if left.empty or right.empty:
+                    return empty
+                base = int(right["shard_id"].iloc[0]) * dps
+                allowed = np.zeros(dps, dtype=bool)
+                allowed[right["doc_id"].to_numpy(np.int64) - base] = (
+                    right["_allowed"].to_numpy(bool)
+                )
+                return _score(left, allowed)
+
+            cands = (
+                pruned.groupBy("shard_id")
+                .cogroup(docmap_lite.groupBy("shard_id"))
+                .applyInPandas(kernel_f, schema=_CAND_DDL)
+            )
         else:
-            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                if pdf.empty:
+                    return empty
+                return _score(pdf, None)
+
+            if self._aligned:
+                cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+            else:
+                cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
         top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))

@@ -327,3 +327,50 @@ def test_streaming_percolate_alerts(spark, tmp_path):
     )
     again = spark.read.parquet(f"{root}/_percolated").toPandas()
     assert len(again) == len(got)
+
+
+def test_segmented_doc_filter_matches_full_index(spark, tmp_path):
+    """doc_filter on the NRT path: filtered segmented search must equal a
+    filtered from-scratch index over the same corpus on
+    (conv_id, turn_idx, score_f32) — global stats are unchanged by a
+    filter, so scores are bit-identical (Lucene filter-context model)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.streaming.incremental import build_segment
+
+    # own root: the shared stream_env root is emptied by the rollback test
+    full = gen_transcripts_pdf(90, seed=17)
+    convs = sorted(full["conv_id"].unique())
+    root = str(tmp_path)
+    for i, cs in enumerate([convs[:30], convs[30:60], convs[60:]]):
+        build_segment(
+            spark,
+            spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL),
+            root, i, CFG,
+        )
+    seg = SegmentedSearcher(spark, root, CFG)
+    scratch = BM25Searcher(
+        build_index(spark.createDataFrame(full, TRANSCRIPTS_DDL), CFG)
+    )
+    cases = [
+        ("w0000 w0003", "or", ~F.col("is_rollup")),
+        ("w0002", "or", F.col("is_rollup")),
+        ("w0000 w0002", "and", F.col("turn_idx") < 3),
+        ("w0004", "or", F.col("doc_len") > 20),
+    ]
+    for q, mode, flt in cases:
+        a = seg.top_k(q, k=30, mode=mode, doc_filter=flt).toPandas()
+        b = scratch.top_k(q, k=30, mode=mode, doc_filter=flt).toPandas()
+        key = (q, mode)
+        assert (
+            a[["conv_id", "turn_idx"]].values.tolist()
+            == b[["conv_id", "turn_idx"]].values.tolist()
+        ), key
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+        )
+        # the filter is actually enforced
+        assert seg.top_k(q, k=10_000, mode=mode, doc_filter=flt).count() == \
+            scratch.top_k(q, k=10_000, mode=mode, doc_filter=flt).count()
