@@ -468,6 +468,136 @@ class SegmentedSearcher:
             cond = c if cond is None else cond | c
         return cond
 
+    def match_docs(
+        self,
+        filter_text: str = "",
+        mode: str = "and",
+        must_not: str = "",
+        doc_filter=None,
+    ) -> DataFrame:
+        """ES query+aggregations coupling on the NRT path: the FULL docmap
+        row set matching a filter-context query over the segment union —
+        same semantics as BM25Searcher.match_docs (terms of
+        ``filter_text`` ALL required for ``mode='and'`` / ANY for
+        ``'or'``, minus ``must_not`` docs, intersected with
+        ``doc_filter``), one cogrouped kernel pass whatever the segment
+        count. Non-scoring, so no global-stats re-weighting is needed;
+        per-segment local term_ids resolve inside the kernel (a doc's
+        terms live in its own segment, so a segment missing a required
+        term contributes nothing). Aggregations (operators/aggs.py)
+        compose on the returned frame with map-side partial aggregation
+        — the match set is never collected or globally ordered."""
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.wand import _decode_term_blocks
+
+        cfg = self.cfg
+        req_terms = sorted(set(analyze_query(filter_text, cfg)))
+        not_terms = sorted(set(analyze_query(must_not, cfg)))
+        out_cols = ["doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"]
+        ddl = ("doc_id long, conv_id string, turn_idx int, doc_len long, "
+               "is_rollup boolean")
+        empty = self.spark.createDataFrame([], ddl)
+        lookup = sorted(set(req_terms) | set(not_terms))
+        if lookup:
+            global_df, seg_tids = self._lookup_all(lookup)
+        else:
+            global_df, seg_tids = {}, {sid: {} for sid in self.seg_ids}
+        found_req = [t for t in req_terms if t in global_df]
+        if mode == "and" and len(found_req) < len(req_terms):
+            return empty
+        if mode == "or" and req_terms and not found_req:
+            return empty
+
+        # per-segment (required tids, excluded tids); a segment absent
+        # from the dict is excluded wholesale (lacks a required term)
+        spec_by_seg: dict[int, tuple[list[int], list[int]]] = {}
+        seg_scan: dict[int, list[int]] = {}
+        for sid in self.seg_ids:
+            tids = seg_tids[sid]
+            req = sorted(tids[t] for t in req_terms if t in tids)
+            if mode == "and" and len(req) < len(req_terms):
+                continue
+            nots = sorted(tids[t] for t in not_terms if t in tids)
+            spec_by_seg[sid] = (req, nots)
+            if req or nots:
+                seg_scan[sid] = sorted(set(req) | set(nots))
+        if not spec_by_seg:
+            return empty
+        dps, sps = cfg.docs_per_shard, self._shards_per_seg
+        n_req, md = len(req_terms), mode
+
+        def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            out = right[out_cols]
+            if right.empty:
+                return out
+            shard = int(right["shard_id"].iloc[0])
+            spec = spec_by_seg.get(shard // sps)
+            if spec is None:
+                return out.iloc[0:0]
+            req, nots = spec
+            base = shard * dps
+            allowed = np.zeros(dps, dtype=bool)
+            allowed[right["doc_id"].to_numpy(np.int64) - base] = (
+                right["_allowed"].to_numpy(bool)
+            )
+            groups = (
+                {tid: g for tid, g in left.groupby("term_id")}
+                if not left.empty else {}
+            )
+            if n_req:
+                seen = np.zeros(dps, dtype=np.int32)
+                n_present = 0
+                for tid in req:
+                    g = groups.get(tid)
+                    if g is None:
+                        continue
+                    dec = _decode_term_blocks(g, base)
+                    if dec is None:
+                        continue
+                    seen[dec[0]] += 1
+                    n_present += 1
+                if md == "and":
+                    if n_present < n_req:
+                        return out.iloc[0:0]
+                    allowed &= seen == n_req
+                else:
+                    allowed &= seen > 0
+            for tid in nots:
+                g = groups.get(tid)
+                if g is not None:
+                    dec = _decode_term_blocks(g, base)
+                    if dec is not None:
+                        allowed[dec[0]] = False
+            keep = allowed[right["doc_id"].to_numpy(np.int64) - base]
+            return out[keep]
+
+        docmap_lite = self._docmap_all.withColumn(
+            "_allowed", doc_filter if doc_filter is not None else F.lit(True)
+        ).select("shard_id", "_allowed", *out_cols)
+        pruned = self._postings_all.filter(
+            self._scan_filter(seg_scan) if seg_scan else F.lit(False)
+        )
+        return (
+            pruned.groupBy("shard_id")
+            .cogroup(docmap_lite.groupBy("shard_id"))
+            .applyInPandas(kernel, schema=ddl)
+        )
+
+    def count(
+        self,
+        filter_text: str = "",
+        mode: str = "and",
+        must_not: str = "",
+        doc_filter=None,
+    ) -> int:
+        """ES _count on the NRT path — the match_docs set, counted with no
+        scoring, no sort, no fetch."""
+        return self.match_docs(
+            filter_text, mode=mode, must_not=must_not, doc_filter=doc_filter
+        ).count()
+
     def phrase_query(
         self, query_text: str, k: int = 10, slop: int = 0, ordered: bool = True
     ) -> DataFrame:

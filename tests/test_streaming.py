@@ -374,3 +374,58 @@ def test_segmented_doc_filter_matches_full_index(spark, tmp_path):
         # the filter is actually enforced
         assert seg.top_k(q, k=10_000, mode=mode, doc_filter=flt).count() == \
             scratch.top_k(q, k=10_000, mode=mode, doc_filter=flt).count()
+
+
+def test_segmented_match_docs_and_count(spark, tmp_path):
+    """NRT query+aggs coupling: SegmentedSearcher.match_docs must return
+    exactly the full-index match set (projected to external identity)
+    for and/or/must_not/doc_filter shapes, and count() must agree."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.streaming.incremental import build_segment
+
+    full = gen_transcripts_pdf(80, seed=23)
+    convs = sorted(full["conv_id"].unique())
+    root = str(tmp_path)
+    for i, cs in enumerate([convs[:40], convs[40:]]):
+        build_segment(
+            spark,
+            spark.createDataFrame(full[full["conv_id"].isin(cs)], TRANSCRIPTS_DDL),
+            root, i, CFG,
+        )
+    seg = SegmentedSearcher(spark, root, CFG)
+    scratch = BM25Searcher(
+        build_index(spark.createDataFrame(full, TRANSCRIPTS_DDL), CFG)
+    )
+    cases = [
+        ("w0000 w0002", "and", "", None),
+        ("w0000 w0005", "or", "w0003", None),
+        ("", "and", "", None),                      # match-all
+        ("w0001", "and", "", ~F.col("is_rollup")),
+        ("zzzz", "and", "", None),                  # OOV required -> empty
+        ("w0004", "or", "", F.col("doc_len") > 15),
+    ]
+    for ft, mode, mn, flt in cases:
+        a = (
+            seg.match_docs(ft, mode=mode, must_not=mn, doc_filter=flt)
+            .select("conv_id", "turn_idx", "is_rollup").toPandas()
+            .sort_values(["conv_id", "turn_idx", "is_rollup"]).reset_index(drop=True)
+        )
+        b = (
+            scratch.match_docs(ft, mode=mode, must_not=mn, doc_filter=flt)
+            .select("conv_id", "turn_idx", "is_rollup").toPandas()
+            .sort_values(["conv_id", "turn_idx", "is_rollup"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b), (ft, mode, mn)
+        assert seg.count(ft, mode=mode, must_not=mn, doc_filter=flt) == len(b)
+
+    # aggs compose on the NRT match set (map-side partial agg, no collect)
+    m = seg.match_docs("w0000", mode="and")
+    agg = m.groupBy("is_rollup").agg(F.count("*").alias("n")).toPandas()
+    fm = scratch.match_docs("w0000", mode="and")
+    exp = fm.groupBy("is_rollup").agg(F.count("*").alias("n")).toPandas()
+    assert (
+        agg.sort_values("is_rollup").values.tolist()
+        == exp.sort_values("is_rollup").values.tolist()
+    )
