@@ -343,6 +343,16 @@ class BM25Searcher:
             old.unpersist()
         return newly
 
+    def discard_deletes(self) -> None:
+        """Unpersist and DISCARD the pending tombstone set — the searcher
+        serves the full index again (the cancel path, and the
+        release_cached cache-discipline hook for a searcher whose
+        tombstone era ended because serving moved to the expunge()d
+        index). Contrast expunge(), which makes the deletes permanent."""
+        if self._deletes is not None:
+            self._deletes.unpersist()
+        self._deletes, self._n_deleted = None, 0
+
     def expunge(self) -> "BM25Searcher":
         """ES ``_forcemerge?only_expunge_deletes``: physically rewrite the
         index without the pending tombstones (streaming/compaction.py

@@ -206,3 +206,13 @@ def test_delete_then_query_string(ix, docs_pdf):
                           with_meta=False).toPandas()
     assert len(hits) > 0
     assert not set(hits["doc_id"]).intersection(tombs)
+
+
+def test_discard_deletes_restores_full_view(ix):
+    s = BM25Searcher(ix)
+    n_full = s.count("")
+    s.delete_by_query(DEL_TERM)
+    assert s.count("") < n_full
+    s.discard_deletes()
+    assert s.count("") == n_full          # cancel path: full index again
+    s.phrase_query("w0000 w0001", k=3)    # capped surfaces serve again
