@@ -1,0 +1,149 @@
+"""spark-submit entry point for the engine (SURVEY.md §7 M8 packaging).
+
+The north-rule deployment shape: the engine ships as a ``--py-files``
+zip, the driver program is this file, and the cluster is whatever
+``spark-submit`` was pointed at — the code contains no master/cores
+assumptions (``SparkSession.builder.getOrCreate()`` adopts the submitted
+conf; every partitioning decision keys off data-size knobs in
+``EngineConfig``, not executor counts).
+
+    cd <repo> && zip -qr /tmp/engine.zip bitcoin_ledger_2es_spark
+    spark-submit --py-files /tmp/engine.zip tools/spark_job.py \
+        build --input /data/transcripts --format iceberg \
+        --index /data/ix --resume --positions
+
+    spark-submit --py-files /tmp/engine.zip tools/spark_job.py \
+        query --index /data/ix --q "spark shuffle join" --k 10
+
+    spark-submit --py-files /tmp/engine.zip tools/spark_job.py \
+        compact --root /data/nrt_root
+
+Local smoke (same code path, local master):
+    python tools/spark_job.py build --input .cache/transcripts_n1000_s42.parquet \
+        --index /tmp/ix_smoke
+Each command prints ONE JSON result line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# local runs: the repo root provides the package; under spark-submit the
+# --py-files zip does (and this insert is a harmless no-op)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName("bitcoin-ledger-2es-spark").getOrCreate()
+
+
+def _cfg(args):
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    kw = {}
+    if args.docs_per_shard:
+        kw["docs_per_shard"] = args.docs_per_shard
+    if getattr(args, "positions", False):
+        kw["store_positions"] = True
+    return DEFAULT.with_(**kw) if kw else DEFAULT
+
+
+def cmd_build(args) -> dict:
+    from bitcoin_ledger_2es_spark.plans.build import build_index, write_index
+    from bitcoin_ledger_2es_spark.plans.lineage import build_index_resumable
+    from bitcoin_ledger_2es_spark.sources.transcripts import read_transcripts
+
+    spark = _spark()
+    cfg = _cfg(args)
+    src = read_transcripts(spark, args.input, fmt=args.format)
+    t0 = time.time()
+    if args.resume:
+        ix = build_index_resumable(spark, src, args.index, cfg)
+    else:
+        ix = build_index(src, cfg)
+        write_index(ix, args.index)
+    return {
+        "cmd": "build",
+        "index": args.index,
+        "n_docs": ix.n_docs,
+        "avgdl": round(ix.avgdl, 6),
+        "resumable": bool(args.resume),
+        "sec": round(time.time() - t0, 3),
+    }
+
+
+def cmd_query(args) -> dict:
+    from bitcoin_ledger_2es_spark.plans.build import read_index
+    from bitcoin_ledger_2es_spark.plans.query import BM25Searcher
+
+    spark = _spark()
+    s = BM25Searcher(read_index(spark, args.index))
+    t0 = time.time()
+    rows = s.top_k(args.q, k=args.k, mode=args.mode).collect()
+    return {
+        "cmd": "query",
+        "q": args.q,
+        "sec": round(time.time() - t0, 3),
+        "hits": [
+            {"rank": r["rank"], "doc_id": r["doc_id"],
+             "score": float(r["score"]), "conv_id": r["conv_id"]}
+            for r in rows
+        ],
+    }
+
+
+def cmd_compact(args) -> dict:
+    from bitcoin_ledger_2es_spark.streaming.incremental import compact
+
+    spark = _spark()
+    t0 = time.time()
+    ix = compact(spark, args.root, _cfg(args))
+    return {
+        "cmd": "compact",
+        "root": args.root,
+        "n_docs": ix.n_docs,
+        "sec": round(time.time() - t0, 3),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spark_job.py", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (optionally resumable) index")
+    b.add_argument("--input", required=True, help="transcripts table path")
+    b.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    b.add_argument("--index", required=True, help="output index path")
+    b.add_argument("--resume", action="store_true",
+                   help="lineage-checkpointed build (resumes after failure)")
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (match_phrase support)")
+    b.add_argument("--docs-per-shard", type=int, default=0)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k against an on-disk index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="or", choices=["or", "and"])
+    q.add_argument("--docs-per-shard", type=int, default=0)
+    q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="merge NRT segments into one index")
+    c.add_argument("--root", required=True)
+    c.add_argument("--docs-per-shard", type=int, default=0)
+    c.set_defaults(fn=cmd_compact)
+
+    args = p.parse_args(argv)
+    print(json.dumps(args.fn(args)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
