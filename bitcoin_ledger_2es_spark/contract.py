@@ -2457,18 +2457,36 @@ def q_agg_extras(spark, sf_dir):
     the ES "order": {"sub_agg": "desc"} shape size-capped at 3),
     extended_stats (population moments over n_chars, closed-form from
     single-pass sums so the oracle is bit-mirrorable), adjacency_matrix
-    (pairwise filter intersections in one conditional-agg pass), and
+    (pairwise filter intersections in one conditional-agg pass),
     value_count+missing over a JSON-extracted field (props.k always
-    present, props.absent always missing)."""
+    present, props.absent always missing), and the round-4 breadth set:
+    multi_terms (lang x source composite buckets), weighted_avg (value
+    cents weighted by a derived integer weight — integer-exact sums so
+    the division is bit-identical both sides), percentile_ranks (exact
+    CDF at three thresholds), string_stats (lengths + Shannon char
+    entropy of documents.text), top_metrics (rows at the top-3 values,
+    event_id tiebreak), median_absolute_deviation (interpolated exact
+    medians), matrix_stats (per-field moments + covariance/correlation
+    over n_chars and doc_id%97 — integer-exact power sums), and
+    scripted_metric (map/combine per Arrow batch + one-task reduce over
+    integer cents, the ES custom-agg shape)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
         filters_agg,
         histogram,
+        matrix_stats,
+        median_absolute_deviation,
+        multi_terms,
+        percentile_ranks,
         range_agg,
         rare_terms,
+        scripted_metric,
+        string_stats,
         terms_agg,
+        top_metrics,
         value_count_missing,
+        weighted_avg,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -2539,9 +2557,104 @@ def q_agg_extras(spark, sf_dir):
             F.col("missing").cast("double").alias("metric"),
         )
         vc = row if vc is None else vc.unionByName(row)
+    mt = multi_terms(docs, ["lang", "source"], size=5).select(
+        F.lit("multi_terms").alias("agg"), "key", "doc_count",
+        F.col("doc_count").cast("double").alias("metric"),
+    )
+    # integer-exact weighted avg: value has 2 decimals, so value*100
+    # rounds to an exact BIGINT; sums of (cents * weight) and weights
+    # stay far below 2^53, making the final division bit-identical to
+    # the oracle's identical expression over identical integer sums
+    wa = weighted_avg(
+        ev,
+        F.round(F.col("value") * 100).cast("long"),
+        (F.col("user_id") % 7 + 1),
+    ).select(
+        F.lit("weighted_avg").alias("agg"),
+        F.lit("value:user_weight").alias("key"),
+        F.col("value_count").alias("doc_count"),
+        duck_round(F.col("weighted_avg") / 100.0, 6).alias("metric"),
+    )
+    pr = percentile_ranks(ev, "value", [25.0, 100.0, 250.0]).select(
+        F.lit("percentile_ranks").alias("agg"), "key",
+        F.lit(0).cast("long").alias("doc_count"),
+        duck_round("percent", 6).alias("metric"),
+    )
+    ss_row = string_stats(docs, F.col("text"))
+    ss = ss_row.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(nm).alias("key"),
+                F.col("count").cast("long").alias("doc_count"),
+                duck_round(F.col(nm).cast("double"), 6).alias("metric"),
+            )
+            for nm in ("min_length", "max_length", "avg_length", "entropy")
+        ])).alias("b")
+    ).select(F.lit("string_stats").alias("agg"), "b.*")
+    tm = top_metrics(
+        ev, "value", ["event_id", "user_id"], size=3, tiebreak="event_id"
+    ).select(
+        F.lit("top_metrics").alias("agg"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("user_id").cast("long").alias("doc_count"),
+        F.col("value").cast("double").alias("metric"),
+    )
+    mad_row = median_absolute_deviation(ev, "value")
+    mad = mad_row.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(nm).alias("key"),
+                F.lit(0).cast("long").alias("doc_count"),
+                duck_round(F.col(nm).cast("double"), 6).alias("metric"),
+            )
+            for nm in ("median", "mad")
+        ])).alias("b")
+    ).select(F.lit("mad").alias("agg"), "b.*")
+    mx = matrix_stats(
+        docs.withColumn("dmod", (F.col("doc_id") % 97).cast("double")),
+        ["n_chars", "dmod"],
+    ).select(
+        F.lit("matrix_stats").alias("agg"),
+        F.concat_ws(":", "stat", "key").alias("key"),
+        F.lit(0).cast("long").alias("doc_count"),
+        duck_round("value", 6).alias("metric"),
+    )
+
+    def _sm_map(pdf):
+        import pandas as pd
+
+        v100 = (pdf["value"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "n": [len(pdf)], "s": [int(v100.sum())],
+            "s2": [int((v100 * v100).sum())],
+        })
+
+    def _sm_reduce(pdf):
+        import pandas as pd
+
+        n = int(pdf["n"].sum())
+        s = float(pdf["s"].sum())
+        s2 = float(pdf["s2"].sum())
+        mean = s / 100.0 / n
+        var = s2 / 10000.0 / n - mean * mean
+        return pd.DataFrame({
+            "key": ["count", "mean", "variance"],
+            "metric": [float(n), mean, var],
+        })
+
+    sm = scripted_metric(
+        ev.select("value"), _sm_map, _sm_reduce,
+        "n long, s long, s2 long", "key string, metric double",
+    ).select(
+        F.lit("scripted_metric").alias("agg"), "key",
+        F.lit(0).cast("long").alias("doc_count"),
+        duck_round("metric", 6).alias("metric"),
+    )
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
+        .unionByName(mt).unionByName(wa).unionByName(pr).unionByName(ss)
+        .unionByName(tm).unionByName(mad).unionByName(mx).unionByName(sm)
     )
 
 
@@ -2623,6 +2736,119 @@ SELECT 'value_count', 'props.absent',
        count(json_extract_string(props, '$.absent')),
        CAST(sum(CASE WHEN json_extract_string(props, '$.absent') IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
 FROM events
+UNION ALL
+SELECT * FROM (
+  SELECT 'multi_terms' AS agg, lang || '|' || source AS key,
+         count(*) AS doc_count, CAST(count(*) AS DOUBLE) AS metric
+  FROM documents GROUP BY 2 ORDER BY doc_count DESC, key ASC LIMIT 5
+)
+UNION ALL
+-- weighted_avg over integer cents: both sides sum exact integers, then
+-- apply the identical division chain -> bit-identical doubles
+SELECT 'weighted_avg', 'value:user_weight', count(*),
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT) * ((user_id % 7) + 1)) AS DOUBLE)
+             / CAST(sum((user_id % 7) + 1) AS DOUBLE) / 100.0, 6)
+FROM events
+UNION ALL
+-- percentile_ranks: exact CDF -- conditional counts, same expression shape
+SELECT 'percentile_ranks', k, 0, round(le * 100.0 / n, 6) FROM (
+  SELECT unnest(['25.0', '100.0', '250.0']) AS k,
+         unnest([
+           sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END),
+           sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END),
+           sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END)
+         ]) AS le,
+         count(value) AS n
+  FROM events
+)
+UNION ALL
+SELECT 'string_stats', k, cnt, round(v, 6) FROM (
+  SELECT count(text) AS cnt,
+         unnest(['min_length', 'max_length', 'avg_length']) AS k,
+         unnest([CAST(min(length(text)) AS DOUBLE),
+                 CAST(max(length(text)) AS DOUBLE),
+                 avg(length(text))]) AS v
+  FROM documents
+)
+UNION ALL
+-- Shannon char entropy: log2(S) - sum(n*log2 n)/S over the per-char
+-- count table (exact integer counts; log2 ULP noise is ~1e-11, far
+-- below the 6dp rounding grid)
+SELECT 'string_stats', 'entropy', (SELECT count(text) FROM documents),
+       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+FROM (
+  SELECT u.c AS ch, CAST(count(*) AS DOUBLE) AS n
+  FROM documents, unnest(regexp_extract_all(text, '(?s).')) AS u(c)
+  GROUP BY 1
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'top_metrics', CAST(event_id AS VARCHAR), user_id, value
+  FROM events ORDER BY value DESC, event_id ASC LIMIT 3
+)
+UNION ALL
+SELECT 'mad', 'median', 0, round(median(value), 6) FROM events
+UNION ALL
+SELECT 'mad', 'mad', 0,
+       round(median(abs(value - (SELECT median(value) FROM events))), 6)
+FROM events
+UNION ALL
+-- matrix_stats: closed forms over integer-exact power sums, every
+-- expression parenthesized exactly as the engine folds it; sqrt (not
+-- pow) keeps the 1.5-power correctly rounded on both engines
+SELECT 'matrix_stats', k, 0, round(v, 6) FROM (
+  WITH s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(n_chars) AS DOUBLE) AS a1,
+           CAST(sum(n_chars * n_chars) AS DOUBLE) AS a2,
+           CAST(sum(n_chars * n_chars * n_chars) AS DOUBLE) AS a3,
+           CAST(sum(n_chars * n_chars * n_chars * n_chars) AS DOUBLE) AS a4,
+           CAST(sum(doc_id % 97) AS DOUBLE) AS b1,
+           CAST(sum((doc_id % 97) * (doc_id % 97)) AS DOUBLE) AS b2,
+           CAST(sum((doc_id % 97) * (doc_id % 97) * (doc_id % 97)) AS DOUBLE) AS b3,
+           CAST(sum((doc_id % 97) * (doc_id % 97) * (doc_id % 97) * (doc_id % 97)) AS DOUBLE) AS b4,
+           CAST(sum(n_chars * (doc_id % 97)) AS DOUBLE) AS ab
+    FROM documents
+  ), m AS (
+    SELECT n, a1 / n AS ma, b1 / n AS mb,
+           (a2 / n) - ((a1 / n) * (a1 / n)) AS va,
+           (b2 / n) - ((b1 / n) * (b1 / n)) AS vb,
+           ((a3 / n) - (((3 * (a1 / n)) * a2) / n)) + (((2 * (a1 / n)) * (a1 / n)) * (a1 / n)) AS m3a,
+           ((b3 / n) - (((3 * (b1 / n)) * b2) / n)) + (((2 * (b1 / n)) * (b1 / n)) * (b1 / n)) AS m3b,
+           ((((a4 / n) - (((4 * (a1 / n)) * a3) / n)) + (((((6 * (a1 / n)) * (a1 / n)) * a2)) / n)) - ((((3 * (a1 / n)) * (a1 / n)) * (a1 / n)) * (a1 / n))) AS m4a,
+           ((((b4 / n) - (((4 * (b1 / n)) * b3) / n)) + (((((6 * (b1 / n)) * (b1 / n)) * b2)) / n)) - ((((3 * (b1 / n)) * (b1 / n)) * (b1 / n)) * (b1 / n))) AS m4b,
+           (ab / n) - ((a1 / n) * (b1 / n)) AS cab
+    FROM s
+  )
+  SELECT unnest([
+           'count:n_chars', 'mean:n_chars', 'variance:n_chars',
+           'skewness:n_chars', 'kurtosis:n_chars',
+           'count:dmod', 'mean:dmod', 'variance:dmod',
+           'skewness:dmod', 'kurtosis:dmod',
+           'covariance:n_chars,dmod', 'correlation:n_chars,dmod'
+         ]) AS k,
+         unnest([
+           n, ma, va, m3a / sqrt((va * va) * va), m4a / (va * va),
+           n, mb, vb, m3b / sqrt((vb * vb) * vb), m4b / (vb * vb),
+           cab, cab / sqrt(va * vb)
+         ]) AS v
+  FROM m
+)
+UNION ALL
+-- scripted_metric: the engine's map/combine/reduce folds exact integer
+-- cents; mirror the same integer sums and the same division chain
+SELECT 'scripted_metric', k, 0, round(v, 6) FROM (
+  SELECT unnest(['count', 'mean', 'variance']) AS k,
+         unnest([CAST(n AS DOUBLE), mean, (s2 / 10000.0 / n) - (mean * mean)]) AS v
+  FROM (
+    SELECT n, s / 100.0 / n AS mean, s2 FROM (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s2
+      FROM events
+    )
+  )
+)
 """
 
 

@@ -335,6 +335,252 @@ def significant_text(
     )
 
 
+def multi_terms(
+    df: DataFrame,
+    fields: list[str],
+    size: int = 10,
+    subaggs: dict[str, Column] | None = None,
+    order_by: tuple[str, str] = ("_count", "desc"),
+    sep: str = "|",
+) -> DataFrame:
+    """ES multi_terms agg: buckets keyed by the COMBINATION of several
+    fields (ES emits a key array; we emit the values joined by ``sep``,
+    ES's own ``key_as_string`` uses the same join). One groupBy over the
+    composite key — identical shuffle shape to a single-field terms agg;
+    ordered by doc_count (or a sub-agg) desc, key asc ties, top ``size``."""
+    key = F.concat_ws(sep, *[F.col(f).cast("string") for f in fields])
+    aggs = [F.count("*").alias("doc_count")] + [
+        c.alias(n) for n, c in (subaggs or {}).items()
+    ]
+    out = df.groupBy(key.alias("key")).agg(*aggs)
+    name, direction = order_by
+    col = {"_count": F.col("doc_count"), "_key": F.col("key")}.get(
+        name, F.col(name)
+    )
+    ordered = [col.desc() if direction == "desc" else col.asc(), F.asc("key")]
+    return out.orderBy(*ordered).limit(size)
+
+
+def weighted_avg(df: DataFrame, value: Column, weight: Column) -> DataFrame:
+    """ES weighted_avg agg: sum(value * weight) / sum(weight), one row
+    (weighted_avg, value_count). Rows where either side is null are
+    skipped entirely (ES default missing behavior: the document is
+    ignored). f64 plain sums — map-side partials survive, and the same
+    two sums are mirrorable exactly in SQL."""
+    both = F.when(value.isNotNull() & weight.isNotNull(), F.lit(True))
+    v = F.when(both, value.cast("double"))
+    w = F.when(both, weight.cast("double"))
+    return df.agg(
+        (F.sum(v * w) / F.sum(w)).alias("weighted_avg"),
+        F.count(v).alias("value_count"),
+    )
+
+
+def percentile_ranks(
+    df: DataFrame, field: str, values: list[float]
+) -> DataFrame:
+    """ES percentile_ranks agg, EXACT: for each threshold, the percent of
+    observed values <= threshold (the CDF ES's t-digest approximates;
+    with the digest replaced by exact conditional counts the result is
+    deterministic and oracle-mirrorable). One conditional-aggregation
+    pass; returns (key, percent) in the given threshold order."""
+    c = F.col(field)
+    n = F.count(c)
+    aggs = [n.alias("__n")] + [
+        F.sum(F.when(c <= F.lit(float(v)), 1).otherwise(0)).alias(f"__le_{i}")
+        for i, v in enumerate(values)
+    ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(str(float(v))).alias("key"),
+            (F.col(f"__le_{i}") * 100.0 / F.col("__n")).alias("percent"),
+        )
+        for i, v in enumerate(values)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("b")).select("b.*")
+
+
+def string_stats(df: DataFrame, col: Column) -> DataFrame:
+    """ES string_stats agg (with show_distribution's entropy): one row of
+    (count, min_length, max_length, avg_length, entropy). Entropy is
+    Shannon base-2 over the CHARACTER distribution of all collected
+    values (ES's definition). Lengths come from one aggregate pass;
+    the char distribution is a second pass that explodes characters
+    ((?s). regex so newlines count) then folds -sum(p*log2(p)) over the
+    tiny per-char count table. Both passes are plain map-side-partial
+    aggregations; no UDFs."""
+    lens = df.agg(
+        F.count(col).alias("count"),
+        F.min(F.length(col)).cast("long").alias("min_length"),
+        F.max(F.length(col)).cast("long").alias("max_length"),
+        F.avg(F.length(col)).alias("avg_length"),
+    )
+    chars = (
+        df.select(F.explode(F.regexp_extract_all(col, F.lit("(?s)."), 0)).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+    )
+    # -sum(p log2 p) = log2(total) - sum(n*log2 n)/total: one aggregate
+    # over the tiny per-char table, no second pass for the total
+    ent = chars.agg(
+        (
+            F.log2(F.sum("n"))
+            - F.sum(F.col("n") * F.log2(F.col("n"))) / F.sum("n")
+        ).alias("entropy")
+    )
+    return lens.crossJoin(ent)
+
+
+def top_metrics(
+    df: DataFrame,
+    sort_field: str,
+    metrics: list[str],
+    size: int = 1,
+    desc: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """ES top_metrics agg: the metric values carried by the row(s) with
+    the largest (or smallest) ``sort_field``. Spark TakeOrdered top-k —
+    no global sort materializes. ES breaks ties arbitrarily; pass
+    ``tiebreak`` (asc) for the deterministic total order the contract
+    requires."""
+    order = [F.col(sort_field).desc() if desc else F.col(sort_field).asc()]
+    if tiebreak:
+        order.append(F.asc(tiebreak))
+    return df.orderBy(*order).limit(size).select(sort_field, *metrics)
+
+
+def median_absolute_deviation(df: DataFrame, field: str) -> DataFrame:
+    """ES median_absolute_deviation agg, EXACT: median(|x - median(x)|)
+    with interpolated medians (Spark ``percentile(0.5)``, the same
+    interpolation DuckDB's ``median`` uses on numerics — so the oracle
+    mirrors bit-for-bit on exact inputs). Two aggregate passes; the
+    1-row median frame is broadcast back over the scan, never collected
+    to python."""
+    c = F.col(field).cast("double")
+    med = df.agg(F.percentile(c, F.lit(0.5)).alias("__median"))
+    return (
+        df.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(
+                F.abs(c - F.col("__median")), F.lit(0.5)
+            ).alias("mad"),
+            F.first("__median").alias("median"),
+        )
+    )
+
+
+def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
+    """ES matrix_stats agg over numeric fields: per-field count, mean,
+    variance, skewness, kurtosis and per-pair covariance, correlation.
+    ONE aggregate pass collecting raw power/cross sums; every output is
+    a CLOSED FORM over those sums (population moments, like
+    extended_stats) so an oracle computing the same expressions over the
+    same sums reproduces them bit-for-bit on exact inputs. (ES uses
+    streaming one-pass updates — same moments, different fold order; our
+    contract pins the closed-form definition.) Kurtosis is the plain
+    fourth standardized moment m4/m2^2 (not excess). Returns long-form
+    rows (stat, key, value): per-field stats keyed by field name, pair
+    stats keyed 'a,b' in given field order."""
+    cols = {f: F.col(f).cast("double") for f in fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f, c in cols.items():
+        aggs += [
+            F.sum(c).alias(f"__s1_{f}"),
+            F.sum(c * c).alias(f"__s2_{f}"),
+            F.sum(c * c * c).alias(f"__s3_{f}"),
+            F.sum(c * c * c * c).alias(f"__s4_{f}"),
+        ]
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            aggs.append(F.sum(cols[a] * cols[b]).alias(f"__sxy_{a}_{b}"))
+    row = df.agg(*aggs)
+    n = F.col("__n").cast("double")
+
+    def moments(f):
+        m = F.col(f"__s1_{f}") / n
+        m2 = F.col(f"__s2_{f}") / n - m * m  # population variance
+        m3 = F.col(f"__s3_{f}") / n - 3 * m * F.col(f"__s2_{f}") / n + 2 * m * m * m
+        m4 = (
+            F.col(f"__s4_{f}") / n
+            - 4 * m * F.col(f"__s3_{f}") / n
+            + 6 * m * m * F.col(f"__s2_{f}") / n
+            - 3 * m * m * m * m
+        )
+        return m, m2, m3, m4
+
+    structs = []
+    for f in fields:
+        m, m2, m3, m4 = moments(f)
+        for stat, val in (
+            ("count", n),
+            ("mean", m),
+            ("variance", m2),
+            # sqrt is IEEE correctly-rounded in every engine (pow is
+            # not): m2^1.5 as sqrt(m2*m2*m2) keeps oracles bit-identical
+            ("skewness", m3 / F.sqrt(m2 * m2 * m2)),
+            ("kurtosis", m4 / (m2 * m2)),
+        ):
+            structs.append(
+                F.struct(
+                    F.lit(stat).alias("stat"), F.lit(f).alias("key"),
+                    val.cast("double").alias("value"),
+                )
+            )
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            ma = F.col(f"__s1_{a}") / n
+            mb = F.col(f"__s1_{b}") / n
+            cov = F.col(f"__sxy_{a}_{b}") / n - ma * mb
+            va = F.col(f"__s2_{a}") / n - ma * ma
+            vb = F.col(f"__s2_{b}") / n - mb * mb
+            corr = cov / F.sqrt(va * vb)
+            for stat, val in (("covariance", cov), ("correlation", corr)):
+                structs.append(
+                    F.struct(
+                        F.lit(stat).alias("stat"),
+                        F.lit(f"{a},{b}").alias("key"),
+                        val.cast("double").alias("value"),
+                    )
+                )
+    return row.select(F.explode(F.array(*structs)).alias("b")).select("b.*")
+
+
+def scripted_metric(
+    df: DataFrame,
+    map_combine,
+    reduce_fn,
+    partial_schema: str,
+    out_schema: str,
+) -> DataFrame:
+    """ES scripted_metric agg: user map/combine per shard, reduce on the
+    coordinator. Spark shape: ``map_combine(pdf) -> pdf`` runs per Arrow
+    batch inside ``mapInPandas`` (the map+combine script — emit ONE
+    small row per batch), then the tiny partial frame coalesces to one
+    task where ``reduce_fn(pdf) -> pdf`` folds it (the reduce script).
+    Like ES, the scripts must be commutative/associative over batches —
+    batch boundaries are not part of the determinism contract, so only
+    order-insensitive folds (sums, counts, min/max) yield stable
+    results. No driver collect: the reduce runs as a 1-task stage over
+    rows proportional to the batch count, not the data."""
+    import pandas as pd
+
+    def _map(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield map_combine(pdf)
+
+    partials = df.mapInPandas(_map, partial_schema)
+
+    def _reduce(batches):
+        rows = [p for p in batches if len(p)]
+        pdf = pd.concat(rows) if rows else None
+        yield reduce_fn(pdf)
+
+    return partials.coalesce(1).mapInPandas(_reduce, out_schema)
+
+
 def terms_agg(
     df: DataFrame,
     field: str,

@@ -284,3 +284,139 @@ def test_significant_text_matches_pandas(spark, searcher, tiny_df):
     assert got["jlh"].tolist() == pytest.approx([r[3] for r in rows], rel=1e-12)
     # the foreground is genuinely a subset
     assert 0 < n_fg < n_bg
+
+
+# ---- round-4 breadth: multi_terms / weighted_avg / percentile_ranks /
+# string_stats / top_metrics / mad / matrix_stats / scripted_metric
+
+
+def test_multi_terms(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import multi_terms
+
+    df, pdf = num_df
+    got = multi_terms(
+        df.withColumn("h", (F.col("v") >= 50).cast("string")), ["g", "h"], size=4
+    ).toPandas()
+    exp = (
+        pdf.assign(h=(pdf.v >= 50).astype(str).str.lower(), n=1)
+        .assign(key=lambda d: d.g + "|" + d.h)
+        .groupby("key")
+        .size()
+        .reset_index(name="doc_count")
+        .sort_values(["doc_count", "key"], ascending=[False, True])
+        .head(4)
+    )
+    assert got["key"].tolist() == exp["key"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+def test_weighted_avg_skips_nulls(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import weighted_avg
+
+    pdf = pd.DataFrame({"v": [10.0, 20.0, None, 40.0], "w": [1.0, 3.0, 5.0, None]})
+    got = weighted_avg(
+        spark.createDataFrame(pdf), F.col("v"), F.col("w")
+    ).toPandas()
+    # only rows where BOTH sides are present contribute (ES missing-skip)
+    assert got["weighted_avg"][0] == pytest.approx((10 * 1 + 20 * 3) / 4.0)
+    assert got["value_count"][0] == 2
+
+
+def test_percentile_ranks_exact_cdf(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import percentile_ranks
+
+    df, pdf = num_df
+    got = percentile_ranks(df, "v", [10.0, 50.0, 99.0]).toPandas()
+    for key, pct in zip(got["key"], got["percent"]):
+        v = float(key)
+        assert pct == pytest.approx((pdf.v <= v).mean() * 100.0)
+
+
+def test_string_stats_entropy(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import string_stats
+
+    pdf = pd.DataFrame({"t": ["aab", "b\ncd", "eeee"]})
+    got = string_stats(spark.createDataFrame(pdf), F.col("t")).toPandas()
+    assert got["count"][0] == 3
+    assert got["min_length"][0] == 3
+    assert got["max_length"][0] == 4
+    assert got["avg_length"][0] == pytest.approx(11 / 3)
+    from collections import Counter
+
+    counts = Counter("".join(pdf.t))  # newline counts as a char ((?s).)
+    tot = sum(counts.values())
+    exp = -sum(n / tot * np.log2(n / tot) for n in counts.values())
+    assert got["entropy"][0] == pytest.approx(exp, rel=1e-12)
+
+
+def test_top_metrics_deterministic_ties(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import top_metrics
+
+    pdf = pd.DataFrame(
+        {"s": [5.0, 9.0, 9.0, 1.0], "id": [4, 3, 2, 1], "m": [40, 30, 20, 10]}
+    )
+    got = top_metrics(
+        spark.createDataFrame(pdf), "s", ["m"], size=2, tiebreak="id"
+    ).toPandas()
+    # both 9.0 rows win; tie broken by id asc -> m=20 before m=30
+    assert got["m"].tolist() == [20, 30]
+
+
+def test_median_absolute_deviation(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import (
+        median_absolute_deviation,
+    )
+
+    df, pdf = num_df
+    got = median_absolute_deviation(df, "v").toPandas()
+    med = np.percentile(pdf.v, 50, method="linear")
+    mad = np.percentile((pdf.v - med).abs(), 50, method="linear")
+    assert got["median"][0] == pytest.approx(med)
+    assert got["mad"][0] == pytest.approx(mad)
+
+
+def test_matrix_stats_closed_forms(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import matrix_stats
+
+    df, pdf = num_df
+    df = df.withColumn("u", (F.col("v") * 2 + 3).cast("double"))
+    got = matrix_stats(df, ["v", "u"]).toPandas().set_index(["stat", "key"])
+    v = pdf.v.to_numpy()
+    u = v * 2 + 3
+    assert got.loc[("mean", "v"), "value"] == pytest.approx(v.mean())
+    assert got.loc[("variance", "v"), "value"] == pytest.approx(v.var())
+    # skewness/kurtosis: population moments m3/m2^1.5, m4/m2^2
+    m = v.mean()
+    m2 = ((v - m) ** 2).mean()
+    m3 = ((v - m) ** 3).mean()
+    m4 = ((v - m) ** 4).mean()
+    assert got.loc[("skewness", "v"), "value"] == pytest.approx(m3 / m2**1.5)
+    assert got.loc[("kurtosis", "v"), "value"] == pytest.approx(m4 / m2**2)
+    # u = 2v+3 -> correlation exactly 1, covariance = 2*var(v)
+    assert got.loc[("covariance", "v,u"), "value"] == pytest.approx(2 * v.var())
+    assert got.loc[("correlation", "v,u"), "value"] == pytest.approx(1.0)
+
+
+def test_scripted_metric_partition_invariant(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import scripted_metric
+
+    df, pdf = num_df
+
+    def mc(p):
+        return pd.DataFrame(
+            {"n": [len(p)], "s": [int(p["v"].astype("int64").sum())]}
+        )
+
+    def red(p):
+        n, s = int(p["n"].sum()), int(p["s"].sum())
+        return pd.DataFrame({"mean": [s / n]})
+
+    outs = [
+        scripted_metric(
+            df.repartition(parts).select("v"), mc, red,
+            "n long, s long", "mean double",
+        ).toPandas()["mean"][0]
+        for parts in (1, 7)
+    ]
+    # integer partial sums -> identical result at any parallelism
+    assert outs[0] == outs[1] == pytest.approx(pdf.v.mean())
