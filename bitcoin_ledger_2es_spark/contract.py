@@ -1370,7 +1370,11 @@ def q_term_suggest(spark, sf_dir):
       LM (alpha 0.5) times the pinned error model (log10(0.95)
       unchanged / distance*log10(0.1) per edit), summed left-to-right
       in gram order; score6 = round(score, 6), n = rank under
-      (score desc, suggestion asc)."""
+      (score desc, suggestion asc).
+    * ``completion`` — ES completion suggester over the dictionary
+      weighted by df: exact prefix 'tab' (pushed-down startswith) and
+      fuzzy prefix 'tha' within 1 edit, 5 each by (weight desc, term
+      asc); score6 = prefix edit distance, n = weight."""
     s = _engine_searcher(spark, sf_dir)
     term = s.suggest("dat spak tabel", fuzziness=2, size=5).select(
         F.lit("term").alias("kind"),
@@ -1389,7 +1393,16 @@ def q_term_suggest(spark, sf_dir):
         duck_round(F.col("score"), 6).alias("score6"),
         F.col("rank").cast("long").alias("n"),
     )
-    return term.unionByName(phrase)
+    comp = s.suggest_completion("tab", size=5).unionByName(
+        s.suggest_completion("tha", size=5, fuzziness=1)
+    ).select(
+        F.lit("completion").alias("kind"),
+        "input",
+        "term",
+        F.col("distance").cast("double").alias("score6"),
+        F.col("weight").alias("n"),
+    )
+    return term.unionByName(phrase).unionByName(comp)
 
 
 _SQL_SUGGEST_TERM = """
@@ -1474,9 +1487,35 @@ FROM (
 ) WHERE rnk <= 5
 """
 
+# completion suggester twin: dictionary prefix match weighted by df —
+# exact prefix 'tab' and fuzzy prefix 'tha' (first-3-chars Levenshtein)
+_SQL_SUGGEST_COMPLETION = """
+WITH dict AS (
+  SELECT u.tok AS term, count(DISTINCT doc_id) AS df
+  FROM documents, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS u(tok)
+  GROUP BY term
+)
+SELECT 'completion' AS kind, input, term, CAST(distance AS DOUBLE) AS score6,
+       CAST(df AS BIGINT) AS n
+FROM (
+  SELECT 'tab' AS input, term, 0 AS distance, df,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM dict WHERE term LIKE 'tab%'
+) WHERE r <= 5
+UNION ALL
+SELECT 'completion', input, term, CAST(distance AS DOUBLE), CAST(df AS BIGINT)
+FROM (
+  SELECT 'tha' AS input, term,
+         levenshtein(substr(term, 1, 3), 'tha') AS distance, df,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM dict WHERE levenshtein(substr(term, 1, 3), 'tha') <= 1
+) WHERE r <= 5
+"""
+
 SQL_TERM_SUGGEST = (
     "SELECT * FROM (" + _SQL_SUGGEST_TERM + ")\nUNION ALL\n"
-    "SELECT * FROM (" + _SQL_SUGGEST_PHRASE + ")"
+    "SELECT * FROM (" + _SQL_SUGGEST_PHRASE + ")\nUNION ALL\n"
+    "SELECT * FROM (" + _SQL_SUGGEST_COMPLETION + ")"
 )
 
 
@@ -1807,7 +1846,13 @@ def q_advanced_queries(spark, sf_dir):
     * ``termvectors`` — ES _termvectors for doc 7, from the index alone
       (block-pruned shard-slice decode): key = term '@' the 0-based
       positions CSV, n = tf, score3 = df + ttf/1000 (both term
-      statistics pinned in one f64 — identical expression both sides)."""
+      statistics pinned in one f64 — identical expression both sides).
+    * ``pinned`` — ES pinned query: docs [7, 3] rank 1-2 in pin order
+      (score3 = -1 sentinel, the pin constants are engine-internal),
+      then 'data row' organic hits at ranks 3..15 with pins removed;
+      n = rank, ORDER verified against the oracle's (f32 desc, doc_id
+      asc) ranking — the one selection-edged kind here, made safe by
+      ordering both sides on the pre-rounding f32 score."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1954,11 +1999,19 @@ def q_advanced_queries(spark, sf_dir):
         ).alias("score3"),
         F.col("tf").cast("long").alias("n"),
     )
+    pn = s.pinned([7, 3], "data row", k=15, with_meta=False).select(
+        F.lit("pinned").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.when(F.col("doc_id").isin(7, 3), F.lit(-1.0))
+        .otherwise(duck_round(F.col("score").cast("double"), 3))
+        .alias("score3"),
+        F.col("rank").cast("long").alias("n"),
+    )
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
         .unionByName(pc).unionByName(re_rows).unionByName(sy)
-        .unionByName(pp).unionByName(bp).unionByName(tv)
+        .unionByName(pp).unionByName(bp).unionByName(tv).unionByName(pn)
     )
 
 
@@ -2412,12 +2465,54 @@ SELECT 'termvectors' AS kind, key, score3, n FROM (
 )
 """
 
+# pinned: pins first (sentinel score), then the organic 'data row'
+# ranking with pins removed — ordered on the PRE-rounding f32 score so
+# the oracle's selection edge is the engine's (f32 desc, doc_id asc)
+_SQL_PINNED = """
+SELECT 'pinned' AS kind, key, score3, n FROM (
+  SELECT CAST(7 AS VARCHAR) AS key, -1.0 AS score3, CAST(1 AS BIGINT) AS n
+  UNION ALL
+  SELECT CAST(3 AS VARCHAR), -1.0, CAST(2 AS BIGINT)
+  UNION ALL
+  SELECT key, score3, n FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+           row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) + 2 AS n
+    FROM (
+      WITH toks AS (
+        SELECT doc_id, u.tok AS term
+        FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+      ),
+      dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      corpus AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+      ),
+      tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+        WHERE t.term IN ('data', 'row') GROUP BY t.doc_id, t.term
+      ),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+        FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+      )
+      SELECT doc_id, sum(contrib) AS score FROM scored
+      WHERE doc_id NOT IN (7, 3) GROUP BY doc_id
+    )
+  ) WHERE n <= 15
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
      _SQL_PERCOLATE,
      _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
-     _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS]
+     _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS,
+     _SQL_PINNED]
 )
 
 
@@ -2434,7 +2529,47 @@ def q_function_score_all(spark, sf_dir):
     b = q_function_score_decay(spark, sf_dir).select(
         F.lit("decay").alias("kind"), "rank", "doc_id", "final", "fn_value"
     )
-    return a.unionByName(b)
+    from .functions.function_score import (
+        distance_feature_col,
+        rank_feature_col,
+    )
+
+    c = _q_feature_kind(
+        spark, sf_dir, "rank_feature",
+        lambda: rank_feature_col(
+            F.col("n_chars"), "saturation", pivot=300.0, boost=2.0
+        ),
+    )
+    d = _q_feature_kind(
+        spark, sf_dir, "distance_feature",
+        lambda: distance_feature_col(
+            F.col("n_chars"), origin=300.0, pivot=100.0, boost=3.0
+        ),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+def _q_feature_kind(spark, sf_dir, kind, make_col):
+    """rank_feature / distance_feature as ES uses them: a should-clause
+    feature score ADDED to the BM25 relevance score (boost_mode=sum),
+    re-ranked; same relational base + rounding discipline as the decay
+    kind. The feature closed forms (x/(x+pivot), pivot/(pivot+|x-o|))
+    are rational arithmetic over integer n_chars — bit-mirrorable."""
+    from .functions.function_score import apply_boost_mode
+
+    base = _bm25_relational(spark, sf_dir, BM25_QUERY, "or", 50).drop("rank")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    fn = make_col()
+    final = apply_boost_mode(F.col("score"), fn, "sum")
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return (
+        base.join(docs, "doc_id")
+        .withColumn("fn_value", duck_round(fn, 6))
+        .withColumn("final", duck_round(final, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.lit(kind).alias("kind"), "rank", "doc_id", "final", "fn_value")
+    )
 
 
 SQL_FUNCTION_SCORE_ALL = f"""
@@ -2443,6 +2578,29 @@ FROM ({SQL_FUNCTION_SCORE})
 UNION ALL
 SELECT 'decay' AS kind, rank, doc_id, final, fn_value
 FROM ({SQL_FUNCTION_SCORE_DECAY})
+UNION ALL
+-- rank_feature saturation: fn = 2 * (x / (x + 300)), boost_mode=sum
+SELECT 'rank_feature' AS kind, rank, doc_id, final, fn_value FROM (
+  SELECT row_number() OVER (ORDER BY round(score + fn, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(score + fn, 6) AS final, round(fn, 6) AS fn_value
+  FROM (
+    SELECT b.doc_id, b.score,
+           2.0 * (greatest(CAST(d.n_chars AS DOUBLE), 0.0)
+                  / (greatest(CAST(d.n_chars AS DOUBLE), 0.0) + 300.0)) AS fn
+    FROM ({_sql_bm25(BM25_QUERY, "or", 50)}) b JOIN documents d USING (doc_id)
+  )
+) WHERE rank <= 20
+UNION ALL
+-- distance_feature: fn = 3 * (100 / (100 + |x - 300|)), boost_mode=sum
+SELECT 'distance_feature' AS kind, rank, doc_id, final, fn_value FROM (
+  SELECT row_number() OVER (ORDER BY round(score + fn, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(score + fn, 6) AS final, round(fn, 6) AS fn_value
+  FROM (
+    SELECT b.doc_id, b.score,
+           3.0 * (100.0 / (100.0 + abs(CAST(d.n_chars AS DOUBLE) - 300.0))) AS fn
+    FROM ({_sql_bm25(BM25_QUERY, "or", 50)}) b JOIN documents d USING (doc_id)
+  )
+) WHERE rank <= 20
 """
 
 
@@ -2985,6 +3143,14 @@ QS_QUERIES = [
     (2, '+"spark table" wor*'),
 ]
 
+SIMPLE_QS_QUERIES = [
+    # ES simple_query_string syntax (parse_simple_query_string): an
+    # OR-group clause (one TermClause, either member matches, both
+    # score) with a negation; an AND-joined term + phrase
+    (3, "data | row -join"),
+    (4, 'table + "data row"'),
+]
+
 
 def q_query_string(spark, sf_dir):
     """ES query_string on the REAL engine: Lucene classic syntax
@@ -2993,7 +3159,10 @@ def q_query_string(spark, sf_dir):
     clause groups, embedded phrase scoring, expansion groups). k unbounded
     so every matching doc is checked against the DuckDB oracle — term
     clauses score BM25, phrases score Lucene PhraseWeight (tf=phrase freq,
-    idf=sum of term idfs), clause scores sum, must/must_not gate."""
+    idf=sum of term idfs), clause scores sum, must/must_not gate.
+    qids 3-4 run the SAME kernel under the ES simple_query_string parser
+    (functions/querystring.py parse_simple_query_string): '|' OR groups,
+    '+' AND, '-' negation — only the parser differs."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     out = None
     for qid, qs in QS_QUERIES:
@@ -3003,6 +3172,13 @@ def q_query_string(spark, sf_dir):
             duck_round(F.col("score").cast("double"), 3).alias("score3"),
         )
         out = r if out is None else out.unionByName(r)
+    for qid, qs in SIMPLE_QS_QUERIES:
+        r = s.simple_query_string(qs, k=1_000_000, with_meta=False).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = out.unionByName(r)
     return out
 
 
@@ -3113,7 +3289,62 @@ FROM (
 )
 """
 
-SQL_QUERY_STRING = "\nUNION ALL\n".join([_SQL_QS0, _SQL_QS1, _SQL_QS2])
+# qid 3 (simple syntax): data | row -join — ONE OR-group TermClause
+# (either member matches, both members score) + negation
+_SQL_QS3 = f"""
+SELECT 3 AS query_id, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3
+FROM (
+  {_QS_PRELUDE},
+  tf AS (
+    SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+    WHERE tok IN ('data', 'row') GROUP BY doc_id, tok
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl))) AS score
+  FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'join')
+  GROUP BY tf.doc_id
+)
+"""
+
+# qid 4 (simple syntax): table + "data row" — AND-joined must term and
+# must phrase; both gate, scores sum (terms then phrases)
+_SQL_QS4 = f"""
+SELECT 4 AS query_id, doc_id,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3
+FROM (
+  {_QS_PRELUDE},
+  sidf AS (SELECT ({_qs_idf('data')} + {_qs_idf('row')}) AS v FROM corpus c),
+  pf AS (
+    SELECT t0.doc_id, count(*) AS pf
+    FROM toks t0
+    JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 AND t1.tok = 'row'
+    WHERE t0.tok = 'data'
+    GROUP BY t0.doc_id
+  ),
+  ph AS (
+    SELECT pf.doc_id,
+           s.v * pf.pf * 2.2 / (pf.pf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM pf JOIN dls USING (doc_id), corpus c, sidf s
+  ),
+  tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE tok = 'table' GROUP BY doc_id),
+  tsc AS (
+    SELECT tf.doc_id,
+           {_qs_idf('table')} * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dls USING (doc_id), corpus c
+  )
+  SELECT doc_id, t.contrib + p.contrib AS score
+  FROM tsc t JOIN ph p USING (doc_id)
+)
+"""
+
+SQL_QUERY_STRING = "\nUNION ALL\n".join(
+    [_SQL_QS0, _SQL_QS1, _SQL_QS2, _SQL_QS3, _SQL_QS4]
+)
 
 
 def q_tokenize_term_counts(spark, sf_dir):  # B1 analyzer surface

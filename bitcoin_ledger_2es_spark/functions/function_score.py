@@ -101,6 +101,55 @@ def random_score_col(id_col: Column, seed: int = 0) -> Column:
     return h.cast("double") / F.lit(float(_RS_M32))
 
 
+def rank_feature_col(
+    feature: Column,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+) -> Column:
+    """ES ``rank_feature`` query score for one doc feature (public ES
+    semantics — the query usually sits in a bool ``should`` and ADDS to
+    the relevance score, i.e. boost_mode='sum'):
+
+      * saturation: boost * x / (x + pivot)
+      * log:        boost * ln(scaling_factor + x)
+      * sigmoid:    boost * x^exp / (x^exp + pivot^exp)
+
+    Null/negative features score 0 (ES requires non-negative features;
+    we clamp instead of failing the whole query). Pure column
+    expression — a projection over the hit frame."""
+    x = F.greatest(F.coalesce(feature.cast("double"), F.lit(0.0)), F.lit(0.0))
+    b = F.lit(float(boost))
+    if function == "saturation":
+        return b * (x / (x + F.lit(float(pivot))))
+    if function == "log":
+        return b * F.log(F.lit(float(scaling_factor)) + x)
+    if function == "sigmoid":
+        xp = F.pow(x, F.lit(float(exponent)))
+        pp = float(pivot) ** float(exponent)
+        return b * (xp / (xp + F.lit(pp)))
+    raise ValueError(f"unknown rank_feature function {function!r}")
+
+
+def distance_feature_col(
+    field: Column, origin: float, pivot: float, boost: float = 1.0
+) -> Column:
+    """ES ``distance_feature`` query score: boost * pivot / (pivot +
+    |field - origin|) — 'boost results closer to the origin', equal to
+    boost/2 exactly at ``pivot`` distance. Numeric/date fields alike
+    (dates as epoch numbers). Null fields score 0 (no distance = no
+    contribution, the ES unmatched behavior)."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be positive, got {pivot}")
+    dist = F.abs(field.cast("double") - F.lit(float(origin)))
+    p = F.lit(float(pivot))
+    return F.coalesce(
+        F.lit(float(boost)) * (p / (p + dist)), F.lit(0.0)
+    )
+
+
 def combine_functions(cols: list[Column], score_mode: str = "multiply") -> Column:
     """Fold several function values into one (ES score_mode)."""
     if not cols:

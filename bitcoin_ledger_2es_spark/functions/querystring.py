@@ -108,6 +108,163 @@ def _unescape(w: str) -> str:
     return re.sub(r"\\(.)", r"\1", w)
 
 
+# ---- ES simple_query_string ------------------------------------------
+
+#: all operator features; pass a subset as ``flags`` to disable the rest
+#: (disabled operator characters degrade to literal text, the ES
+#: simple_query_string flag model — never a parse error)
+SIMPLE_FLAGS = frozenset({"AND", "OR", "NOT", "PHRASE", "PREFIX", "FUZZY", "SLOP"})
+
+# one simple-syntax token: '-' negation prefix, quoted phrase (~slop),
+# bare word (may not contain the operator chars + | or quotes), or a
+# standalone operator
+_SIMPLE_SCAN = re.compile(
+    r"""(?P<neg>-?)
+        (?:"(?P<phrase>[^"]*)"?(?:~(?P<slop>\d+))?
+          |(?P<word>(?:\\.|[^\s"+|])+))
+        |(?P<plus>\+)
+        |(?P<pipe>\|)""",
+    re.VERBOSE,
+)
+
+
+def parse_simple_query_string(
+    qs: str,
+    cfg: EngineConfig = DEFAULT,
+    default_operator: str = "or",
+    flags: frozenset = SIMPLE_FLAGS,
+) -> ParsedQuery:
+    """ES ``simple_query_string`` parser: the user-facing lenient syntax
+    (never raises on user text). Supported operators, each gated by a
+    flag: ``|`` OR (binds tighter than AND — ``a + b | c`` is a AND
+    (b OR c)), ``+`` AND, ``-`` prefix negation of one token, quoted
+    phrases (``~N`` slop with SLOP), trailing-``*`` prefix, ``~N``
+    fuzzy. No parentheses (ES's simple syntax HAS grouping; this subset
+    documents it as unsupported — parens are analyzer-stripped text).
+
+    Lowering: a ``|``-joined run of plain words becomes ONE TermClause
+    group (any member matches, every member scores — the same Lucene
+    per-term-score/per-clause-count shape the classic parser emits);
+    phrases or expansions inside an OR run fall back to independent
+    should clauses (documented lenient subset). Groups touching a ``+``
+    are must; bare groups follow ``default_operator``; ``-`` always
+    lowers to must_not regardless of grouping. Unknown-field syntax
+    does not exist here (simple_query_string has no field:value
+    clauses — colons are literal text)."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    bare = "should" if default_operator == "or" else "must"
+
+    # scan into operands and operators
+    items: list[tuple] = []  # ("op", "+"|"|") or ("operand", neg, kind, payload)
+    for m in _SIMPLE_SCAN.finditer(qs):
+        if m.group("plus"):
+            items.append(("op", "+") if "AND" in flags else ("drop",))
+            continue
+        if m.group("pipe"):
+            items.append(("op", "|") if "OR" in flags else ("drop",))
+            continue
+        neg = bool(m.group("neg")) and "NOT" in flags
+        if m.group("phrase") is not None:
+            if "PHRASE" not in flags:
+                continue  # phrases disabled: quoted text drops (lenient)
+            slop = int(m.group("slop") or 0) if "SLOP" in flags else 0
+            items.append(("operand", neg, "phrase", (m.group("phrase"), slop)))
+            continue
+        items.append(("operand", neg, "word", m.group("word")))
+
+    # group operands: consecutive operands joined by '|' form one OR run
+    groups: list[list[tuple]] = []  # each: list of operand items
+    must_mark: list[bool] = []
+    pending_plus = False
+    pending_pipe = False
+    for it in items:
+        if it[0] == "drop":
+            pending_plus = pending_pipe = False
+            continue
+        if it[0] == "op":
+            if not groups:
+                continue  # leading operator: no left operand, drop
+            if it[1] == "+":
+                pending_plus = True
+            else:
+                pending_pipe = True
+            continue
+        if pending_pipe and groups:
+            groups[-1].append(it)
+        else:
+            groups.append([it])
+            must_mark.append(False)
+            if pending_plus and len(groups) >= 2:
+                must_mark[-1] = must_mark[-2] = True
+        pending_plus = pending_pipe = False
+
+    out = ParsedQuery()
+    for grp, is_must in zip(groups, must_mark):
+        role = "must" if is_must else bare
+        # negated operands always leave the group as must_not clauses
+        members = [op for op in grp if not op[1]]
+        for _, _, kind, payload in (op for op in grp if op[1]):
+            _simple_lower(out, "must_not", kind, payload, cfg, flags)
+        if not members:
+            continue
+        plain_words = [
+            p for _, _, kind, p in members
+            if kind == "word" and not _is_expansion(p, flags)
+        ]
+        if len(members) > 1 and len(plain_words) == len(members):
+            toks: list[str] = []
+            for w in plain_words:
+                toks.extend(analyze_query(_unescape(w), cfg))
+            if toks:
+                out.terms.append(TermClause(role, toks))
+            continue
+        if len(members) > 1:
+            # mixed OR run (phrase/expansion member): lenient fallback —
+            # independent should clauses preserve "any member may match"
+            for _, _, kind, payload in members:
+                _simple_lower(out, "should", kind, payload, cfg, flags)
+            continue
+        _, _, kind, payload = members[0]
+        _simple_lower(out, role, kind, payload, cfg, flags)
+    return out
+
+
+def _is_expansion(word: str, flags: frozenset) -> bool:
+    if "PREFIX" in flags and word.endswith("*") and len(word) > 1:
+        return True
+    return "FUZZY" in flags and bool(re.match(r"^.+~\d*$", word))
+
+
+def _simple_lower(
+    out: ParsedQuery, role: str, kind: str, payload, cfg, flags
+) -> None:
+    """Lower one simple-syntax operand into ParsedQuery clause lists."""
+    if kind == "phrase":
+        text, slop = payload
+        toks = analyze_query(text, cfg)
+        if toks:
+            out.phrases.append(PhraseClause(role, toks, slop))
+        return
+    word = payload
+    if "PREFIX" in flags and word.endswith("*") and len(word) > 1:
+        stem = _unescape(word[:-1]).lower()
+        if stem and "*" not in stem and "~" not in stem:
+            out.expands.append(ExpandClause(role, "prefix", stem))
+            return
+    zm = re.match(r"^(?P<stem>.+?)~(?P<n>\d*)$", word)
+    if "FUZZY" in flags and zm and "*" not in word:
+        stem = _unescape(zm.group("stem")).lower()
+        if stem:
+            out.expands.append(
+                ExpandClause(role, "fuzzy", stem, int(zm.group("n") or 2))
+            )
+        return
+    toks = analyze_query(_unescape(word), cfg)
+    if toks:
+        out.terms.append(TermClause(role, toks))
+
+
 def parse_query_string(
     qs: str,
     cfg: EngineConfig = DEFAULT,

@@ -1718,6 +1718,46 @@ class BM25Searcher:
             .select("input", "term", "distance", "df")
         )
 
+    def suggest_completion(
+        self, prefix: str, size: int = 5, fuzziness: int = 0
+    ) -> DataFrame:
+        """ES *completion suggester* (search-as-you-type over a weighted
+        suggestion dictionary): prefix-match the index dictionary, top
+        ``size`` by (weight desc, term asc) with weight = df — ES stores
+        a dedicated FST with explicit weights; our dictionary is
+        term-sorted parquet, so the ``startswith`` predicate pushes down
+        to row-group pruning (the same logarithmic prefix narrowing an
+        FST gives, minus its constant factor). ``fuzziness`` > 0 is the
+        fuzzy-completion variant: terms whose first len(prefix) chars
+        are within that edit distance (ES FuzzyCompletionQuery's
+        unicode-aware prefix edits, simplified to whole-prefix
+        Levenshtein). Top-k via orderBy+limit (TakeOrdered — no global
+        sort, no window)."""
+        p = prefix.strip().lower()
+        if not p:
+            return self._spark.createDataFrame(
+                [], "input string, term string, distance int, weight long"
+            )
+        dic = self.ix.dictionary.select("term", "df")
+        if fuzziness <= 0:
+            cand = dic.filter(F.col("term").startswith(p))
+            dist = F.lit(0)
+        else:
+            dist = F.levenshtein(
+                F.substring(F.col("term"), 1, len(p)), F.lit(p)
+            )
+            cand = dic.filter(dist <= fuzziness)
+        return (
+            cand.orderBy(F.desc("df"), F.asc("term"))
+            .limit(size)
+            .select(
+                F.lit(p).alias("input"),
+                "term",
+                dist.cast("int").alias("distance"),
+                F.col("df").cast("long").alias("weight"),
+            )
+        )
+
     def phrase_suggest(
         self,
         text: str,
@@ -1875,6 +1915,8 @@ class BM25Searcher:
         doc_filter: Column | None = None,
         with_meta: bool = True,
         search_after: tuple[float, int] | None = None,
+        syntax: str = "classic",
+        flags=None,
     ) -> DataFrame:
         """ES ``query_string`` query: Lucene classic syntax parsed
         (functions/querystring.py) and lowered onto ONE pruned postings
@@ -1902,11 +1944,21 @@ class BM25Searcher:
         to subtract from)."""
         import re as _re
 
-        from ..functions.querystring import parse_query_string
+        from ..functions.querystring import (
+            SIMPLE_FLAGS,
+            parse_query_string,
+            parse_simple_query_string,
+        )
         from ..operators.wand import score_shard_qs
 
         ix, cfg = self.ix, self.ix.cfg
-        parsed = parse_query_string(qs, cfg, default_operator)
+        if syntax == "simple":
+            parsed = parse_simple_query_string(
+                qs, cfg, default_operator,
+                SIMPLE_FLAGS if flags is None else frozenset(flags),
+            )
+        else:
+            parsed = parse_query_string(qs, cfg, default_operator)
         flt = doc_filter
         for fc in parsed.filters:
             col = F.col(fc.fld).cast("string") == fc.value
@@ -2105,6 +2157,70 @@ class BM25Searcher:
         else:
             cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
+        return self._ranked(cands, k, with_meta)
+
+    def simple_query_string(
+        self,
+        qs: str,
+        k: int = 10,
+        default_operator: str = "or",
+        flags=None,
+        **kw,
+    ) -> DataFrame:
+        """ES ``simple_query_string``: the lenient user-facing syntax
+        (``|`` OR groups, ``+`` AND, ``-`` negation, quoted phrases with
+        ``~slop``, trailing-``*`` prefix, ``~N`` fuzzy — each gated by
+        ``flags``, default all). Parsed by functions/querystring.py
+        ``parse_simple_query_string`` and lowered onto the SAME
+        generalized bool kernel and single pruned scan as
+        ``query_string`` — only the parser differs."""
+        return self.query_string(
+            qs, k=k, default_operator=default_operator,
+            syntax="simple", flags=flags, **kw,
+        )
+
+    def pinned(
+        self,
+        ids: list[int],
+        organic: str,
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES ``pinned`` query: the given doc ids rank first IN THE GIVEN
+        ORDER, then the organic query's hits (pinned docs removed from
+        the organic ranking). Like Lucene's PinnedQueryBuilder we pin
+        via constant scores far above any organic score; f32 cannot
+        represent MAX_VALUE - i distinctly, so pin i scores
+        f32(MAX_FLOAT32 * (1 - i * 2^-20)) — strictly descending for up
+        to ~10^6 pins, all astronomically above BM25 range — keeping the
+        output one (score desc, doc_id asc)-ordered frame that composes
+        with rank merges. One organic engine query + one k-row literal
+        frame; the anti-join broadcasts the k-row pinned side."""
+        pins = [int(i) for i in ids]
+        spark = self.ix.postings.sparkSession
+        max32 = float(np.finfo(np.float32).max)
+        pin_df = spark.createDataFrame(
+            [
+                (float(np.float32(max32 * (1.0 - i * 2.0 ** -20))), p)
+                for i, p in enumerate(pins)
+            ],
+            "score double, doc_id long",
+        )
+        # unknown pinned ids silently drop (ES behavior): semi-join the
+        # k-row pin frame against docmap — pin frame is the build side
+        pin_df = F.broadcast(pin_df).join(
+            self.ix.docmap.select("doc_id"), "doc_id", "semi"
+        )
+        organic_hits = self.top_k(
+            organic, k=k + len(pins), mode=mode, with_meta=False
+        )
+        org = organic_hits.join(
+            F.broadcast(pin_df.select("doc_id")), "doc_id", "anti"
+        )
+        cands = pin_df.select(
+            "doc_id", F.col("score").cast("float").alias("score")
+        ).unionByName(org.select("doc_id", "score"))
         return self._ranked(cands, k, with_meta)
 
     def span_near_query(

@@ -125,3 +125,33 @@ def test_engine_function_score_reranks(spark, tiny_df):
     # ranks are the final_score ordering with doc_id tiebreak
     srt = out.sort_values(["final_score", "doc_id"], ascending=[False, True])
     assert srt["rank"].tolist() == sorted(out["rank"].tolist())
+
+
+def test_rank_feature_functions(spark):
+    import pandas as pd
+
+    from bitcoin_ledger_2es_spark.functions.function_score import (
+        distance_feature_col,
+        rank_feature_col,
+    )
+
+    pdf = pd.DataFrame({"x": [0.0, 10.0, 300.0, 1200.0, None, -5.0]})
+    df = spark.createDataFrame(pdf)
+    got = df.select(
+        rank_feature_col(F.col("x"), "saturation", pivot=300.0, boost=2.0).alias("sat"),
+        rank_feature_col(F.col("x"), "log", scaling_factor=1.0).alias("lg"),
+        rank_feature_col(F.col("x"), "sigmoid", pivot=10.0, exponent=2.0).alias("sg"),
+        distance_feature_col(F.col("x"), origin=300.0, pivot=100.0, boost=3.0).alias("dist"),
+    ).toPandas()
+    x = pdf["x"].fillna(0.0).clip(lower=0.0).to_numpy()
+    np.testing.assert_allclose(got["sat"], 2.0 * x / (x + 300.0), rtol=1e-12)
+    np.testing.assert_allclose(got["lg"], np.log(1.0 + x), rtol=1e-12)
+    np.testing.assert_allclose(got["sg"], x**2 / (x**2 + 100.0), rtol=1e-12)
+    # distance_feature: null field -> 0, boost/2 exactly at pivot distance
+    d = got["dist"].to_numpy()
+    assert d[4] == 0.0
+    xs = pdf["x"].to_numpy(float)
+    exp = 3.0 * 100.0 / (100.0 + np.abs(xs - 300.0))
+    np.testing.assert_allclose(d[[0, 1, 2, 3, 5]], exp[[0, 1, 2, 3, 5]], rtol=1e-12)
+    # saturation at the pivot is exactly boost/2
+    assert got["sat"][2] == pytest.approx(1.0)

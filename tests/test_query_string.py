@@ -217,3 +217,107 @@ def test_qs_unmapped_field_clause_semantics(searcher):
     # must_not-role unmapped clause excludes nothing
     c = _rows(s.query_string("w0001 -nosuch:x", k=10, with_meta=False))
     assert c == b
+
+
+# ---------------------------------------------------------------------------
+# simple_query_string (ES simple syntax -> same ParsedQuery -> same kernel)
+
+
+def test_simple_parse_or_groups_and_and():
+    from bitcoin_ledger_2es_spark.functions.querystring import (
+        parse_simple_query_string,
+    )
+
+    # a + b | c  ->  must(a) AND must(b OR c): the OR run is ONE group
+    p = parse_simple_query_string("aa + bb | cc")
+    assert [(c.role, c.terms) for c in p.terms] == [
+        ("must", ["aa"]), ("must", ["bb", "cc"])
+    ]
+    # bare words follow default_operator; '-' negates one token
+    p = parse_simple_query_string("aa bb -cc")
+    assert [(c.role, c.terms) for c in p.terms] == [
+        ("should", ["aa"]), ("should", ["bb"]), ("must_not", ["cc"])
+    ]
+    p = parse_simple_query_string("aa bb", default_operator="and")
+    assert [c.role for c in p.terms] == ["must", "must"]
+
+
+def test_simple_parse_phrase_prefix_fuzzy_flags():
+    from bitcoin_ledger_2es_spark.functions.querystring import (
+        parse_simple_query_string,
+    )
+
+    p = parse_simple_query_string('"x y"~1 pre* fuzz~1')
+    assert [(c.role, c.terms, c.slop) for c in p.phrases] == [
+        ("should", ["x", "y"], 1)
+    ]
+    assert [(c.kind, c.pattern) for c in p.expands] == [
+        ("prefix", "pre"), ("fuzzy", "fuzz")
+    ]
+    # disabled flags degrade operators to literal text (never an error)
+    p = parse_simple_query_string(
+        "aa | bb -cc", flags=frozenset({"AND"})
+    )
+    assert [(c.role, c.terms) for c in p.terms] == [
+        ("should", ["aa"]), ("should", ["bb"]), ("should", ["cc"])
+    ]
+    # negated member inside an OR run leaves the group as must_not
+    p = parse_simple_query_string("aa | -bb | cc")
+    assert [(c.role, c.terms) for c in p.terms] == [
+        ("must_not", ["bb"]), ("should", ["aa", "cc"])
+    ]
+
+
+def test_simple_qs_equals_bool_primitives(searcher):
+    # 'w0001 | w0002' == one should group == plain OR bool over both terms
+    a = searcher.simple_query_string(
+        "w0001 | w0002", k=50, with_meta=False
+    ).toPandas()
+    b = searcher.top_k("w0001 w0002", k=50, mode="or", with_meta=False).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert np.allclose(a["score"], b["score"])
+    # 'w0001 + w0002 -w0003' == bool(must=[w0001, w0002], must_not=w0003)
+    a = searcher.simple_query_string(
+        "w0001 + w0002 -w0003", k=50, with_meta=False
+    ).toPandas()
+    b = searcher.bool_query(
+        must="w0001 w0002", must_not="w0003", k=50, with_meta=False
+    ).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert np.allclose(a["score"], b["score"])
+
+
+# ---------------------------------------------------------------------------
+# pinned query
+
+
+def test_pinned_order_and_organic_tail(searcher):
+    organic = searcher.top_k("w0002", k=8, with_meta=False).toPandas()
+    pins = [int(organic["doc_id"].iloc[3]), int(organic["doc_id"].iloc[0])]
+    got = searcher.pinned(pins, "w0002", k=8, with_meta=False).toPandas()
+    # pins first, in pin order
+    assert got["doc_id"].tolist()[:2] == pins
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    # organic tail = organic ranking minus the pinned ids
+    rest = [d for d in organic["doc_id"].tolist() if d not in pins]
+    assert got["doc_id"].tolist()[2:] == rest[: len(got) - 2]
+    # unknown ids silently drop (ES behavior)
+    got2 = searcher.pinned([10**9], "w0002", k=5, with_meta=False).toPandas()
+    assert got2["doc_id"].tolist() == organic["doc_id"].tolist()[:5]
+
+
+# ---------------------------------------------------------------------------
+# completion suggester
+
+
+def test_suggest_completion(searcher):
+    got = searcher.suggest_completion("w00", size=5).toPandas()
+    assert len(got) == 5
+    assert all(t.startswith("w00") for t in got["term"])
+    # weight = df, descending; w0000 is the most frequent synthetic term
+    assert got["term"].iloc[0] == "w0000"
+    assert got["weight"].is_monotonic_decreasing
+    # fuzzy prefix: 'v00' is one edit from 'w00'
+    fz = searcher.suggest_completion("v00", size=5, fuzziness=1).toPandas()
+    assert got["term"].iloc[0] in fz["term"].tolist()
+    assert searcher.suggest_completion("", size=5).count() == 0
