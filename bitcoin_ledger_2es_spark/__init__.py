@@ -12,7 +12,7 @@ from .config import DEFAULT, EngineConfig
 from .oracle import PandasOracle
 from .plans.build import IndexFrames, build_index, read_index, write_index
 from .functions.rank_eval import rank_eval
-from .plans.query import BM25Searcher, multi_match, rrf_fuse
+from .plans.query import BM25Searcher, combined_fields, multi_match, rrf_fuse
 
 __all__ = [
     "rrf_fuse",
@@ -25,5 +25,6 @@ __all__ = [
     "write_index",
     "BM25Searcher",
     "multi_match",
+    "combined_fields",
     "rank_eval",
 ]

@@ -1852,7 +1852,12 @@ def q_advanced_queries(spark, sf_dir):
       then 'data row' organic hits at ranks 3..15 with pins removed;
       n = rank, ORDER verified against the oracle's (f32 desc, doc_id
       asc) ranking — the one selection-edged kind here, made safe by
-      ordering both sides on the pre-rounding f32 score."""
+      ordering both sides on the pre-rounding f32 score.
+    * ``combined_fields`` — ES combined_fields (blended statistics, the
+      model multi_match's per-field scoring deliberately is not) for
+      'data src3' over body+source: tf/dl/df/avgdl of the literally
+      combined pseudo-field, BM25 once per term, f64 fold in ascending
+      term order; key = doc_id, n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -1999,6 +2004,17 @@ def q_advanced_queries(spark, sf_dir):
         ).alias("score3"),
         F.col("tf").cast("long").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.plans.query import combined_fields
+
+    cf = combined_fields(
+        {"body": s, "source": _engine_source_searcher(spark, sf_dir)},
+        "data src3", k=1_000_000,
+    ).select(
+        F.lit("combined_fields").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
     pn = s.pinned([7, 3], "data row", k=15, with_meta=False).select(
         F.lit("pinned").alias("kind"),
         F.col("doc_id").cast("string").alias("key"),
@@ -2012,6 +2028,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
         .unionByName(pc).unionByName(re_rows).unionByName(sy)
         .unionByName(pp).unionByName(bp).unionByName(tv).unionByName(pn)
+        .unionByName(cf)
     )
 
 
@@ -2506,13 +2523,59 @@ SELECT 'pinned' AS kind, key, score3, n FROM (
 )
 """
 
+# combined_fields: the literally-combined pseudo-field's statistics —
+# tf/dl summed across fields, df = union df, avgdl = sum of field
+# avgdls (exact: same doc space); one BM25 per term, f64 fold in
+# ascending term order (sum ORDER BY term), f32 emit
+_SQL_COMBINED_FIELDS = """
+SELECT 'combined_fields' AS kind, key, score3, n FROM (
+  WITH btoks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  stoks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS u(tok)
+  ),
+  bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+  sdl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(bdl.dl, 0)) FROM documents LEFT JOIN bdl USING (doc_id))
+           + (SELECT avg(coalesce(sdl.dl, 0)) FROM documents LEFT JOIN sdl USING (doc_id)) AS avgdl
+  ),
+  dlc AS (
+    SELECT d.doc_id, CAST(coalesce(b.dl, 0) + coalesce(s.dl, 0) AS DOUBLE) AS dl
+    FROM documents d LEFT JOIN bdl b USING (doc_id) LEFT JOIN sdl s USING (doc_id)
+  ),
+  tfc AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+      SELECT doc_id, term FROM btoks WHERE term IN ('data', 'src3')
+      UNION ALL
+      SELECT doc_id, term FROM stoks WHERE term IN ('data', 'src3')
+    ) GROUP BY doc_id, term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term),
+  contribs AS (
+    SELECT tfc.doc_id, tfc.term,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tfc.tf * 2.2) / (tfc.tf + 1.2 * (0.25 + 0.75 * dlc.dl / c.avgdl)) AS contrib
+    FROM tfc JOIN dfreq d USING (term) JOIN dlc USING (doc_id), corpus c
+  )
+  SELECT CAST(doc_id AS VARCHAR) AS key,
+         round(CAST(CAST(sum(contrib ORDER BY term) AS REAL) AS DOUBLE), 3) AS score3,
+         CAST(0 AS BIGINT) AS n
+  FROM contribs GROUP BY doc_id
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
      _SQL_PERCOLATE,
      _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
      _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS,
-     _SQL_PINNED]
+     _SQL_PINNED, _SQL_COMBINED_FIELDS]
 )
 
 

@@ -839,6 +839,53 @@ class BM25Searcher:
             out = pruned.groupBy("shard_id").applyInPandas(kernel, schema="doc_id long")
         return self._apply_deletes(out)  # full set: post-hoc exclusion exact
 
+    def term_freqs(self, terms: list[str]) -> DataFrame:
+        """Raw (doc_id, term_id, tf) stream for the given analyzed terms
+        from the SAME pruned postings scan as the scorers — the decode
+        step of the exact scorer without its arithmetic. Feeds operators
+        that need term frequencies under DIFFERENT statistics than this
+        index's own (combined_fields blends them across fields). Only
+        the requested term_ids' blocks are scanned (predicate pushdown
+        to row groups), output is one row per live posting."""
+        found = self._lookup_terms(sorted(set(terms)))
+        tids = sorted(v[0] for v in found.values())
+        if not tids:
+            return self._spark.createDataFrame(
+                [], "doc_id long, term_id long, tf long"
+            )
+        ix = self.ix
+        dps = ix.cfg.docs_per_shard
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term_id": pd.Series([], dtype=np.int64),
+                "tf": pd.Series([], dtype=np.int64),
+            })
+            if pdf.empty:
+                return empty
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            outs = []
+            for tid, g in pdf.groupby("term_id"):
+                dec = _decode_term_blocks(g, base)
+                if dec is None:
+                    continue
+                docs, tfs, _ = dec
+                outs.append(pd.DataFrame({
+                    "doc_id": docs.astype(np.int64) + base,
+                    "term_id": np.full(len(docs), int(tid), dtype=np.int64),
+                    "tf": tfs.astype(np.int64),
+                }))
+            return pd.concat(outs) if outs else empty
+
+        pruned = ix.postings.filter(F.col("term_id").isin(tids))
+        schema = "doc_id long, term_id long, tf long"
+        if self.aligned:
+            out = pruned.mapInPandas(_aligned_kernel(kernel), schema=schema)
+        else:
+            out = pruned.groupBy("shard_id").applyInPandas(kernel, schema=schema)
+        return self._apply_deletes(out)
+
     def match_bool_prefix(
         self,
         query_text: str,
@@ -2722,6 +2769,127 @@ def multi_match(
         final = F.col("_mx") + F.lit(tb) * (F.col("_sum") - F.col("_mx"))
     per_doc = grouped.select("doc_id", final.cast("float").alias("score"))
     return primary._ranked(per_doc, k, with_meta=False)
+
+
+def combined_fields(
+    field_searchers: "dict[str, BM25Searcher]",
+    query_text: str,
+    k: int = 10,
+    mode: str = "or",
+    weights: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """ES ``combined_fields`` query: term-centric scoring that treats the
+    fields as ONE combined pseudo-field — the blended-statistics model
+    multi_match deliberately does not offer (its docstring points here).
+    For each term, over the combined field:
+
+      tf_c(t, doc)  = sum_f w_f * tf_f(t, doc)
+      dl_c(doc)     = sum_f w_f * dl_f(doc)        (docmap doc_len)
+      avgdl_c       = sum_f w_f * avgdl_f          (exact: same doc space)
+      df_c(t)       = docs containing t in ANY field
+
+    then plain BM25 with this engine's (k1, b) from the primary field's
+    config — exactly the statistics a literally-concatenated field would
+    have (the ES mental model; per-field ``^w`` weights scale both tf
+    and dl, the self-consistent weighted pseudo-field). ``mode='and'``
+    requires every query term in the combined field.
+
+    Determinism: per-term contributions fold in f64 in ascending TERM
+    order (sorted-array aggregate), f32 emit — the engine contract.
+    Scale shape: one pruned postings scan per field (term_freqs — only
+    the query terms' blocks are read), a (doc, term)-keyed partial agg,
+    a semi-joined docmap fetch for combined doc lengths restricted to
+    matching docs, and the k-row merge. The df collect is <= |terms|
+    rows off a cached union (released immediately after)."""
+    searchers = list(field_searchers.values())
+    if not searchers:
+        raise ValueError("combined_fields requires at least one field")
+    primary = searchers[0]
+    n0 = primary.ix.n_docs
+    for s in searchers[1:]:
+        if s.ix.n_docs != n0:
+            raise ValueError(
+                "combined_fields field indexes must cover the same documents "
+                f"(n_docs {s.ix.n_docs} != {n0})"
+            )
+    cfg = primary.ix.cfg
+    toks = analyze_query(query_text, cfg)
+    if not toks:
+        return primary._spark.createDataFrame(
+            [], "rank int, doc_id long, score float")
+    qw = Counter(toks)  # duplicate query terms multiply their contribution
+    terms = sorted(qw)
+    w_by_field = {
+        f: float((weights or {}).get(f, 1.0)) for f in field_searchers
+    }
+
+    u = None
+    for fname, s in field_searchers.items():
+        found = s._lookup_terms(terms)
+        if not found:
+            continue
+        tid_to_term = F.create_map(*[
+            x for t, (tid, _) in sorted(found.items())
+            for x in (F.lit(int(tid)), F.lit(t))
+        ])
+        part = s.term_freqs(terms).select(
+            "doc_id",
+            F.element_at(tid_to_term, F.col("term_id")).alias("term"),
+            (F.col("tf").cast("double") * F.lit(w_by_field[fname])).alias("wtf"),
+        )
+        u = part if u is None else u.unionByName(part)
+    if u is None:
+        return primary._spark.createDataFrame(
+            [], "rank int, doc_id long, score float")
+    u = u.persist()
+    tf_comb = u.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tf"))
+    df_rows = (
+        tf_comb.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    u.unpersist()
+    dfm = {r["term"]: int(r["df"]) for r in df_rows}
+    avgdl_c = sum(
+        w_by_field[f] * float(s.ix.avgdl) for f, s in field_searchers.items()
+    )
+    # combined doc length: docmap doc_len per field, weighted, summed —
+    # restricted to matching docs via the doc_id semi join
+    doc_ids = tf_comb.select("doc_id").distinct()
+    dl_u = None
+    for fname, s in field_searchers.items():
+        p = s.ix.docmap.join(doc_ids, "doc_id", "semi").select(
+            "doc_id",
+            (F.col("doc_len").cast("double") * F.lit(w_by_field[fname])).alias("wdl"),
+        )
+        dl_u = p if dl_u is None else dl_u.unionByName(p)
+    dls = dl_u.groupBy("doc_id").agg(F.sum("wdl").alias("dl"))
+
+    idf_map = F.create_map(*[
+        x for t in terms
+        for x in (F.lit(t), F.lit(float(qw[t]) * float(idf_fn(float(dfm.get(t, 0)), n0))))
+    ])
+    k1, b = float(cfg.k1), float(cfg.b)
+    contrib = (
+        F.element_at(idf_map, F.col("term"))
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl_c)))
+    )
+    scored = tf_comb.join(dls, "doc_id").withColumn("contrib", contrib)
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        folded.alias("_s"), F.count("*").alias("_nt")
+    )
+    if mode == "and":
+        per_doc = per_doc.filter(F.col("_nt") == len(terms))
+    return primary._ranked(
+        per_doc.select("doc_id", F.col("_s").cast("float").alias("score")),
+        k, with_meta=False,
+    )
 
 
 def rrf_fuse(

@@ -355,3 +355,91 @@ def test_match_synonyms_no_members_and_mode(searcher):
     b = searcher.top_k("w0001", k=10, with_meta=False).toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["score"].tolist() == b["score"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# combined_fields: blended statistics over the combined pseudo-field
+
+
+def test_combined_fields_matches_pandas(
+    spark, searcher, title_ix, titled_df, docs_pdf
+):
+    from bitcoin_ledger_2es_spark import BM25Searcher
+    from bitcoin_ledger_2es_spark.functions.analyze import tokenize_series
+    from bitcoin_ledger_2es_spark.functions.bm25 import idf as idf_fn
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+    from bitcoin_ledger_2es_spark.plans.query import combined_fields
+
+    ts = BM25Searcher(title_ix)
+    tdocs, _ = tokenized_documents(titled_df, CFG)
+    title_pdf = tdocs.select("doc_id", "text").toPandas()
+    q = "w0001 w0005"
+    terms = sorted(set(q.split()))
+
+    def tok_map(pdf):
+        toks = tokenize_series(pdf["text"], CFG)
+        return dict(zip(pdf["doc_id"].tolist(), toks))
+
+    body, title = tok_map(docs_pdf), tok_map(title_pdf)
+    n0 = searcher.ix.n_docs
+    assert ts.ix.n_docs == n0
+
+    def expected(weights):
+        wb, wt = weights
+        avgdl_c = wb * float(searcher.ix.avgdl) + wt * float(ts.ix.avgdl)
+        tf_c, dl_c = {}, {}
+        for d in body:
+            dl_c[d] = wb * len(body[d]) + wt * len(title.get(d, []))
+            for t in terms:
+                v = wb * body[d].count(t) + wt * title.get(d, []).count(t)
+                if v > 0:
+                    tf_c[(d, t)] = v
+        df_c = {
+            t: sum(1 for d in body if (d, t) in tf_c) for t in terms
+        }
+        out = {}
+        for d in body:
+            s = np.float64(0.0)
+            nt = 0
+            for t in terms:  # ascending term order f64 fold
+                if (d, t) not in tf_c:
+                    continue
+                nt += 1
+                tf = tf_c[(d, t)]
+                s += idf_fn(float(df_c[t]), n0) * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * dl_c[d] / avgdl_c)
+                )
+            if nt:
+                out[d] = (np.float32(s), nt)
+        return out
+
+    fields = {"body": searcher, "title": ts}
+    exp = expected((1.0, 1.0))
+    got = combined_fields(fields, q, k=30).toPandas()
+    ids, scores = _rank([(d, s) for d, (s, _) in exp.items()], 30)
+    assert got["doc_id"].tolist() == ids
+    assert got["score"].tolist() == scores
+
+    # mode='and': every term must appear somewhere in the combined field
+    got_and = combined_fields(fields, q, k=30, mode="and").toPandas()
+    exp_and = [(d, s) for d, (s, nt) in exp.items() if nt == len(terms)]
+    ids, scores = _rank(exp_and, 30)
+    assert got_and["doc_id"].tolist() == ids
+    assert got_and["score"].tolist() == scores
+
+    # per-field weight scales tf AND dl (self-consistent pseudo-field)
+    expw = expected((1.0, 2.0))
+    got_w = combined_fields(
+        fields, q, k=30, weights={"title": 2.0}
+    ).toPandas()
+    ids, scores = _rank([(d, s) for d, (s, _) in expw.items()], 30)
+    assert got_w["doc_id"].tolist() == ids
+    assert got_w["score"].tolist() == scores
+
+
+def test_combined_fields_guards(searcher):
+    from bitcoin_ledger_2es_spark.plans.query import combined_fields
+
+    with pytest.raises(ValueError, match="at least one"):
+        combined_fields({}, "w0001")
+    assert combined_fields({"body": searcher}, "zqxzqx").count() == 0
