@@ -839,6 +839,29 @@ class BM25Searcher:
             out = pruned.groupBy("shard_id").applyInPandas(kernel, schema="doc_id long")
         return self._apply_deletes(out)  # full set: post-hoc exclusion exact
 
+    def field_caps(self) -> DataFrame:
+        """ES ``_field_caps``: what each addressable field supports. The
+        analyzed ``text`` field is searchable (BM25 et al.), not
+        aggregatable, and phrase-capable iff the index stores positions;
+        docmap metadata columns are filter-context searchable (the
+        ``field:value`` / ``doc_filter`` surface) and aggregatable, with
+        their Spark types. Driver-side constants — no job runs."""
+        from ..functions.querystring import FILTER_FIELDS
+
+        rows = [
+            ("text", "text", True, False, bool(self.ix.cfg.store_positions))
+        ]
+        for f in self.ix.docmap.schema.fields:
+            rows.append((
+                f.name, f.dataType.simpleString(),
+                f.name in FILTER_FIELDS, True, False,
+            ))
+        return self._spark.createDataFrame(
+            rows,
+            "field string, type string, searchable boolean, "
+            "aggregatable boolean, positions boolean",
+        )
+
     def term_freqs(self, terms: list[str]) -> DataFrame:
         """Raw (doc_id, term_id, tf) stream for the given analyzed terms
         from the SAME pruned postings scan as the scorers — the decode

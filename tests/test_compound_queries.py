@@ -443,3 +443,11 @@ def test_combined_fields_guards(searcher):
     with pytest.raises(ValueError, match="at least one"):
         combined_fields({}, "w0001")
     assert combined_fields({"body": searcher}, "zqxzqx").count() == 0
+
+
+def test_field_caps(searcher):
+    caps = searcher.field_caps().toPandas().set_index("field")
+    assert caps.loc["text", "searchable"] and not caps.loc["text", "aggregatable"]
+    assert bool(caps.loc["text", "positions"]) == CFG.store_positions
+    assert caps.loc["doc_id", "searchable"] and caps.loc["doc_id", "aggregatable"]
+    assert caps.loc["conv_id", "type"] == "string"
