@@ -2688,9 +2688,12 @@ def q_agg_extras(spark, sf_dir):
     entropy of documents.text), top_metrics (rows at the top-3 values,
     event_id tiebreak), median_absolute_deviation (interpolated exact
     medians), matrix_stats (per-field moments + covariance/correlation
-    over n_chars and doc_id%97 — integer-exact power sums), and
+    over n_chars and doc_id%97 — integer-exact power sums),
     scripted_metric (map/combine per Arrow batch + one-task reduce over
-    integer cents, the ES custom-agg shape)."""
+    integer cents, the ES custom-agg shape), and the deterministic
+    sampler/diversified_sampler pair (lowest-Knuth-hash uniform sample;
+    diversified caps rows per event_type — both exactly mirrored by the
+    split-hash SQL twin)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -2871,11 +2874,28 @@ def q_agg_extras(spark, sf_dir):
         F.lit(0).cast("long").alias("doc_count"),
         duck_round("metric", 6).alias("metric"),
     )
+    from .operators.aggs import diversified_sampler, sampler
+
+    sa = sampler(ev, 12, "event_id", seed=7).select(
+        F.lit("sampler").alias("agg"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("user_id").cast("long").alias("doc_count"),
+        F.col("value").cast("double").alias("metric"),
+    )
+    dv = diversified_sampler(
+        ev, 10, "event_id", "event_type", max_docs_per_value=2, seed=7
+    ).select(
+        F.lit("diversified").alias("agg"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("user_id").cast("long").alias("doc_count"),
+        F.col("value").cast("double").alias("metric"),
+    )
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
         .unionByName(mt).unionByName(wa).unionByName(pr).unionByName(ss)
         .unionByName(tm).unionByName(mad).unionByName(mx).unionByName(sm)
+        .unionByName(sa).unionByName(dv)
     )
 
 
@@ -3070,6 +3090,38 @@ SELECT 'scripted_metric', k, 0, round(v, 6) FROM (
     )
   )
 )
+UNION ALL
+-- sampler: deterministic uniform sample — lowest Knuth hash of event_id
+-- (seed 7), the exact SQL twin of the engine's overflow-safe hash
+SELECT 'sampler', key, doc_count, metric FROM (
+  SELECT CAST(event_id AS VARCHAR) AS key, user_id AS doc_count,
+         value AS metric, row_number() OVER (ORDER BY h ASC, event_id ASC) AS r
+  FROM (
+    SELECT event_id, user_id, value,
+           (((x // 65536) * 2654435761) % 4294967296 * 65536
+            + (x % 65536) * 2654435761) % 4294967296 AS h
+    FROM (SELECT *, ((event_id % 4294967296) + 7) % 4294967296 AS x FROM events)
+  )
+) WHERE r <= 12
+UNION ALL
+-- diversified_sampler: at most 2 rows per event_type, then lowest-hash 10
+SELECT 'diversified', key, doc_count, metric FROM (
+  SELECT key, doc_count, metric,
+         row_number() OVER (ORDER BY h ASC, event_id ASC) AS r
+  FROM (
+    SELECT CAST(event_id AS VARCHAR) AS key, event_id, user_id AS doc_count,
+           value AS metric, h,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY h ASC, event_id ASC
+           ) AS dr
+    FROM (
+      SELECT event_id, event_type, user_id, value,
+             (((x // 65536) * 2654435761) % 4294967296 * 65536
+              + (x % 65536) * 2654435761) % 4294967296 AS h
+      FROM (SELECT *, ((event_id % 4294967296) + 7) % 4294967296 AS x FROM events)
+    )
+  ) WHERE dr <= 2
+) WHERE r <= 10
 """
 
 

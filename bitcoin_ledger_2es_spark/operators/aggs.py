@@ -581,6 +581,74 @@ def scripted_metric(
     return partials.coalesce(1).mapInPandas(_reduce, out_schema)
 
 
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def _knuth_hash(id_col: Column, seed: int = 0) -> Column:
+    """The repo's overflow-safe Knuth multiplicative hash (the same
+    split-product construction as train_val_split / random_score_col):
+    deterministic per id, exactly SQL-expressible — which is why the
+    sampler aggs use it instead of xxhash64 (DuckDB cannot mirror
+    Spark's xxhash64, and a sample that the oracle cannot reproduce is
+    untestable)."""
+    x = F.pmod(F.pmod(id_col, F.lit(_M32)) + F.lit(int(seed)), F.lit(_M32))
+    hi, lo = F.floor(x / F.lit(1 << 16)), x % F.lit(1 << 16)
+    return F.pmod(
+        F.pmod(hi * F.lit(_KNUTH), F.lit(_M32)) * F.lit(1 << 16)
+        + lo * F.lit(_KNUTH),
+        F.lit(_M32),
+    )
+
+
+def sampler(
+    df: DataFrame, size: int, id_col: str, seed: int = 0
+) -> DataFrame:
+    """ES sampler agg, made DETERMINISTIC: the ``size`` rows with the
+    lowest Knuth hash of ``id_col`` (ties impossible below 2^32 ids per
+    hash value in practice; id asc breaks them anyway). ES's sampler
+    takes the first shard_size docs per shard in score order — a
+    nondeterministic memory cap; ours is a uniform pseudo-random sample
+    that is stable across parallelism, input order and resume (the repo
+    determinism contract) and that an oracle can reproduce exactly.
+    Downstream aggs run over the returned frame. Top-k by hash via
+    orderBy+limit — TakeOrdered, no global sort."""
+    h = _knuth_hash(F.col(id_col), seed)
+    return (
+        df.withColumn("_h", h)
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .limit(size)
+        .drop("_h")
+    )
+
+
+def diversified_sampler(
+    df: DataFrame,
+    size: int,
+    id_col: str,
+    dedup_field: str,
+    max_docs_per_value: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """ES diversified_sampler agg (deterministic, like ``sampler``): at
+    most ``max_docs_per_value`` rows per ``dedup_field`` value — the
+    de-biasing ES uses to stop one author/source dominating a sample —
+    then the ``size`` lowest-hash rows overall. One window per dedup
+    value (partitioned — scales) + TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    h = _knuth_hash(F.col(id_col), seed)
+    w = W.partitionBy(dedup_field).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_docs_per_value)
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .limit(size)
+        .drop("_h", "_r")
+    )
+
+
 def terms_agg(
     df: DataFrame,
     field: str,

@@ -420,3 +420,27 @@ def test_scripted_metric_partition_invariant(num_df):
     ]
     # integer partial sums -> identical result at any parallelism
     assert outs[0] == outs[1] == pytest.approx(pdf.v.mean())
+
+
+def test_sampler_deterministic_and_uniform(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import (
+        diversified_sampler,
+        sampler,
+    )
+
+    df, pdf = num_df
+    df = df.withColumn("id", F.monotonically_increasing_id())
+    # materialize ids so both samples see identical rows
+    df = df.select("v", "g", "id").cache()
+    a = sampler(df, 20, "id", seed=3).toPandas()
+    b = sampler(df.repartition(13), 20, "id", seed=3).toPandas()
+    # parallelism-invariant (hash-of-id selection, not partition order)
+    assert sorted(a["id"]) == sorted(b["id"])
+    assert len(a) == 20
+    # a different seed picks a different sample
+    c = sampler(df, 20, "id", seed=4).toPandas()
+    assert sorted(c["id"]) != sorted(a["id"])
+    d = diversified_sampler(df, 15, "id", "g", max_docs_per_value=2).toPandas()
+    assert len(d) == 15 or len(d) == d["g"].nunique() * 2
+    assert d.groupby("g").size().max() <= 2
+    df.unpersist()
