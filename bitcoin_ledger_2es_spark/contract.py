@@ -2874,8 +2874,14 @@ def q_agg_extras(spark, sf_dir):
         F.lit(0).cast("long").alias("doc_count"),
         duck_round("metric", 6).alias("metric"),
     )
-    from .operators.aggs import diversified_sampler, sampler
+    from .operators.aggs import auto_date_histogram, diversified_sampler, sampler
 
+    adh = auto_date_histogram(ev, "ts", target_buckets=40).select(
+        F.lit("auto_dh").alias("agg"),
+        F.concat_ws("@", "interval", "bucket").alias("key"),
+        "doc_count",
+        F.lit(0.0).alias("metric"),
+    )
     sa = sampler(ev, 12, "event_id", seed=7).select(
         F.lit("sampler").alias("agg"),
         F.col("event_id").cast("string").alias("key"),
@@ -2895,7 +2901,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(es).unionByName(adj).unionByName(vc)
         .unionByName(mt).unionByName(wa).unionByName(pr).unionByName(ss)
         .unionByName(tm).unionByName(mad).unionByName(mx).unionByName(sm)
-        .unionByName(sa).unionByName(dv)
+        .unionByName(sa).unionByName(dv).unionByName(adh)
     )
 
 
@@ -3122,6 +3128,48 @@ SELECT 'diversified', key, doc_count, metric FROM (
     )
   ) WHERE dr <= 2
 ) WHERE r <= 10
+UNION ALL
+-- auto_date_histogram: the interval choice is a pure function of
+-- (min, max, target) over the same rounding ladder the engine walks;
+-- naive make_timestamp keeps the bucket label timezone-free (UTC)
+SELECT 'auto_dh', key, doc_count, 0.0 FROM (
+  WITH mm AS (
+    SELECT epoch_ms(min(ts)) // 1000 AS lo, epoch_ms(max(ts)) // 1000 AS hi,
+           date_diff('month', min(ts), max(ts)) AS dm,
+           date_diff('quarter', min(ts), max(ts)) AS dq
+    FROM events
+  ),
+  pick AS (
+    SELECT CASE
+      WHEN hi - lo + 1 <= 40 THEN '1'
+      WHEN hi // 5 - lo // 5 + 1 <= 40 THEN '5'
+      WHEN hi // 10 - lo // 10 + 1 <= 40 THEN '10'
+      WHEN hi // 30 - lo // 30 + 1 <= 40 THEN '30'
+      WHEN hi // 60 - lo // 60 + 1 <= 40 THEN '60'
+      WHEN hi // 300 - lo // 300 + 1 <= 40 THEN '300'
+      WHEN hi // 600 - lo // 600 + 1 <= 40 THEN '600'
+      WHEN hi // 1800 - lo // 1800 + 1 <= 40 THEN '1800'
+      WHEN hi // 3600 - lo // 3600 + 1 <= 40 THEN '3600'
+      WHEN hi // 10800 - lo // 10800 + 1 <= 40 THEN '10800'
+      WHEN hi // 43200 - lo // 43200 + 1 <= 40 THEN '43200'
+      WHEN hi // 86400 - lo // 86400 + 1 <= 40 THEN '86400'
+      WHEN hi // 604800 - lo // 604800 + 1 <= 40 THEN '604800'
+      WHEN dm + 1 <= 40 THEN 'month'
+      WHEN dq + 1 <= 40 THEN 'quarter'
+      ELSE 'year' END AS iv
+    FROM mm
+  )
+  SELECT p.iv || '@' || CASE WHEN p.iv IN ('month', 'quarter', 'year')
+           THEN strftime(date_trunc(p.iv, e.ts), '%Y-%m-%d %H:%M:%S')
+           ELSE strftime(
+             make_timestamp(
+               (epoch_ms(e.ts) // 1000 // CAST(p.iv AS BIGINT))
+               * CAST(p.iv AS BIGINT) * 1000000),
+             '%Y-%m-%d %H:%M:%S')
+         END AS key,
+         count(*) AS doc_count
+  FROM events e, pick p GROUP BY 1
+)
 """
 
 

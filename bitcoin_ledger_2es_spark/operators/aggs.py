@@ -581,6 +581,69 @@ def scripted_metric(
     return partials.coalesce(1).mapInPandas(_reduce, out_schema)
 
 
+#: ES auto_date_histogram rounding ladder, fixed-length steps
+#: (second..week); wider spans fall to calendar month/quarter/year
+AUTO_DH_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800,
+                  3600, 10800, 43200, 86400, 604800)
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, target_buckets: int = 10
+) -> DataFrame:
+    """ES auto_date_histogram agg: pick the smallest interval from the
+    rounding ladder such that the bucket count fits ``target_buckets``,
+    then histogram on it. Fixed-length steps bucket on
+    floor(epoch_seconds / interval); spans too wide for a week step
+    fall to calendar month / quarter / year via ``date_trunc`` (ES
+    continues with year multiples — documented simplification: year is
+    our final fallback). The min/max probe is a 2-value collect; the
+    choice is a pure function of (min, max, target), so an oracle
+    recomputing the same ladder picks the same interval. Returns
+    (interval, bucket, doc_count) with bucket formatted
+    'yyyy-MM-dd HH:mm:ss' in the session timezone (UTC)."""
+    row = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    spark = df.sparkSession
+    if lo is None:
+        return spark.createDataFrame(
+            [], "interval string, bucket string, doc_count long"
+        )
+    import calendar
+
+    lo_s = calendar.timegm(lo.timetuple())
+    hi_s = calendar.timegm(hi.timetuple())
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    interval = None
+    for s in AUTO_DH_LADDER:
+        if hi_s // s - lo_s // s + 1 <= target_buckets:
+            interval = str(s)
+            bucket = F.date_format(
+                F.timestamp_seconds(
+                    (F.floor(F.unix_timestamp(F.col(ts_col)) / s) * s).cast("long")
+                ),
+                fmt,
+            )
+            break
+    if interval is None:
+        dm = (hi.year * 12 + hi.month) - (lo.year * 12 + lo.month)
+        dq = (hi.year * 4 + (hi.month - 1) // 3) - (
+            lo.year * 4 + (lo.month - 1) // 3
+        )
+        if dm + 1 <= target_buckets:
+            interval = "month"
+        elif dq + 1 <= target_buckets:
+            interval = "quarter"
+        else:
+            interval = "year"
+        bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)), fmt)
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .select(F.lit(interval).alias("interval"), "bucket", "doc_count")
+        .orderBy("bucket")
+    )
+
+
 _KNUTH = 2654435761
 _M32 = 1 << 32
 

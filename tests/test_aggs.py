@@ -444,3 +444,27 @@ def test_sampler_deterministic_and_uniform(num_df):
     assert len(d) == 15 or len(d) == d["g"].nunique() * 2
     assert d.groupby("g").size().max() <= 2
     df.unpersist()
+
+
+def test_auto_date_histogram_picks_fitting_interval(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import auto_date_histogram
+
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=500, freq="137s")
+    })
+    df = spark.createDataFrame(pdf)
+    # span ~19h: 30m -> 39 buckets (fits 40), 10m -> 115 (does not)
+    got = auto_date_histogram(df, "ts", target_buckets=40).toPandas()
+    assert got["interval"].iloc[0] == "1800"
+    assert len(got) <= 40
+    assert got["doc_count"].sum() == 500
+    # tighter target climbs the ladder to 3h
+    got2 = auto_date_histogram(df, "ts", target_buckets=8).toPandas()
+    assert got2["interval"].iloc[0] == "10800"
+    # multi-year span falls to the calendar part of the ladder
+    wide = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.date_range("2018-01-01", periods=50, freq="30D")
+    }))
+    got3 = auto_date_histogram(wide, "ts", target_buckets=10).toPandas()
+    assert got3["interval"].iloc[0] in ("quarter", "year")
+    assert got3["doc_count"].sum() == 50
