@@ -2874,8 +2874,35 @@ def q_agg_extras(spark, sf_dir):
         F.lit(0).cast("long").alias("doc_count"),
         duck_round("metric", 6).alias("metric"),
     )
+    from .functions.geo import geo_bounding_box, geo_distance_agg
     from .operators.aggs import auto_date_histogram, diversified_sampler, sampler
 
+    gev = ev.withColumn(
+        "glat", ((F.col("user_id") * 37 % 180) - 90).cast("double")
+    ).withColumn(
+        "glon", ((F.col("event_id") * 91 % 360) - 180).cast("double")
+    )
+    geo = geo_distance_agg(
+        gev, F.col("glat"), F.col("glon"), 10.5, 20.5,
+        [("near", None, 1000.0), ("mid", 1000.0, 8000.0), ("far", 8000.0, None)],
+        metrics={
+            "metric": lambda c: duck_round(
+                F.avg(F.when(c, F.col("__geo_dist_km"))), 6
+            )
+        },
+    ).select(F.lit("geo_distance").alias("agg"), "key", "doc_count", "metric")
+    gbb = gev.agg(
+        F.sum(
+            F.when(
+                geo_bounding_box(
+                    F.col("glat"), F.col("glon"), (60.0, -90.0), (-30.0, 90.0)
+                ), 1,
+            ).otherwise(0)
+        ).cast("long").alias("doc_count")
+    ).select(
+        F.lit("geo_bbox").alias("agg"), F.lit("box").alias("key"),
+        "doc_count", F.lit(0.0).alias("metric"),
+    )
     adh = auto_date_histogram(ev, "ts", target_buckets=40).select(
         F.lit("auto_dh").alias("agg"),
         F.concat_ws("@", "interval", "bucket").alias("key"),
@@ -2902,6 +2929,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(mt).unionByName(wa).unionByName(pr).unionByName(ss)
         .unionByName(tm).unionByName(mad).unionByName(mx).unionByName(sm)
         .unionByName(sa).unionByName(dv).unionByName(adh)
+        .unionByName(geo).unionByName(gbb)
     )
 
 
@@ -3169,6 +3197,57 @@ SELECT 'auto_dh', key, doc_count, 0.0 FROM (
          END AS key,
          count(*) AS doc_count
   FROM events e, pick p GROUP BY 1
+)
+"""
+
+from .functions.geo import DEG2RAD as _D2R  # noqa: E402
+from .functions.geo import EARTH_RADIUS_KM as _ERK  # noqa: E402
+
+# geo_distance agg + geo_bounding_box over derived integer-degree
+# coordinates; haversine constants and association mirrored exactly
+# (origin 10.5/20.5 is deliberately OFF the integer grid — see
+# functions/geo.py on asin's antipodal ULP amplification)
+SQL_AGG_EXTRAS += f"""
+UNION ALL
+SELECT agg, key, doc_count, metric FROM (
+  WITH g AS (
+    SELECT CAST((user_id * 37) % 180 - 90 AS DOUBLE) AS glat,
+           CAST((event_id * 91) % 360 - 180 AS DOUBLE) AS glon
+    FROM events
+  ),
+  t AS (
+    SELECT glat, glon,
+           glat * {_D2R!r} AS rlat1,
+           10.5 * {_D2R!r} AS rlat2,
+           ((10.5 - glat) * {_D2R!r}) / 2.0 AS dlat2,
+           ((20.5 - glon) * {_D2R!r}) / 2.0 AS dlon2
+    FROM g
+  ),
+  d AS (
+    SELECT glat, glon,
+           {2.0 * _ERK!r} * asin(least(sqrt(
+             (sin(dlat2) * sin(dlat2))
+             + ((cos(rlat1) * cos(rlat2)) * (sin(dlon2) * sin(dlon2)))
+           ), 1.0)) AS km
+    FROM t
+  )
+  SELECT 'geo_distance' AS agg, 'near' AS key,
+         CAST(sum(CASE WHEN km < 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+         round(avg(CASE WHEN km < 1000.0 THEN km END), 6) AS metric FROM d
+  UNION ALL
+  SELECT 'geo_distance', 'mid',
+         CAST(sum(CASE WHEN km >= 1000.0 AND km < 8000.0 THEN 1 ELSE 0 END) AS BIGINT),
+         round(avg(CASE WHEN km >= 1000.0 AND km < 8000.0 THEN km END), 6) FROM d
+  UNION ALL
+  SELECT 'geo_distance', 'far',
+         CAST(sum(CASE WHEN km >= 8000.0 THEN 1 ELSE 0 END) AS BIGINT),
+         round(avg(CASE WHEN km >= 8000.0 THEN km END), 6) FROM d
+  UNION ALL
+  SELECT 'geo_bbox', 'box',
+         CAST(sum(CASE WHEN glat <= 60.0 AND glat >= -30.0
+                        AND glon >= -90.0 AND glon <= 90.0
+                   THEN 1 ELSE 0 END) AS BIGINT),
+         0.0 FROM g
 )
 """
 

@@ -1,0 +1,98 @@
+"""ES geo surface: geo_distance filter/sort and the geo_distance
+aggregation, as pure column expressions (whole-stage codegen, no UDF).
+
+Public semantics: ES geo_distance query/agg use great-circle distance on
+the mean-Earth-radius sphere (Lucene SloppyMath / GeoUtils
+EARTH_MEAN_RADIUS = 6371008.7714150598 m). We pin that constant and the
+degrees->radians factor as literals so a SQL oracle reproduces the
+arithmetic bit-for-bit (trig ULP noise aside — both engines are IEEE
+libm, agreement is well inside the contract's 6dp rounding).
+
+geo_bounding_box is the simple non-dateline-crossing box (documented
+subset; ES handles lon wrap — our transcripts domain has no geo data at
+all, these exist for the standard-catalog surface over derived or
+user-supplied coordinate columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Lucene GeoUtils.EARTH_MEAN_RADIUS, in km
+EARTH_RADIUS_KM = 6371.0087714150598
+#: degrees -> radians (pi/180), pinned as a literal on both sides
+DEG2RAD = 0.017453292519943295
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine, asin form):
+    2R * asin(sqrt(sin^2(dlat/2) + cos(lat1) cos(lat2) sin^2(dlon/2))).
+    Association order is part of the oracle contract — mirror exactly."""
+    rlat1 = lat1.cast("double") * F.lit(DEG2RAD)
+    rlat2 = lat2.cast("double") * F.lit(DEG2RAD)
+    dlat2 = (lat2.cast("double") - lat1.cast("double")) * F.lit(DEG2RAD) / F.lit(2.0)
+    dlon2 = (lon2.cast("double") - lon1.cast("double")) * F.lit(DEG2RAD) / F.lit(2.0)
+    a = (
+        F.sin(dlat2) * F.sin(dlat2)
+        + F.cos(rlat1) * F.cos(rlat2) * (F.sin(dlon2) * F.sin(dlon2))
+    )
+    # near-antipodal points can push a to 1 +/- 1 ULP: clamp before asin
+    # (asin(>1) is NaN) — same least() on the oracle side. NOTE for
+    # oracle authors: asin is ULP-amplifying near 1, so pick comparison
+    # origins OFF the data's coordinate grid to keep exact antipodes out
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.least(F.sqrt(a), F.lit(1.0)))
+
+
+def geo_distance_filter(
+    lat: Column, lon: Column, origin_lat: float, origin_lon: float,
+    radius_km: float,
+) -> Column:
+    """ES geo_distance query: distance(point, origin) <= radius.
+    Boolean column — composes with doc_filter / DataFrame.filter."""
+    d = haversine_km(lat, lon, F.lit(float(origin_lat)), F.lit(float(origin_lon)))
+    return d <= F.lit(float(radius_km))
+
+
+def geo_bounding_box(
+    lat: Column, lon: Column,
+    top_left: tuple[float, float], bottom_right: tuple[float, float],
+) -> Column:
+    """ES geo_bounding_box query (non-dateline-crossing box):
+    bottom <= lat <= top AND left <= lon <= right."""
+    top, left = float(top_left[0]), float(top_left[1])
+    bottom, right = float(bottom_right[0]), float(bottom_right[1])
+    if left > right:
+        raise ValueError(
+            "dateline-crossing boxes (left > right) are not supported — "
+            "split into two boxes"
+        )
+    la, lo = lat.cast("double"), lon.cast("double")
+    return (
+        (la <= F.lit(top)) & (la >= F.lit(bottom))
+        & (lo >= F.lit(left)) & (lo <= F.lit(right))
+    )
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    lat: Column,
+    lon: Column,
+    origin_lat: float,
+    origin_lon: float,
+    ranges: list[tuple[str, float | None, float | None]],
+    metrics=None,
+) -> DataFrame:
+    """ES geo_distance aggregation: range buckets over the distance from
+    an origin (from inclusive, to exclusive, km) — one conditional-agg
+    pass via the shared range_agg builder over a projected distance
+    column. Returns (key, doc_count, *metrics) in the given order."""
+    from ..operators.aggs import range_agg
+
+    d = haversine_km(lat, lon, F.lit(float(origin_lat)), F.lit(float(origin_lon)))
+    return range_agg(
+        df.withColumn("__geo_dist_km", d), "__geo_dist_km", ranges,
+        metrics=metrics,
+    )

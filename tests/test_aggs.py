@@ -468,3 +468,43 @@ def test_auto_date_histogram_picks_fitting_interval(spark):
     got3 = auto_date_histogram(wide, "ts", target_buckets=10).toPandas()
     assert got3["interval"].iloc[0] in ("quarter", "year")
     assert got3["doc_count"].sum() == 50
+
+
+def test_geo_haversine_and_filters(spark):
+    from bitcoin_ledger_2es_spark.functions.geo import (
+        geo_bounding_box,
+        geo_distance_agg,
+        geo_distance_filter,
+        haversine_km,
+    )
+
+    pts = pd.DataFrame({
+        "name": ["paris", "nyc", "sydney", "antipode_ish"],
+        "lat": [48.8566, 40.7128, -33.8688, -48.8566],
+        "lon": [2.3522, -74.0060, 151.2093, -177.6478],
+    })
+    df = spark.createDataFrame(pts)
+    got = df.select(
+        "name",
+        haversine_km(F.col("lat"), F.col("lon"), F.lit(48.8566), F.lit(2.3522)).alias("km"),
+    ).toPandas().set_index("name")["km"]
+    assert got["paris"] == 0.0
+    assert got["nyc"] == pytest.approx(5837, abs=10)       # known distance
+    assert got["sydney"] == pytest.approx(16960, abs=30)
+    # antipode of paris: half the Earth's circumference, clamp keeps asin sane
+    assert got["antipode_ish"] == pytest.approx(20015, abs=10)
+    n_near = df.filter(
+        geo_distance_filter(F.col("lat"), F.col("lon"), 48.8566, 2.3522, 6000.0)
+    ).count()
+    assert n_near == 2  # paris + nyc
+    n_box = df.filter(
+        geo_bounding_box(F.col("lat"), F.col("lon"), (60.0, -90.0), (30.0, 30.0))
+    ).count()
+    assert n_box == 2  # paris + nyc again (lat 30..60, lon -90..30)
+    agg = geo_distance_agg(
+        df, F.col("lat"), F.col("lon"), 48.8566, 2.3522,
+        [("near", None, 1000.0), ("far", 1000.0, None)],
+    ).toPandas()
+    assert agg.set_index("key")["doc_count"].to_dict() == {"near": 1, "far": 3}
+    with pytest.raises(ValueError, match="dateline"):
+        geo_bounding_box(F.col("lat"), F.col("lon"), (10.0, 170.0), (0.0, -170.0))
