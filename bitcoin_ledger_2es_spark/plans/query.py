@@ -806,6 +806,72 @@ class BM25Searcher:
         # exclusion is exact; covers every compound surface built on this
         return self._apply_deletes(out)
 
+    def _all_match_scores_multi(
+        self, queries: "list[tuple[str, str]]"
+    ) -> DataFrame | None:
+        """Tagged all-match scores for MANY subqueries from ONE pruned
+        postings scan: the compound surfaces (dis_max, boosting) used to
+        pay one scan + one kernel pass per subquery; here the scan reads
+        the UNION of the subqueries' term_ids once and the shard kernel
+        scores each subquery over its slice of the already-decoded
+        blocks. Each subquery runs the exact same per-shard kernel as
+        ``_all_match_scores`` (same scores, bit-for-bit — the combine
+        contract is untouched), so results differ only in job count.
+        Returns ((doc_id, q, score) frame, viable-q set) — the set names
+        subqueries that CAN match (in-vocab), decided driver-side so
+        callers gate on it without running a job — or None if no
+        subquery can match."""
+        ix, cfg = self.ix, self.ix.cfg
+        per_q: list[tuple[int, np.ndarray, object]] = []
+        all_tids: set[int] = set()
+        for qi, (text, mode) in enumerate(queries):
+            terms = analyze_query(text, cfg)
+            if not terms:
+                continue
+            weights = Counter(terms)
+            found = self._lookup_terms(list(weights))
+            if (mode == "and" and len(found) < len(weights)) or not found:
+                continue
+            term_meta = [
+                (tid, float(idf_fn(float(df_), ix.n_docs)), float(weights[t]))
+                for t, (tid, df_) in found.items()
+            ]
+            fn = _shard_kernel(
+                term_meta, cfg.docs_per_shard, mode, ix.avgdl, cfg.k1,
+                cfg.b, cfg.docs_per_shard, False, cfg.wand_min_postings,
+                False,
+            )
+            tids = {m[0] for m in term_meta}
+            per_q.append((qi, np.array(sorted(tids), dtype=np.int64), fn))
+            all_tids.update(tids)
+        if not per_q:
+            return None
+
+        _empty_multi = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "q": pd.Series([], dtype=np.int32),
+            "score": pd.Series([], dtype=np.float32),
+        })
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qi, tids, fn in per_q:
+                sub = pdf[pdf["term_id"].isin(tids)]
+                out = fn(sub.reset_index(drop=True))
+                if len(out):
+                    out = out.copy()
+                    out["q"] = np.int32(qi)
+                    outs.append(out[["doc_id", "q", "score"]])
+            return pd.concat(outs) if outs else _empty_multi
+
+        pruned = ix.postings.filter(F.col("term_id").isin(sorted(all_tids)))
+        schema = "doc_id long, q int, score float"
+        if self.aligned:
+            out = pruned.mapInPandas(_aligned_kernel(kernel), schema=schema)
+        else:
+            out = pruned.groupBy("shard_id").applyInPandas(kernel, schema=schema)
+        return self._apply_deletes(out), {qi for qi, _, _ in per_q}
+
     def _match_set(self, term_ids: list[int]) -> DataFrame | None:
         """Non-scoring match SET of a term_id union (filter context): the
         same pruned postings scan as the scorers, but the shard kernel
@@ -1010,20 +1076,19 @@ class BM25Searcher:
         combination folds them in f64 in ascending subquery-index order
         via a sorted-array aggregate (max is order-free, the tie_breaker
         sum is not under a plain SUM), then emits f32 — same contract as
-        conversations_topk's score_mode=sum. Scale shape: one pruned scan
-        per subquery, a doc_id-keyed partial agg, k-row merge; no
-        all-pairs, no global sort before the limit."""
-        subs = []
-        for i, q in enumerate(queries):
-            text, mode = q if isinstance(q, tuple) else (q, "or")
-            c = self._all_match_scores(text, mode)
-            if c is not None:
-                subs.append(c.withColumn("q", F.lit(i)))
-        if not subs:
+        conversations_topk's score_mode=sum. Scale shape: ONE pruned
+        scan for the union of the subqueries' terms (each subquery
+        scored over its slice of the decoded blocks —
+        ``_all_match_scores_multi``), a doc_id-keyed partial agg, k-row
+        merge; no all-pairs, no global sort before the limit."""
+        multi = self._all_match_scores_multi([
+            q if isinstance(q, tuple) else (q, "or") for q in queries
+        ])
+        if multi is None:
             return self._empty() if with_meta else self._spark.createDataFrame(
                 [], "rank int, doc_id long, score float")
         tb = float(tie_breaker)
-        grouped = _fold_tagged_scores(subs)
+        grouped = _fold_tagged_scores([multi[0]])
         per_doc = grouped.select(
             "doc_id",
             (F.col("_mx") + F.lit(tb) * (F.col("_sum") - F.col("_mx")))
@@ -1043,25 +1108,36 @@ class BM25Searcher:
         """ES boosting query: rank by the ``positive`` match query, but
         docs that ALSO match ``negative`` keep only ``negative_boost``
         times their score (demotion, not exclusion — the difference from
-        bool.must_not). The negative side is filter-context: only its
-        match SET is needed, so it reuses the non-scoring pruned-scan path
-        and left-joins as a k-free doc_id set. f64 multiply, f32 emit."""
-        pos = self._all_match_scores(positive, mode)
-        if pos is None:
+        bool.must_not). Both sides come from ONE pruned scan
+        (``_all_match_scores_multi``) and fold in ONE doc_id-keyed
+        aggregation: each doc has at most one row per side, so the
+        positive score is max(score where q=0) — order-free — and the
+        demotion mask is the presence of a q=1 row. f64 multiply, f32
+        emit — identical scores to the former two-scan shape."""
+        multi = self._all_match_scores_multi(
+            [(positive, mode), (negative, "or")]
+        )
+        if multi is None or 0 not in multi[1]:
             return self._empty() if with_meta else self._spark.createDataFrame(
                 [], "rank int, doc_id long, score float")
-        neg = self._all_match_scores(negative, "or")
-        if neg is not None:
-            neg_set = neg.select("doc_id").distinct().withColumn("_neg", F.lit(True))
-            pos = pos.join(neg_set, "doc_id", "left").select(
+        tagged = multi[0]
+        per_doc = (
+            tagged.groupBy("doc_id")
+            .agg(
+                F.max(F.when(F.col("q") == 0, F.col("score"))).alias("_pos"),
+                F.max(F.when(F.col("q") == 1, F.lit(True))).alias("_neg"),
+            )
+            .filter(F.col("_pos").isNotNull())
+            .select(
                 "doc_id",
                 F.when(
                     F.col("_neg"),
-                    F.col("score").cast("double") * F.lit(float(negative_boost)),
-                ).otherwise(F.col("score").cast("double"))
+                    F.col("_pos").cast("double") * F.lit(float(negative_boost)),
+                ).otherwise(F.col("_pos").cast("double"))
                 .cast("float").alias("score"),
             )
-        return self._ranked(pos, k, with_meta)
+        )
+        return self._ranked(per_doc, k, with_meta)
 
     def collapse_topk(
         self,

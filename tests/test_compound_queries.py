@@ -451,3 +451,24 @@ def test_field_caps(searcher):
     assert bool(caps.loc["text", "positions"]) == CFG.store_positions
     assert caps.loc["doc_id", "searchable"] and caps.loc["doc_id", "aggregatable"]
     assert caps.loc["conv_id", "type"] == "string"
+
+
+def test_dis_max_jobs_independent_of_subquery_count(searcher):
+    """The fused compound scan: driver job count for dis_max must not
+    grow with the number of subqueries (one pruned scan for the union of
+    their terms — _all_match_scores_multi)."""
+    sc = searcher.ix.postings.sparkSession.sparkContext
+    # warm the term cache so dictionary lookups don't add jobs unevenly
+    searcher._lookup_terms(["w0001", "w0002", "w0003", "w0005", "w0008"])
+    for tag, qs in (
+        ("dm2", ["w0001 w0002", "w0003"]),
+        ("dm4", ["w0001 w0002", "w0003", "w0005", "w0008"]),
+    ):
+        sc.setJobGroup(tag, tag)
+        try:
+            searcher.dis_max(qs, tie_breaker=0.3, k=5, with_meta=False).collect()
+        finally:
+            sc.setJobGroup(None, None)
+    n2 = len(sc.statusTracker().getJobIdsForGroup("dm2"))
+    n4 = len(sc.statusTracker().getJobIdsForGroup("dm4"))
+    assert n4 == n2, f"dis_max jobs grew with subquery count: {n2} -> {n4}"
