@@ -736,23 +736,44 @@ class BM25Searcher:
 
     def more_like_this(
         self,
-        like_text: str,
+        like_text: str | None = None,
         k: int = 10,
         max_query_terms: int = 10,
         min_term_freq: int = 1,
         min_doc_freq: int = 2,
         max_doc_freq: int | None = None,
         with_meta: bool = True,
+        like_doc_id: int | None = None,
     ) -> DataFrame:
-        """ES more_like_this (the ``like: text`` form): select the most
-        significant terms of the input — tf in the input text times the
-        index idf, filtered by min_term_freq / min_doc_freq / max_doc_freq,
-        top ``max_query_terms`` by (tf*idf desc, term asc) — and run them
-        as a weight-1-per-term BM25 OR disjunction (ES boost_terms=0
-        default). Term selection is driver-side against the dictionary
-        (one lookup), the query runs on the normal pruned-scan path."""
+        """ES more_like_this: select the most significant terms of the
+        input — tf in the input times the index idf, filtered by
+        min_term_freq / min_doc_freq / max_doc_freq, top
+        ``max_query_terms`` by (tf*idf desc, term asc) — and run them as
+        a weight-1-per-term BM25 OR disjunction (ES boost_terms=0
+        default). Two ``like`` forms, as in ES:
+
+        * ``like_text`` — free text, analyzed driver-side;
+        * ``like_doc_id`` — a document reference (ES ``like: {"_id"}``,
+          the common form): the input term frequencies come from the
+          INDEX itself via the term_vectors decode (no stored text
+          needed — a block-pruned point lookup, the same fetch ES does),
+          and the liked document is excluded from the results (ES
+          include=false default).
+
+        Term selection is driver-side against the dictionary (one
+        lookup), the query runs on the normal pruned-scan path."""
         cfg = self.ix.cfg
-        tf = Counter(analyze_query(like_text, cfg))
+        doc_filter = None
+        if (like_text is None) == (like_doc_id is None):
+            raise ValueError(
+                "more_like_this takes exactly one of like_text / like_doc_id"
+            )
+        if like_doc_id is not None:
+            tv = self.term_vectors(int(like_doc_id)).select("term", "tf").collect()
+            tf = Counter({r["term"]: int(r["tf"]) for r in tv})
+            doc_filter = F.col("doc_id") != int(like_doc_id)
+        else:
+            tf = Counter(analyze_query(like_text, cfg))
         cand = sorted(t for t, n in tf.items() if n >= min_term_freq)
         found = self._lookup_terms(cand)
         sel: list[tuple[float, str]] = []
@@ -766,7 +787,7 @@ class BM25Searcher:
             return self._empty()
         return self._scored_top_k(
             {t: found[t] for t in chosen}, Counter(dict.fromkeys(chosen, 1)),
-            k, "or", None, with_meta,
+            k, "or", doc_filter, with_meta,
         )
 
     def _all_match_scores(self, query_text: str, mode: str = "or") -> DataFrame | None:

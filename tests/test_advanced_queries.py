@@ -180,3 +180,28 @@ def test_term_vectors_deleted_doc_raises(pix):
     s.delete_by_query("w0000")
     with pytest.raises(ValueError, match="tombstoned"):
         s.term_vectors(victim)
+
+
+def test_mlt_by_doc_reference(searcher, docs_pdf):
+    """like_doc_id: term frequencies come from the index (term_vectors
+    decode), so the selection must equal like_text over the doc's own
+    text, and the liked doc itself is excluded (ES include=false)."""
+    d = int(docs_pdf.loc[~docs_pdf.is_rollup, "doc_id"].iloc[5])
+    text = docs_pdf.set_index("doc_id").loc[d, "text"]
+    got = searcher.more_like_this(
+        like_doc_id=d, k=10, with_meta=False
+    ).toPandas()
+    ref = searcher.more_like_this(
+        like_text=text, k=11, with_meta=False
+    ).toPandas()
+    assert d not in got["doc_id"].tolist()
+    exp = [i for i in ref["doc_id"].tolist() if i != d][:10]
+    assert got["doc_id"].tolist() == exp
+    exp_scores = {
+        i: s for i, s in zip(ref["doc_id"], ref["score"]) if i != d
+    }
+    assert got["score"].tolist() == [exp_scores[i] for i in got["doc_id"]]
+    with pytest.raises(ValueError, match="exactly one"):
+        searcher.more_like_this("x", like_doc_id=3)
+    with pytest.raises(ValueError, match="exactly one"):
+        searcher.more_like_this()
