@@ -2693,7 +2693,16 @@ def q_agg_extras(spark, sf_dir):
     integer cents, the ES custom-agg shape), and the deterministic
     sampler/diversified_sampler pair (lowest-Knuth-hash uniform sample;
     diversified caps rows per event_type — both exactly mirrored by the
-    split-hash SQL twin)."""
+    split-hash SQL twin). Session-2 additions: boxplot (EXACT
+    interpolated quartiles — quantile_cont twin), t_test (Welch + pooled
+    statistics, closed-form over integer-cents power sums), rate
+    (per-day rate in month buckets, day count derived from the bucket
+    key), stats_bucket / normalize(percent_of_sum) /
+    cumulative_cardinality (sibling + pipeline aggs over the same
+    monthly integer-cents buckets; cumulative distinct = first-month
+    pinning + month-spine running sum), and geotile_grid z=4
+    (Web-Mercator tile keys; floors provably off the integer-degree
+    input grid)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -2923,6 +2932,100 @@ def q_agg_extras(spark, sf_dir):
         F.col("user_id").cast("long").alias("doc_count"),
         F.col("value").cast("double").alias("metric"),
     )
+    from .functions.geo import geotile_grid_agg
+    from .operators.aggs import (
+        boxplot,
+        cumulative_cardinality,
+        normalize_percent_of_sum,
+        rate_agg,
+        stats_bucket,
+        t_test,
+    )
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    # boxplot: EXACT interpolated quartiles (ES uses TDigest; we pin the
+    # deterministic exact definition — quantile_cont is the SQL twin)
+    bx = boxplot(ev, "value").select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(nm).alias("key"),
+                F.col("count").cast("long").alias("doc_count"),
+                duck_round(F.col(nm).cast("double"), 6).alias("metric"),
+            )
+            for nm in ("min", "q1", "q2", "q3", "max")
+        ])).alias("b")
+    ).select(F.lit("boxplot").alias("agg"), "b.*")
+    # t_test: Welch + pooled statistics from integer-exact cents power
+    # sums — closed forms mirror bit-for-bit (extended_stats recipe)
+    tt = t_test(
+        ev.select(cents.alias("c"), "user_id"),
+        F.col("c"),
+        F.col("user_id") % 2 == 0,
+    ).select(
+        F.explode(F.array(
+            F.struct(
+                F.lit("welch").alias("key"),
+                F.col("n_a").alias("doc_count"),
+                duck_round("t_welch", 6).alias("metric"),
+            ),
+            F.struct(
+                F.lit("pooled").alias("key"),
+                F.col("n_b").alias("doc_count"),
+                duck_round("t_pooled", 6).alias("metric"),
+            ),
+        )).alias("b")
+    ).select(F.lit("t_test").alias("agg"), "b.*")
+    # rate: per-day rate inside calendar-month buckets; day count derives
+    # from the bucket key (datediff to next month), integer both sides
+    rt = rate_agg(ev.withColumn("c", cents), "ts", F.col("c"), unit="day").select(
+        F.lit("rate").alias("agg"),
+        F.col("month").alias("key"),
+        "doc_count",
+        duck_round(F.col("rate") / 100.0, 6).alias("metric"),
+    )
+    # sibling pipeline aggs over the SAME monthly integer-cents buckets
+    monthly = ev.groupBy(
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("doc_count"), F.sum(cents).alias("bsum"))
+    sb_row = stats_bucket(monthly, "bsum")
+    sb = sb_row.select(
+        F.explode(F.array(
+            F.struct(
+                F.lit("count").alias("key"),
+                F.col("count").alias("doc_count"),
+                F.col("count").cast("double").alias("metric"),
+            ),
+            *[
+                F.struct(
+                    F.lit(nm).alias("key"),
+                    F.col("count").alias("doc_count"),
+                    duck_round(F.col(nm) / 100.0, 6).alias("metric"),
+                )
+                for nm in ("min", "max", "sum", "avg")
+            ],
+        )).alias("b")
+    ).select(F.lit("stats_bucket").alias("agg"), "b.*")
+    nz = normalize_percent_of_sum(monthly, "bsum").select(
+        F.lit("normalize").alias("agg"),
+        F.col("month").alias("key"),
+        "doc_count",
+        duck_round("percent", 6).alias("metric"),
+    )
+    # cumulative_cardinality: distinct users seen so far per month —
+    # first-month-per-id aggregate + month-spine running sum (exact,
+    # no data-row window)
+    cc = cumulative_cardinality(ev, "ts", "user_id").select(
+        F.lit("cumulative_cardinality").alias("agg"),
+        F.col("month").alias("key"),
+        F.col("cumulative").cast("long").alias("doc_count"),
+        F.col("new_ids").cast("double").alias("metric"),
+    )
+    # geotile_grid z=4 over the derived integer-degree grid: tile floors
+    # sit far from representable inputs, so libm ULP noise cannot flip
+    gt = geotile_grid_agg(gev, F.col("glat"), F.col("glon"), 4).select(
+        F.lit("geotile").alias("agg"), "key", "doc_count",
+        F.lit(0.0).alias("metric"),
+    )
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
@@ -2930,6 +3033,8 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(tm).unionByName(mad).unionByName(mx).unionByName(sm)
         .unionByName(sa).unionByName(dv).unionByName(adh)
         .unionByName(geo).unionByName(gbb)
+        .unionByName(bx).unionByName(tt).unionByName(rt).unionByName(sb)
+        .unionByName(nz).unionByName(cc).unionByName(gt)
     )
 
 
@@ -3248,6 +3353,141 @@ SELECT agg, key, doc_count, metric FROM (
                         AND glon >= -90.0 AND glon <= 90.0
                    THEN 1 ELSE 0 END) AS BIGINT),
          0.0 FROM g
+)
+"""
+
+# round-4 session-2 breadth: boxplot (exact quartiles), t_test (Welch +
+# pooled from integer-exact power sums), rate / stats_bucket / normalize /
+# cumulative_cardinality (all over the same monthly integer-cents
+# buckets), geotile_grid (Web-Mercator tile floors) — every expression
+# mirrors the engine's association order exactly
+SQL_AGG_EXTRAS += f"""
+UNION ALL
+-- boxplot: quantile_cont is the same interpolated exact percentile as
+-- Spark's percentile(); 6dp rounding absorbs last-ulp interpolation noise
+SELECT 'boxplot', k, cnt, round(v, 6) FROM (
+  SELECT cnt,
+         unnest(['min', 'q1', 'q2', 'q3', 'max']) AS k,
+         unnest([mn, q1, q2, q3, mx]) AS v
+  FROM (
+    SELECT count(value) AS cnt,
+           CAST(min(value) AS DOUBLE) AS mn,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.5) AS q2,
+           quantile_cont(value, 0.75) AS q3,
+           CAST(max(value) AS DOUBLE) AS mx
+    FROM events
+  )
+)
+UNION ALL
+-- t_test: groups user_id parity; cents power sums are exact integers,
+-- the t closed forms mirror the engine's association order exactly
+SELECT 't_test', k, dc, round(v, 6) FROM (
+  SELECT unnest(['welch', 'pooled']) AS k,
+         unnest([CAST(na AS BIGINT), CAST(nb AS BIGINT)]) AS dc,
+         unnest([
+           (ma - mb) / sqrt(va / na + vb / nb),
+           (ma - mb) / sqrt((((na - 1.0) * va + (nb - 1.0) * vb)
+                             / (na + nb - 2.0)) * (1.0 / na + 1.0 / nb))
+         ]) AS v
+  FROM (
+    SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+           (qa - sa * sa / na) / (na - 1.0) AS va,
+           (qb - sb * sb / nb) / (nb - 1.0) AS vb
+    FROM (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN c ELSE 0 END) AS DOUBLE) AS sa,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN c ELSE 0 END) AS DOUBLE) AS sb,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN c * c ELSE 0 END) AS DOUBLE) AS qa,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN c * c ELSE 0 END) AS DOUBLE) AS qb
+      FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+    )
+  )
+)
+UNION ALL
+-- rate: per-day rate in calendar-month buckets; day count from the
+-- bucket key itself
+SELECT 'rate', mk, dc, round((CAST(sc AS DOUBLE) / CAST(days AS DOUBLE)) / 100.0, 6)
+FROM (
+  SELECT strftime(m, '%Y-%m') AS mk, dc, sc,
+         date_diff('day', m, m + INTERVAL 1 MONTH) AS days
+  FROM (
+    SELECT date_trunc('month', ts) AS m, count(*) AS dc,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sc
+    FROM events GROUP BY 1
+  )
+)
+UNION ALL
+-- stats_bucket: sibling pipeline over monthly integer-cents bucket sums
+SELECT 'stats_bucket', k, CAST(nb AS BIGINT), round(v, 6) FROM (
+  SELECT nb,
+         unnest(['count', 'min', 'max', 'sum', 'avg']) AS k,
+         unnest([CAST(nb AS DOUBLE),
+                 CAST(mnb AS DOUBLE) / 100.0,
+                 CAST(mxb AS DOUBLE) / 100.0,
+                 CAST(smb AS DOUBLE) / 100.0,
+                 (CAST(smb AS DOUBLE) / nb) / 100.0]) AS v
+  FROM (
+    SELECT count(*) AS nb, min(bsum) AS mnb, max(bsum) AS mxb, sum(bsum) AS smb
+    FROM (
+      SELECT date_trunc('month', ts) AS m,
+             sum(CAST(round(value * 100) AS BIGINT)) AS bsum
+      FROM events GROUP BY 1
+    )
+  )
+)
+UNION ALL
+-- normalize percent_of_sum over the same monthly buckets
+SELECT 'normalize', mk, dc,
+       round(CAST(bsum AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE), 6)
+FROM (
+  SELECT mk, dc, bsum, sum(bsum) OVER () AS tot FROM (
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS mk,
+           count(*) AS dc,
+           sum(CAST(round(value * 100) AS BIGINT)) AS bsum
+    FROM events GROUP BY 1
+  )
+)
+UNION ALL
+-- cumulative_cardinality: a distinct user's contribution pins to its
+-- FIRST month; running sum over the month spine only
+SELECT 'cumulative_cardinality', mk, CAST(cum AS BIGINT), CAST(nw AS DOUBLE)
+FROM (
+  WITH mm AS (
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS mk, user_id FROM events
+  ),
+  f AS (SELECT min(mk) AS mk FROM mm GROUP BY user_id),
+  n AS (SELECT mk, count(*) AS nw FROM f GROUP BY mk),
+  a AS (SELECT DISTINCT mk FROM mm)
+  SELECT a.mk AS mk, coalesce(n.nw, 0) AS nw,
+         sum(coalesce(n.nw, 0)) OVER (
+           ORDER BY a.mk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM a LEFT JOIN n USING (mk)
+)
+UNION ALL
+-- geotile_grid z=4: x is exact rational floor arithmetic; y's mercator
+-- boundaries are irrational, so integer-degree inputs sit far from them
+SELECT 'geotile', key, doc_count, 0.0 FROM (
+  WITH g AS (
+    SELECT CAST((user_id * 37) % 180 - 90 AS DOUBLE) AS glat,
+           CAST((event_id * 91) % 360 - 180 AS DOUBLE) AS glon
+    FROM events
+  ),
+  t AS (
+    SELECT least(greatest(
+             CAST(floor(((glon + 180.0) / 360.0) * 16.0) AS BIGINT), 0), 15) AS x,
+           least(greatest(glat, -85.05112878), 85.05112878)
+             * {_D2R!r} AS r
+    FROM g
+  )
+  SELECT '4/' || CAST(x AS VARCHAR) || '/' || CAST(
+           least(greatest(CAST(floor(
+             (1.0 - ln(tan(r) + 1.0 / cos(r)) / 3.141592653589793)
+             / 2.0 * 16.0) AS BIGINT), 0), 15) AS VARCHAR) AS key,
+         count(*) AS doc_count
+  FROM t GROUP BY 1
 )
 """
 

@@ -96,3 +96,55 @@ def geo_distance_agg(
         df.withColumn("__geo_dist_km", d), "__geo_dist_km", ranges,
         metrics=metrics,
     )
+
+
+#: Web-Mercator latitude clamp (ES GeoTileUtils.LATITUDE_MASK bound)
+GEOTILE_MAX_LAT = 85.05112878
+#: pi pinned as a literal so oracles share the exact mercator divisor
+PI = 3.141592653589793
+
+
+def geotile_key(lat: Column, lon: Column, zoom: int) -> Column:
+    """ES geotile_grid bucket key 'z/x/y' (slippy-map / Web-Mercator
+    tiles) as a pure column expression:
+
+        x = floor(((lon + 180) / 360) * 2^z)
+        y = floor((1 - ln(tan(r) + 1/cos(r)) / pi) / 2 * 2^z),
+            r = radians(lat clamped to +/-85.05112878)
+
+    both clamped to [0, 2^z - 1] (lon=180 / the pole rows land in the
+    last tile, per ES GeoTileUtils). The expression — association order
+    included — is the oracle contract; tile edges for integer-degree
+    test grids sit far (>= 1/45 cell in x, irrational latitudes in y)
+    from representable inputs, so cross-engine libm ULP noise cannot
+    flip a floor."""
+    if not 0 <= zoom <= 29:
+        raise ValueError(f"zoom must be in [0, 29], got {zoom}")
+    n = float(1 << zoom)
+    la = lat.cast("double")
+    lo = lon.cast("double")
+    lat_c = F.least(F.greatest(la, F.lit(-GEOTILE_MAX_LAT)), F.lit(GEOTILE_MAX_LAT))
+    x = F.floor(((lo + F.lit(180.0)) / F.lit(360.0)) * F.lit(n))
+    x = F.least(F.greatest(x, F.lit(0).cast("long")), F.lit(int(n) - 1).cast("long"))
+    r = lat_c * F.lit(DEG2RAD)
+    merc = F.log(F.tan(r) + F.lit(1.0) / F.cos(r))
+    y = F.floor((F.lit(1.0) - merc / F.lit(PI)) / F.lit(2.0) * F.lit(n))
+    y = F.least(F.greatest(y, F.lit(0).cast("long")), F.lit(int(n) - 1).cast("long"))
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
+
+
+def geotile_grid_agg(
+    df: DataFrame, lat: Column, lon: Column, zoom: int, size: int = 10_000
+) -> DataFrame:
+    """ES geotile_grid aggregation: doc counts per Web-Mercator tile at
+    ``zoom``, top ``size`` tiles by doc_count desc (key asc ties — ES
+    orders count desc). Plain groupBy over the key expression — partial
+    aggregation and codegen apply; tile cardinality is bounded by 4^zoom,
+    so the shuffle is tiny at sane zooms. Returns (key, doc_count)."""
+    key = geotile_key(lat, lon, zoom)
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )

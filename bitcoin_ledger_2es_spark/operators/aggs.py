@@ -733,3 +733,171 @@ def terms_agg(
     )
     ordered = [col.desc() if direction == "desc" else col.asc(), F.asc("key")]
     return out.orderBy(*ordered).limit(size)
+
+
+def boxplot(df: DataFrame, field: str) -> DataFrame:
+    """ES boxplot agg, EXACT: (count, min, q1, q2, q3, max) in one
+    aggregate pass. ES computes approximate quartiles with TDigest; we
+    pin EXACT interpolated percentiles (Spark ``percentile``, the same
+    linear interpolation DuckDB's ``quantile_cont`` uses) — deterministic
+    across parallelism and exactly oracle-mirrorable, which TDigest's
+    merge-order-dependent centroids are not. One shuffle-to-one
+    aggregate; percentile state is O(values) per group at the driver-free
+    exec side — fine for the single global box; bucket the frame first
+    for per-bucket boxes."""
+    c = F.col(field).cast("double")
+    return df.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.percentile(c, F.lit(0.25)).alias("q1"),
+        F.percentile(c, F.lit(0.5)).alias("q2"),
+        F.percentile(c, F.lit(0.75)).alias("q3"),
+        F.max(c).alias("max"),
+    )
+
+
+def t_test(df: DataFrame, value: Column, in_group_a: Column) -> DataFrame:
+    """ES t_test agg (two-sample, unpaired): Welch ('heteroscedastic')
+    and pooled ('homoscedastic') t statistics between the rows where
+    ``in_group_a`` is true and the rest. ONE conditional-aggregate pass
+    collects per-group (n, sum, sum_sq); means, unbiased variances and
+    both statistics are CLOSED FORMS over those sums — feed integer
+    values (e.g. cents) and the oracle mirrors bit-for-bit, the same
+    recipe as extended_stats/matrix_stats. (ES reports the p-value;
+    inverting the t CDF needs the incomplete beta, which neither SQL
+    engine pins — the statistic is the deterministic, testable part and
+    p follows from it with df_welch/df_pooled.) Returns one row:
+    (n_a, n_b, mean_a, mean_b, t_welch, t_pooled)."""
+    v = value.cast("double")
+    a, b = in_group_a, ~in_group_a
+    row = df.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(a, v).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(b, v).otherwise(0.0)).alias("sb"),
+        F.sum(F.when(a, v * v).otherwise(0.0)).alias("qa"),
+        F.sum(F.when(b, v * v).otherwise(0.0)).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    # unbiased sample variance from power sums: (q - s*s/n) / (n - 1)
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - F.lit(1.0))
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - F.lit(1.0))
+    welch = (ma - mb) / F.sqrt(va / na + vb / nb)
+    pooled_var = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+        na + nb - F.lit(2.0)
+    )
+    pooled = (ma - mb) / F.sqrt(pooled_var * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return row.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        welch.alias("t_welch"),
+        pooled.alias("t_pooled"),
+    )
+
+
+def rate_agg(
+    df: DataFrame, ts_col: str, value: Column, unit: str = "day"
+) -> DataFrame:
+    """ES rate agg inside a calendar-month date_histogram: per month,
+    sum(value) normalized to a per-``unit`` rate (unit='day' divides by
+    the month's actual day count, 'month' is the plain sum). Pure
+    groupBy — the day count is derived from the bucket key itself
+    (datediff to the next month), not from a calendar UDF. Returns
+    (month, doc_count, value_sum, rate) ordered month asc."""
+    if unit not in ("day", "month"):
+        raise ValueError(f"unsupported rate unit: {unit}")
+    m = F.date_trunc("month", F.col(ts_col))
+    out = (
+        df.groupBy(m.alias("__m"))
+        .agg(F.count("*").alias("doc_count"), F.sum(value).alias("value_sum"))
+        .withColumn(
+            "__days",
+            F.datediff(F.add_months(F.col("__m"), 1), F.col("__m")).cast("double"),
+        )
+    )
+    rate = (
+        F.col("value_sum") / F.col("__days")
+        if unit == "day"
+        else F.col("value_sum").cast("double")
+    )
+    return (
+        out.select(
+            F.date_format("__m", "yyyy-MM").alias("month"),
+            "doc_count",
+            "value_sum",
+            rate.alias("rate"),
+        )
+        .orderBy("month")
+    )
+
+
+def stats_bucket(df: DataFrame, metric_col: str) -> DataFrame:
+    """ES stats_bucket sibling pipeline agg: (count, min, max, sum, avg)
+    of a metric ACROSS the buckets of an already-aggregated frame (feed
+    it the output of histogram/date_histogram/terms_agg). Bucket counts
+    are calendar/cardinality-bounded, so this second aggregate is tiny;
+    avg is the closed form sum/count over exact bucket sums — mirror the
+    division, not a separate avg(), in oracles."""
+    c = F.col(metric_col)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        (F.sum(c).cast("double") / F.count(c)).alias("avg"),
+    )
+
+
+def normalize_percent_of_sum(df: DataFrame, metric_col: str) -> DataFrame:
+    """ES normalize pipeline agg, method=percent_of_sum: each bucket's
+    metric as a percentage of the total across buckets, appended as a
+    ``percent`` column (the rest of the bucket frame passes through).
+    The total is a 1-row aggregate broadcast back over the
+    (bucket-count-bounded) frame — no global window, no collect. Feed
+    exact integer metrics and the division mirrors bit-for-bit."""
+    total = df.agg(F.sum(F.col(metric_col)).alias("__total"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .withColumn(
+            "percent",
+            F.col(metric_col).cast("double")
+            * F.lit(100.0)
+            / F.col("__total").cast("double"),
+        )
+        .drop("__total")
+    )
+
+
+def cumulative_cardinality(
+    df: DataFrame, ts_col: str, id_col: str
+) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg over a calendar-month
+    date_histogram: per month, how many DISTINCT ids have been seen up
+    to and including that month. Exact and scale-safe: a distinct id's
+    contribution is pinned to its FIRST month (min-aggregate per id —
+    one key-partitioned shuffle), months with no new ids still appear
+    (left join against the month spine), and the running sum's window
+    runs over the month spine only — calendar-bounded rows, not data
+    rows. Returns (month, new_ids, cumulative) ordered month asc."""
+    from pyspark.sql import Window as W
+
+    m = F.date_format(F.date_trunc("month", F.col(ts_col)), "yyyy-MM")
+    first = (
+        df.select(F.col(id_col).alias("__id"), m.alias("__m"))
+        .groupBy("__id")
+        .agg(F.min("__m").alias("__m"))
+        .groupBy("__m")
+        .agg(F.count("*").alias("new_ids"))
+    )
+    spine = df.select(m.alias("__m")).distinct()
+    w = W.orderBy("__m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(first, "__m", "left")
+        .withColumn("new_ids", F.coalesce(F.col("new_ids"), F.lit(0)))
+        .withColumn("cumulative", F.sum("new_ids").over(w))
+        .select(F.col("__m").alias("month"), "new_ids", "cumulative")
+        .orderBy("month")
+    )

@@ -508,3 +508,126 @@ def test_geo_haversine_and_filters(spark):
     assert agg.set_index("key")["doc_count"].to_dict() == {"near": 1, "far": 3}
     with pytest.raises(ValueError, match="dateline"):
         geo_bounding_box(F.col("lat"), F.col("lon"), (10.0, 170.0), (0.0, -170.0))
+
+
+def test_boxplot_exact_quartiles(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import boxplot
+
+    df, pdf = num_df
+    got = boxplot(df, "v").toPandas().iloc[0]
+    assert got["count"] == len(pdf)
+    assert got["min"] == pdf.v.min() and got["max"] == pdf.v.max()
+    # numpy 'linear' interpolation == Spark percentile == quantile_cont
+    for k, q in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+        assert got[k] == pytest.approx(np.percentile(pdf.v, q * 100), abs=1e-12)
+
+
+def test_t_test_welch_and_pooled(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import t_test
+
+    df, pdf = num_df
+    got = t_test(df, F.col("v"), F.col("g") == "a").toPandas().iloc[0]
+    a = pdf.v[pdf.g == "a"].to_numpy()
+    b = pdf.v[pdf.g != "a"].to_numpy()
+    # independent recomputation: numpy means + ddof=1 variances
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = len(a), len(b)
+    welch = (a.mean() - b.mean()) / np.sqrt(va / na + vb / nb)
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    pooled = (a.mean() - b.mean()) / np.sqrt(sp2 * (1 / na + 1 / nb))
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["t_welch"] == pytest.approx(welch, rel=1e-12)
+    assert got["t_pooled"] == pytest.approx(pooled, rel=1e-12)
+
+
+@pytest.fixture(scope="module")
+def month_df(spark):
+    # three calendar months (Feb 2024 is a leap month: 29 days), one
+    # month gap in user arrivals: u1/u2 arrive in Jan, u1 repeats in Feb
+    # (no new users), u3 arrives in Mar
+    rows = [
+        ("2024-01-05 10:00:00", 1, 10.0),
+        ("2024-01-20 11:00:00", 2, 20.0),
+        ("2024-02-10 12:00:00", 1, 29.0),
+        ("2024-03-01 13:00:00", 3, 31.0),
+        ("2024-03-15 14:00:00", 1, 31.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["ts", "uid", "val"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_rate_agg_normalizes_by_month_length(month_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import rate_agg
+
+    got = rate_agg(month_df, "ts", F.col("val"), unit="day").toPandas()
+    assert got["month"].tolist() == ["2024-01", "2024-02", "2024-03"]
+    assert got["rate"].tolist() == pytest.approx([30.0 / 31, 29.0 / 29, 62.0 / 31])
+    plain = rate_agg(month_df, "ts", F.col("val"), unit="month").toPandas()
+    assert plain["rate"].tolist() == pytest.approx([30.0, 29.0, 62.0])
+    with pytest.raises(ValueError):
+        rate_agg(month_df, "ts", F.col("val"), unit="fortnight")
+
+
+def test_stats_bucket_and_normalize(month_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import (
+        normalize_percent_of_sum,
+        stats_bucket,
+    )
+
+    monthly = month_df.groupBy(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month")
+    ).agg(F.sum("val").alias("bsum"))
+    sb = stats_bucket(monthly, "bsum").toPandas().iloc[0]
+    assert sb["count"] == 3 and sb["min"] == 29.0 and sb["max"] == 62.0
+    assert sb["sum"] == 121.0 and sb["avg"] == pytest.approx(121.0 / 3)
+    nz = normalize_percent_of_sum(monthly, "bsum").orderBy("month").toPandas()
+    assert nz["percent"].tolist() == pytest.approx(
+        [30.0 / 121 * 100, 29.0 / 121 * 100, 62.0 / 121 * 100]
+    )
+    # pass-through: the bucket frame's own columns survive
+    assert set(nz.columns) == {"month", "bsum", "percent"}
+
+
+def test_cumulative_cardinality_first_month_pinning(month_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import cumulative_cardinality
+
+    got = cumulative_cardinality(month_df, "ts", "uid").toPandas()
+    assert got["month"].tolist() == ["2024-01", "2024-02", "2024-03"]
+    # u1's Feb/Mar repeats must NOT recount; Feb has no new users but
+    # still appears (month spine), carrying the cumulative forward
+    assert got["new_ids"].tolist() == [2, 0, 1]
+    assert got["cumulative"].tolist() == [2, 2, 3]
+
+
+def test_geotile_key_reference_tiles(spark):
+    import math
+
+    from bitcoin_ledger_2es_spark.functions.geo import (
+        GEOTILE_MAX_LAT,
+        geotile_key,
+    )
+
+    def ref(lat, lon, z):
+        n = 1 << z
+        lat = max(-GEOTILE_MAX_LAT, min(GEOTILE_MAX_LAT, lat))
+        x = min(n - 1, max(0, math.floor((lon + 180.0) / 360.0 * n)))
+        r = math.radians(lat)
+        y = math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.pi) / 2.0 * n)
+        return f"{z}/{x}/{min(n - 1, max(0, y))}"
+
+    pts = [
+        (0.0, 0.0), (51.5, -0.13), (-33.86, 151.2), (85.3, 10.0),
+        (-90.0, -180.0), (89.9, 179.9), (-85.06, 0.0), (37.77, -122.42),
+    ]
+    pdf = pd.DataFrame(pts, columns=["lat", "lon"])
+    for z in (0, 1, 4, 10):
+        got = (
+            spark.createDataFrame(pdf)
+            .select(geotile_key(F.col("lat"), F.col("lon"), z).alias("k"))
+            .toPandas()["k"]
+            .tolist()
+        )
+        assert got == [ref(la, lo, z) for la, lo in pts], f"zoom {z}"
+    with pytest.raises(ValueError):
+        geotile_key(F.lit(0.0), F.lit(0.0), 31)
