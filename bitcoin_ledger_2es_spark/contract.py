@@ -2702,7 +2702,10 @@ def q_agg_extras(spark, sf_dir):
     monthly integer-cents buckets; cumulative distinct = first-month
     pinning + month-spine running sum), and geotile_grid z=4
     (Web-Mercator tile keys; floors provably off the integer-degree
-    input grid)."""
+    input grid); then geohash_grid p=2 (deterministic floors, then pure
+    int64 bit-interleave + base32 — the SQL twin is GENERATED from the
+    same bit plan), geo_centroid per event_type (exact integer-degree
+    sums, closed-form mean) and geo_bounds (exact min/max edges)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -3026,6 +3029,49 @@ def q_agg_extras(spark, sf_dir):
         F.lit("geotile").alias("agg"), "key", "doc_count",
         F.lit(0.0).alias("metric"),
     )
+    # geohash_grid p=2: the same deterministic-floor argument, then pure
+    # int64 bit interleave + base32 — identical on any engine
+    from .functions.geo import (
+        geo_bounds_agg,
+        geo_centroid_agg,
+        geohash_grid_agg,
+    )
+
+    gh = geohash_grid_agg(gev, F.col("glat"), F.col("glon"), 2).select(
+        F.lit("geohash").alias("agg"), "key", "doc_count",
+        F.lit(0.0).alias("metric"),
+    )
+    # geo_centroid per event_type: integer-valued degree sums are exact,
+    # the mean is the closed form sum/count on both sides
+    gc = geo_centroid_agg(
+        gev, F.col("glat"), F.col("glon"), by="event_type"
+    ).select(
+        F.explode(F.array(
+            F.struct(
+                F.concat(F.col("event_type"), F.lit(":lat")).alias("key"),
+                F.col("doc_count"),
+                duck_round("centroid_lat", 6).alias("metric"),
+            ),
+            F.struct(
+                F.concat(F.col("event_type"), F.lit(":lon")).alias("key"),
+                F.col("doc_count"),
+                duck_round("centroid_lon", 6).alias("metric"),
+            ),
+        )).alias("b")
+    ).select(F.lit("geo_centroid").alias("agg"), "b.*")
+    # geo_bounds per event_type: exact min/max, four edge rows per group
+    gb = geo_bounds_agg(
+        gev, F.col("glat"), F.col("glon"), by="event_type"
+    ).select(
+        F.explode(F.array(*[
+            F.struct(
+                F.concat(F.col("event_type"), F.lit(":" + edge)).alias("key"),
+                F.col("doc_count"),
+                F.col(edge).alias("metric"),
+            )
+            for edge in ("top", "bottom", "left", "right")
+        ])).alias("b")
+    ).select(F.lit("geo_bounds").alias("agg"), "b.*")
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
@@ -3035,6 +3081,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(geo).unionByName(gbb)
         .unionByName(bx).unionByName(tt).unionByName(rt).unionByName(sb)
         .unionByName(nz).unionByName(cc).unionByName(gt)
+        .unionByName(gh).unionByName(gc).unionByName(gb)
     )
 
 
@@ -3488,6 +3535,53 @@ SELECT 'geotile', key, doc_count, 0.0 FROM (
              / 2.0 * 16.0) AS BIGINT), 0), 15) AS VARCHAR) AS key,
          count(*) AS doc_count
   FROM t GROUP BY 1
+)
+"""
+
+from .functions.geo import geohash_sql_parts as _gh_parts  # noqa: E402
+
+_GH = _gh_parts("glat", "glon", 2)
+# geohash_grid p=2 / geo_centroid / geo_bounds over the same derived
+# integer-degree grid: the geohash x/y/z/key pieces are GENERATED from
+# the same bit plan as the Spark expression (functions/geo.py); centroid
+# sums are exact (integer-valued doubles), bounds are exact min/max
+SQL_AGG_EXTRAS += f"""
+UNION ALL
+SELECT 'geohash', key, doc_count, 0.0 FROM (
+  WITH g AS (
+    SELECT CAST((user_id * 37) % 180 - 90 AS DOUBLE) AS glat,
+           CAST((event_id * 91) % 360 - 180 AS DOUBLE) AS glon
+    FROM events
+  ),
+  q AS (SELECT {_GH['x']} AS x, {_GH['y']} AS y FROM g),
+  zt AS (SELECT ({_GH['z']}) AS z FROM q)
+  SELECT {_GH['key']} AS key, count(*) AS doc_count FROM zt GROUP BY 1
+)
+UNION ALL
+SELECT 'geo_centroid', key, dc, round(v, 6) FROM (
+  SELECT dc,
+         unnest([et || ':lat', et || ':lon']) AS key,
+         unnest([slat / dc, slon / dc]) AS v
+  FROM (
+    SELECT event_type AS et, count(*) AS dc,
+           sum(CAST((user_id * 37) % 180 - 90 AS DOUBLE)) AS slat,
+           sum(CAST((event_id * 91) % 360 - 180 AS DOUBLE)) AS slon
+    FROM events GROUP BY 1
+  )
+)
+UNION ALL
+SELECT 'geo_bounds', key, dc, v FROM (
+  SELECT dc,
+         unnest([et || ':top', et || ':bottom', et || ':left', et || ':right']) AS key,
+         unnest([mxla, mnla, mnlo, mxlo]) AS v
+  FROM (
+    SELECT event_type AS et, count(*) AS dc,
+           max(CAST((user_id * 37) % 180 - 90 AS DOUBLE)) AS mxla,
+           min(CAST((user_id * 37) % 180 - 90 AS DOUBLE)) AS mnla,
+           min(CAST((event_id * 91) % 360 - 180 AS DOUBLE)) AS mnlo,
+           max(CAST((event_id * 91) % 360 - 180 AS DOUBLE)) AS mxlo
+    FROM events GROUP BY 1
+  )
 )
 """
 

@@ -133,6 +133,152 @@ def geotile_key(lat: Column, lon: Column, zoom: int) -> Column:
     return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
 
 
+#: geohash base32 alphabet (Niemeyer / ES GeoHashUtils — no a,i,l,o)
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_plan(precision: int):
+    """Shared bit plan for the Spark and SQL geohash builders: lon gets
+    ceil(5p/2) bits, lat floor(5p/2); stream bit i (MSB-first) is a lon
+    bit for even i, lat for odd — the standard Niemeyer interleave."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    nbits = 5 * precision
+    xb, yb = (nbits + 1) // 2, nbits // 2
+    plan = []  # (is_lon, source_bit, stream_shift)
+    for i in range(nbits):
+        if i % 2 == 0:
+            plan.append((True, xb - 1 - i // 2, nbits - 1 - i))
+        else:
+            plan.append((False, yb - 1 - i // 2, nbits - 1 - i))
+    return nbits, xb, yb, plan
+
+
+def geohash_key(lat: Column, lon: Column, precision: int) -> Column:
+    """ES geohash_grid bucket key: the ``precision``-char Niemeyer
+    geohash as a pure column expression. Two deterministic floors
+    quantize lon/lat to ceil(5p/2)/floor(5p/2)-bit cells
+
+        x = floor((lon + 180) / 360 * 2^xb)   (clamped to [0, 2^xb - 1])
+        y = floor((lat + 90) / 180 * 2^yb)
+
+    then EVERYTHING is exact int64 bit arithmetic — interleave (lon
+    first), 5-bit chunks, base32 chars — identical on any engine. The
+    floor determinism argument matches geotile_key: for integer-degree
+    inputs the pre-floor value is either exactly representable (ratio
+    k/2^m when 45 | lon+180, resp. lat+90) or at least 1/45 from the
+    nearest integer, so 1-ULP libm noise cannot flip a cell."""
+    nbits, xb, yb, plan = _geohash_plan(precision)
+    la, lo = lat.cast("double"), lon.cast("double")
+    x = F.floor((lo + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << xb)))
+    x = F.least(F.greatest(x, F.lit(0).cast("long")), F.lit((1 << xb) - 1).cast("long"))
+    y = F.floor((la + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << yb)))
+    y = F.least(F.greatest(y, F.lit(0).cast("long")), F.lit((1 << yb) - 1).cast("long"))
+    z = F.lit(0).cast("long")
+    for is_lon, src, shift in plan:
+        bit = F.shiftright(x if is_lon else y, src).bitwiseAND(F.lit(1).cast("long"))
+        z = z + F.shiftleft(bit, shift)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_BASE32),
+            (
+                F.shiftright(z, 5 * (precision - 1 - j))
+                .bitwiseAND(F.lit(31).cast("long"))
+                + F.lit(1)
+            ).cast("int"),
+            1,
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql_parts(lat_sql: str, lon_sql: str, precision: int) -> dict:
+    """The DuckDB twin of :func:`geohash_key`, generated from the SAME
+    bit plan — every floor, shift, mask, and char lookup mirrors the
+    Spark expression term for term (the oracle contract). Returned as
+    staged pieces for a CTE pipeline (x/y over the coordinates, z over
+    columns named x and y, key over a column named z):
+
+        SELECT <x> AS x, <y> AS y FROM data
+        -> SELECT (<z>) AS z FROM ...
+        -> SELECT <key> AS key FROM ..."""
+    nbits, xb, yb, plan = _geohash_plan(precision)
+    x = (
+        f"least(greatest(CAST(floor((({lon_sql}) + 180.0) / 360.0 * "
+        f"{float(1 << xb)!r}) AS BIGINT), 0), {(1 << xb) - 1})"
+    )
+    y = (
+        f"least(greatest(CAST(floor((({lat_sql}) + 90.0) / 180.0 * "
+        f"{float(1 << yb)!r}) AS BIGINT), 0), {(1 << yb) - 1})"
+    )
+    z = " + ".join(
+        f"((({'x' if is_lon else 'y'} >> {src}) & 1) << {shift})"
+        for is_lon, src, shift in plan
+    )
+    key = " || ".join(
+        f"substr('{GEOHASH_BASE32}', CAST(((z >> {5 * (precision - 1 - j)}) & 31)"
+        f" + 1 AS INTEGER), 1)"
+        for j in range(precision)
+    )
+    return {"x": x, "y": y, "z": z, "key": key}
+
+
+def geohash_grid_agg(
+    df: DataFrame, lat: Column, lon: Column, precision: int,
+    size: int = 10_000,
+) -> DataFrame:
+    """ES geohash_grid aggregation: doc counts per geohash cell at
+    ``precision``, top ``size`` by doc_count desc (key asc ties). Same
+    shape as geotile_grid_agg — one partial-aggregated groupBy over a
+    codegen key expression, cell cardinality bounded by 32^precision."""
+    key = geohash_key(lat, lon, precision)
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def geo_centroid_agg(df: DataFrame, lat: Column, lon: Column, by=None) -> DataFrame:
+    """ES geo_centroid aggregation: arithmetic mean of lat and lon
+    (degree-space means, the ES definition for non-wrapping data),
+    optionally per ``by`` group. The means are emitted as the closed
+    form sum/count — mirror the division, not avg(), in oracles; feed
+    integer-valued or fixed-point coordinates for bit-exact sums
+    (float sums are shuffle-order-dependent otherwise)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    out = g.agg(
+        F.count("*").alias("doc_count"),
+        F.sum(lat.cast("double")).alias("__slat"),
+        F.sum(lon.cast("double")).alias("__slon"),
+    )
+    return out.select(
+        *keys,
+        "doc_count",
+        (F.col("__slat") / F.col("doc_count")).alias("centroid_lat"),
+        (F.col("__slon") / F.col("doc_count")).alias("centroid_lon"),
+    )
+
+
+def geo_bounds_agg(df: DataFrame, lat: Column, lon: Column, by=None) -> DataFrame:
+    """ES geo_bounds aggregation: the smallest box covering the points —
+    top = max lat, bottom = min lat, left = min lon, right = max lon
+    (ES reports top_left/bottom_right; non-wrapping form). Exact
+    min/max, no float-order concerns."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    return g.agg(
+        F.count("*").alias("doc_count"),
+        F.max(lat.cast("double")).alias("top"),
+        F.min(lat.cast("double")).alias("bottom"),
+        F.min(lon.cast("double")).alias("left"),
+        F.max(lon.cast("double")).alias("right"),
+    )
+
+
 def geotile_grid_agg(
     df: DataFrame, lat: Column, lon: Column, zoom: int, size: int = 10_000
 ) -> DataFrame:

@@ -631,3 +631,96 @@ def test_geotile_key_reference_tiles(spark):
         assert got == [ref(la, lo, z) for la, lo in pts], f"zoom {z}"
     with pytest.raises(ValueError):
         geotile_key(F.lit(0.0), F.lit(0.0), 31)
+
+
+def test_geohash_key_vs_interval_halving_reference(spark):
+    from bitcoin_ledger_2es_spark.functions.geo import (
+        GEOHASH_BASE32,
+        geohash_key,
+    )
+
+    def ref(lat, lon, p):
+        # independent algorithm: classic interval halving (not bit math)
+        lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even = [], True
+        while len(bits) < 5 * p:
+            iv, v = (lon_i, lon) if even else (lat_i, lat)
+            mid = (iv[0] + iv[1]) / 2
+            if v >= mid:
+                bits.append(1)
+                iv[0] = mid
+            else:
+                bits.append(0)
+                iv[1] = mid
+            even = not even
+        return "".join(
+            GEOHASH_BASE32[
+                sum(b << (4 - t) for t, b in enumerate(bits[5 * j : 5 * j + 5]))
+            ]
+            for j in range(p)
+        )
+
+    # the canonical worked example from Niemeyer's geohash
+    assert ref(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    pts = [
+        (57.64911, 10.40744), (0.0, 0.0), (-90.0, -180.0), (90.0, 180.0),
+        (51.5, -0.13), (-33.86, 151.2), (37.77, -122.42), (45.0, 45.0),
+    ]
+    pdf = pd.DataFrame(pts, columns=["lat", "lon"])
+    for p in (1, 2, 5, 11):
+        got = (
+            spark.createDataFrame(pdf)
+            .select(geohash_key(F.col("lat"), F.col("lon"), p).alias("k"))
+            .toPandas()["k"].tolist()
+        )
+        assert got == [ref(la, lo, p) for la, lo in pts], f"precision {p}"
+    with pytest.raises(ValueError):
+        geohash_key(F.lit(0.0), F.lit(0.0), 13)
+
+
+def test_geohash_sql_parts_mirror_spark(spark):
+    import duckdb
+
+    from bitcoin_ledger_2es_spark.functions.geo import (
+        geohash_key,
+        geohash_sql_parts,
+    )
+
+    pts = [(57.64911, 10.40744), (0.0, 0.0), (-89.0, 179.0), (12.34, -56.78)]
+    pdf = pd.DataFrame(pts, columns=["lat", "lon"])
+    for p in (2, 6):
+        got = (
+            spark.createDataFrame(pdf)
+            .select(geohash_key(F.col("lat"), F.col("lon"), p).alias("k"))
+            .toPandas()["k"].tolist()
+        )
+        parts = geohash_sql_parts("lat", "lon", p)
+        con = duckdb.connect()
+        con.register("pts", pdf)
+        exp = con.sql(
+            f"WITH q AS (SELECT {parts['x']} AS x, {parts['y']} AS y FROM pts),"
+            f" zt AS (SELECT ({parts['z']}) AS z FROM q)"
+            f" SELECT {parts['key']} AS k FROM zt"
+        ).df()["k"].tolist()
+        assert got == exp, f"precision {p}"
+
+
+def test_geo_centroid_and_bounds(spark):
+    from bitcoin_ledger_2es_spark.functions.geo import (
+        geo_bounds_agg,
+        geo_centroid_agg,
+    )
+
+    rows = [("a", 10.0, 20.0), ("a", 30.0, -40.0), ("b", -5.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, lat double, lon double")
+    c = geo_centroid_agg(df, F.col("lat"), F.col("lon"), by="g").toPandas()
+    c = c.set_index("g")
+    assert c.loc["a", "centroid_lat"] == 20.0 and c.loc["a", "centroid_lon"] == -10.0
+    assert c.loc["b", "doc_count"] == 1 and c.loc["b", "centroid_lon"] == 5.0
+    b = geo_bounds_agg(df, F.col("lat"), F.col("lon"), by="g").toPandas()
+    b = b.set_index("g")
+    assert (b.loc["a", ["top", "bottom", "left", "right"]].tolist()
+            == [30.0, 10.0, -40.0, 20.0])
+    # global (no by): one row over everything
+    g = geo_bounds_agg(df, F.col("lat"), F.col("lon")).toPandas()
+    assert len(g) == 1 and g.loc[0, "doc_count"] == 3 and g.loc[0, "bottom"] == -5.0
