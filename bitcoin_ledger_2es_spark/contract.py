@@ -1584,28 +1584,78 @@ def q_pipeline_aggs(spark, sf_dir):
     window), serial_diff (lag 2), bucket_selector (keep days at or above
     their moving average — first bucket's null window drops, as a null
     script result does in ES), bucket_sort (sum desc, day asc tiebreak,
-    size 15) with the resulting rank."""
+    size 15) with the resulting rank. Session-2 additions on EXACT
+    integer cents (order-independent sums): bucket_script (per-day
+    mean = cents/count/100 — the Painless script as a Column),
+    percentiles_bucket p50 and extended_stats_bucket std ACROSS the
+    complete histogram (sibling eval order: computed BEFORE the
+    selector prunes), attached as constant columns via a broadcast
+    1-row cross join. Session-3 additions, same exactness recipe:
+    max_bucket (value + ES ``keys`` list of ALL attaining days, sorted
+    asc comma-joined) and moving_percentiles p50 over the 3 buckets
+    before the current one (exclusive window, exact interpolation ==
+    DuckDB quantile_cont)."""
     from .operators.aggs import (
+        bucket_script,
         bucket_selector,
         bucket_sort,
+        extended_stats_bucket,
+        max_bucket,
         moving_fn,
+        moving_percentiles,
+        percentiles_bucket,
         serial_diff,
     )
 
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
-        .agg(F.sum("value").alias("sv"))
+        .agg(
+            F.sum("value").alias("sv"),
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        )
+    )
+    # sibling pipelines run over the COMPLETE histogram (before the
+    # selector): exact integer cents make them order-independent
+    pb = percentiles_bucket(daily, "sc", [50.0]).select(
+        (F.col("p50") / F.lit(100.0)).alias("__p50")
+    )
+    eb = extended_stats_bucket(daily, "sc").select(
+        (F.col("std_deviation") / F.lit(100.0)).alias("__std")
+    )
+    mb = max_bucket(daily, "day", "sc").select(
+        (F.col("value") / F.lit(100.0)).alias("__mxv"),
+        F.col("keys").alias("__mxk"),
+    )
+    daily = (
+        bucket_script(
+            daily,
+            F.col("sc").cast("double") / F.col("cnt") / F.lit(100.0),
+            out="per_doc",
+        )
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(mb))
     )
     w = Window.orderBy("day")
     piped = daily.select(
         "day",
         "sv",
+        "sc",
+        "per_doc",
+        "__p50",
+        "__std",
+        "__mxv",
+        "__mxk",
         (F.col("sv") - F.lag("sv").over(w)).alias("deriv"),
         F.sum("sv").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
     )
     piped = moving_fn(piped, "day", "sv", window=3, fn="avg", out="mv3")
     piped = serial_diff(piped, "day", "sv", lag=2, out="sd2")
+    piped = moving_percentiles(
+        piped, "day", "sc", window=3, percents=[50.0], prefix="__mp"
+    ).withColumn("__mp50", F.col("__mp50") / F.lit(100.0))
     kept = bucket_selector(piped, F.col("sv") >= F.col("mv3"))
     top = bucket_sort(kept, [("sv", "desc"), ("day", "asc")], size=15)
     wr = Window.orderBy(F.desc("sv"), F.asc("day"))
@@ -1617,27 +1667,58 @@ def q_pipeline_aggs(spark, sf_dir):
         duck_round("cum", 6).alias("cumulative"),
         duck_round("mv3", 6).alias("moving_avg3"),
         duck_round("sd2", 6).alias("serial_diff2"),
+        duck_round("per_doc", 6).alias("bucket_script_per_doc"),
+        duck_round("__p50", 6).alias("p50_bucket"),
+        duck_round("__std", 6).alias("extended_stats_bucket_std"),
+        duck_round("__mxv", 6).alias("max_bucket_value"),
+        F.col("__mxk").alias("max_bucket_keys"),
+        duck_round("__mp50", 6).alias("moving_p50_3"),
     )
 
 
 SQL_PIPELINE_AGGS = """
 WITH daily AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, sum(value) AS sv
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, sum(value) AS sv,
+         count(*) AS cnt,
+         sum(CAST(round(value * 100) AS BIGINT)) AS sc
   FROM events GROUP BY 1
+),
+-- sibling pipelines over the COMPLETE histogram (before the selector);
+-- exact integer cents, closed-form std (extended_stats recipe),
+-- quantile_cont == Spark percentile interpolation
+sib AS (
+  SELECT quantile_cont(CAST(sc AS DOUBLE), 0.5) / 100.0 AS p50,
+         sqrt(sum(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / count(sc)
+              - (sum(CAST(sc AS DOUBLE)) / count(sc))
+                * (sum(CAST(sc AS DOUBLE)) / count(sc))) / 100.0 AS std,
+         (SELECT CAST(max(sc) AS DOUBLE) / 100.0 FROM daily) AS mxv,
+         (SELECT string_agg(day, ',' ORDER BY day) FROM daily
+          WHERE sc = (SELECT max(sc) FROM daily)) AS mxk
+  FROM daily
 ),
 piped AS (
   SELECT day, sv,
          sv - lag(sv) OVER (ORDER BY day) AS deriv,
          sum(sv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          avg(sv) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mv3,
-         sv - lag(sv, 2) OVER (ORDER BY day) AS sd2
+         sv - lag(sv, 2) OVER (ORDER BY day) AS sd2,
+         CAST(sc AS DOUBLE) / cnt / 100.0 AS per_doc,
+         quantile_cont(CAST(sc AS DOUBLE), 0.5)
+           OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+           / 100.0 AS mp50
   FROM daily
 )
 SELECT row_number() OVER (ORDER BY sv DESC, day ASC) AS rank, day,
        round(sv, 6) AS sum_value, round(deriv, 6) AS derivative,
        round(cum, 6) AS cumulative, round(mv3, 6) AS moving_avg3,
-       round(sd2, 6) AS serial_diff2
-FROM piped WHERE sv >= mv3
+       round(sd2, 6) AS serial_diff2,
+       round(per_doc, 6) AS bucket_script_per_doc,
+       round(p50, 6) AS p50_bucket,
+       round(std, 6) AS extended_stats_bucket_std,
+       round(mxv, 6) AS max_bucket_value,
+       mxk AS max_bucket_keys,
+       round(mp50, 6) AS moving_p50_3
+FROM piped, sib WHERE sv >= mv3
 ORDER BY sv DESC, day ASC LIMIT 15
 """
 

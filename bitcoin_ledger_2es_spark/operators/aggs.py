@@ -281,6 +281,106 @@ def bucket_sort(
     return out
 
 
+def bucket_script(df: DataFrame, expr: Column, out: str = "bucket_script") -> DataFrame:
+    """ES bucket_script pipeline agg: a per-bucket computed metric from
+    the bucket's other metrics (a parent pipeline — evaluated per bucket
+    BEFORE bucket_selector, exactly like derivative). A plain projection
+    over the bucket frame; ES's Painless script becomes a Column
+    expression, which also makes it oracle-mirrorable."""
+    return df.withColumn(out, expr)
+
+
+def percentiles_bucket(
+    df: DataFrame, metric_col: str, percents: list[float] = (25.0, 50.0, 75.0)
+) -> DataFrame:
+    """ES percentiles_bucket sibling pipeline agg: EXACT interpolated
+    percentiles of a metric across the buckets of an aggregated frame
+    (ES computes these exactly too — sibling inputs are the complete,
+    small bucket list, no TDigest involved). One row, one column per
+    percent (p25, p50, ...); feed integer-exact bucket metrics and the
+    quantile_cont twin mirrors bit-for-bit."""
+    c = F.col(metric_col).cast("double")
+    return df.agg(*[
+        F.percentile(c, F.lit(float(p) / 100.0)).alias(f"p{p:g}")
+        for p in percents
+    ])
+
+
+def extended_stats_bucket(df: DataFrame, metric_col: str, sigma: float = 2.0) -> DataFrame:
+    """ES extended_stats_bucket sibling pipeline agg: the full
+    extended_stats moment set computed ACROSS buckets — exactly
+    extended_stats applied to the bucket frame (same closed forms over
+    (count, sum, sum_of_squares), same oracle recipe)."""
+    return extended_stats(df, metric_col, sigma=sigma)
+
+
+def min_bucket(df: DataFrame, key_col: str, metric_col: str) -> DataFrame:
+    """ES min_bucket sibling pipeline agg: the minimum of a metric across
+    buckets PLUS the list of bucket keys attaining it (ES returns
+    ``keys``, plural — ties are real). One row (value, keys) with keys
+    sorted ascending and comma-joined, so it string-mirrors in SQL twins
+    (DuckDB: string_agg over the min-filtered frame). Two tiny aggregates
+    over an already-bucket-bounded frame — no window, no collect."""
+    return _extreme_bucket(df, key_col, metric_col, F.min)
+
+
+def max_bucket(df: DataFrame, key_col: str, metric_col: str) -> DataFrame:
+    """ES max_bucket sibling pipeline agg: max across buckets + attaining
+    keys (sorted asc, comma-joined). See :func:`min_bucket`."""
+    return _extreme_bucket(df, key_col, metric_col, F.max)
+
+
+def _extreme_bucket(df: DataFrame, key_col: str, metric_col: str, agg) -> DataFrame:
+    ext = df.agg(agg(F.col(metric_col)).alias("value"))
+    return (
+        df.join(F.broadcast(ext), F.col(metric_col) == F.col("value"))
+        .groupBy("value")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col(key_col).cast("string"))), ","
+            ).alias("keys")
+        )
+        .select("value", "keys")
+    )
+
+
+def sum_bucket(df: DataFrame, metric_col: str) -> DataFrame:
+    """ES sum_bucket sibling pipeline agg — the sum column of
+    :func:`stats_bucket` (kept as a named ES-parity surface)."""
+    return df.agg(F.sum(F.col(metric_col)).alias("value"))
+
+
+def avg_bucket(df: DataFrame, metric_col: str) -> DataFrame:
+    """ES avg_bucket sibling pipeline agg — closed-form sum/count like
+    :func:`stats_bucket` (mirror the division in oracles, not avg())."""
+    c = F.col(metric_col)
+    return df.agg((F.sum(c).cast("double") / F.count(c)).alias("value"))
+
+
+def moving_percentiles(
+    df: DataFrame, order_col: str, value_col: str, window: int,
+    percents: list[float] = (50.0,), prefix: str = "mov_p",
+) -> DataFrame:
+    """ES moving_percentiles pipeline agg (shift=0): exact interpolated
+    percentiles over the ``window`` buckets BEFORE the current one,
+    exclusive — the same [i-window, i) frame as :func:`moving_fn` (ES
+    computes these from the window's TDigest; bucket windows are tiny,
+    so exact interpolation is both stronger and oracle-mirrorable —
+    DuckDB twin: quantile_cont(x, p) OVER (ORDER BY ... ROWS BETWEEN
+    window PRECEDING AND 1 PRECEDING)). Null while the window is empty
+    (first bucket)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(order_col).rowsBetween(-window, -1)
+    out = df
+    for p in percents:
+        out = out.withColumn(
+            f"{prefix}{p:g}",
+            F.percentile(F.col(value_col).cast("double"), F.lit(p / 100.0)).over(w),
+        )
+    return out
+
+
 def significant_text(
     fg_docs: DataFrame,
     corpus: DataFrame,

@@ -724,3 +724,57 @@ def test_geo_centroid_and_bounds(spark):
     # global (no by): one row over everything
     g = geo_bounds_agg(df, F.col("lat"), F.col("lon")).toPandas()
     assert len(g) == 1 and g.loc[0, "doc_count"] == 3 and g.loc[0, "bottom"] == -5.0
+
+
+def test_bucket_script_percentiles_and_extended_stats_bucket(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import (
+        bucket_script,
+        extended_stats_bucket,
+        percentiles_bucket,
+    )
+
+    buckets = spark.createDataFrame(
+        [("a", 10, 2), ("b", 20, 4), ("c", 40, 5), ("d", 30, 3)],
+        "key string, metric long, n long",
+    )
+    bs = bucket_script(
+        buckets, F.col("metric") / F.col("n"), out="per_n"
+    ).toPandas().set_index("key")
+    assert bs.loc["b", "per_n"] == 5.0 and bs.loc["c", "per_n"] == 8.0
+    pb = percentiles_bucket(buckets, "metric", [25.0, 50.0, 75.0]).toPandas().iloc[0]
+    assert pb["p25"] == 17.5 and pb["p50"] == 25.0 and pb["p75"] == 32.5
+    eb = extended_stats_bucket(buckets, "metric").toPandas().iloc[0]
+    assert eb["count"] == 4 and eb["sum"] == 100.0 and eb["avg"] == 25.0
+    # population variance: E[x^2] - E[x]^2 = (100+400+1600+900)/4 - 625
+    assert eb["variance"] == pytest.approx(3000 / 4 - 625)
+
+
+def test_min_max_sum_avg_bucket_and_moving_percentiles(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import (
+        avg_bucket,
+        max_bucket,
+        min_bucket,
+        moving_percentiles,
+        sum_bucket,
+    )
+
+    buckets = spark.createDataFrame(
+        [("a", 10), ("b", 40), ("c", 40), ("d", 30)],
+        "key string, metric long",
+    )
+    mx = max_bucket(buckets, "key", "metric").toPandas().iloc[0]
+    assert mx["value"] == 40 and mx["keys"] == "b,c"  # ES keys: ALL ties
+    mn = min_bucket(buckets, "key", "metric").toPandas().iloc[0]
+    assert mn["value"] == 10 and mn["keys"] == "a"
+    assert sum_bucket(buckets, "metric").toPandas().iloc[0]["value"] == 120
+    assert avg_bucket(buckets, "metric").toPandas().iloc[0]["value"] == 30.0
+    mp = (
+        moving_percentiles(buckets, "key", "metric", window=3, percents=[50.0])
+        .orderBy("key").toPandas()
+    )
+    # exclusive window [i-3, i): a -> empty(null), b -> {10}, c -> {10,40},
+    # d -> {10,40,40} (interpolated p50 = 40)
+    assert pd.isna(mp.loc[0, "mov_p50"])
+    assert mp.loc[1, "mov_p50"] == 10.0
+    assert mp.loc[2, "mov_p50"] == 25.0
+    assert mp.loc[3, "mov_p50"] == 40.0
