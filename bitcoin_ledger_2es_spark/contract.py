@@ -1819,6 +1819,13 @@ SELECT rank, doc_id, final, fn_value FROM (
 MLT_TEXT = "data data table spark row window the"
 _MLT_MAX_TERMS = 5
 SPAN_FIRST = ("data", 5)
+# span composition family: clause strings + composition params (the
+# phrase clause "sort table" matches ordered within SPAN_OR_SLOP)
+SPAN_OR_CLAUSES = ["scan", "merge", "sort table"]
+SPAN_OR_SLOP = 2
+SPAN_NOT = ("join", "row", 1, 2)  # include, exclude, pre, post
+SPAN_CONTAIN = ("table scan", "merge", 4)  # big, little, slop
+SPAN_WITHIN = ("scan", "table merge", 6)  # little, big, slop
 PERCOLATE_QUERIES = [
     (0, "data row", "and", 0),
     (1, "data table window", "or", 2),
@@ -1938,7 +1945,13 @@ def q_advanced_queries(spark, sf_dir):
       model multi_match's per-field scoring deliberately is not) for
       'data src3' over body+source: tf/dl/df/avgdl of the literally
       combined pseudo-field, BM25 once per term, f64 fold in ascending
-      term order; key = doc_id, n = 0."""
+      term order; key = doc_id, n = 0.
+    * ``span_or`` / ``span_not`` / ``span_containing`` / ``span_within``
+      — the Lucene span composition family (operators/spans.py): union /
+      overlap-exclusion (pre/post slack) / containment both ways over
+      greedy-earliest clause spans, freq = sum of 1/(1+gap) folded in
+      (start, end) order (SQL twin: sum(... ORDER BY s, e)), idf from
+      the scoring side's terms; key = doc_id, n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2104,12 +2117,37 @@ def q_advanced_queries(spark, sf_dir):
         .alias("score3"),
         F.col("rank").cast("long").alias("n"),
     )
+
+    def _span_rows(kind, df):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col("doc_id").cast("string").alias("key"),
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+            F.lit(0).cast("long").alias("n"),
+        )
+
+    so = _span_rows("span_or", s.span_or_query(
+        SPAN_OR_CLAUSES, slop=SPAN_OR_SLOP, k=1_000_000, with_meta=False
+    ))
+    sn = _span_rows("span_not", s.span_not_query(
+        SPAN_NOT[0], SPAN_NOT[1], pre=SPAN_NOT[2], post=SPAN_NOT[3],
+        k=1_000_000, with_meta=False,
+    ))
+    sc = _span_rows("span_containing", s.span_containing_query(
+        SPAN_CONTAIN[0], SPAN_CONTAIN[1], slop=SPAN_CONTAIN[2],
+        k=1_000_000, with_meta=False,
+    ))
+    sw = _span_rows("span_within", s.span_within_query(
+        SPAN_WITHIN[0], SPAN_WITHIN[1], slop=SPAN_WITHIN[2],
+        k=1_000_000, with_meta=False,
+    ))
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
         .unionByName(pc).unionByName(re_rows).unionByName(sy)
         .unionByName(pp).unionByName(bp).unionByName(tv).unionByName(pn)
         .unionByName(cf)
+        .unionByName(so).unionByName(sn).unionByName(sc).unionByName(sw)
     )
 
 
@@ -2650,13 +2688,115 @@ SELECT 'combined_fields' AS kind, key, score3, n FROM (
 )
 """
 
+# --- span composition twins: spans in SQL mirror operators/spans.py ---
+# greedy-earliest 2-term chain: e = the MINIMAL t1 position after the t0
+# occurrence; the chain dies (HAVING) when that minimal e breaks the
+# slop bound — exactly _ordered_spans' per-slot rule, no fallback.
+_SQL_IDF_T = (
+    "ln(1.0 + (c.n_docs - (SELECT count(DISTINCT doc_id) FROM toks "
+    "WHERE tok = '{t}') + 0.5) / ((SELECT count(DISTINCT doc_id) FROM toks "
+    "WHERE tok = '{t}') + 0.5))"
+)
+
+
+def _sql_term_spans(t: str) -> str:
+    return (
+        f"SELECT doc_id, pos AS s, pos AS e, 0 AS gap FROM toks "
+        f"WHERE tok = '{t}'"
+    )
+
+
+def _sql_chain_spans(t0: str, t1: str, slop: int) -> str:
+    return f"""SELECT a.doc_id, a.pos AS s, min(b.pos) AS e,
+           min(b.pos) - a.pos - 1 AS gap
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.tok = '{t1}'
+    WHERE a.tok = '{t0}'
+    GROUP BY a.doc_id, a.pos
+    HAVING min(b.pos) <= a.pos + 1 + {slop}"""
+
+
+def _sql_span_family(kind: str, surv_sql: str, idf_terms: list[str]) -> str:
+    """BM25 over surviving spans: freq = sum 1/(1+gap) in (s, e) order
+    (the engine's f64 fold), idf summed over the scoring side's terms in
+    clause order, f32-quantized emission — the _SQL_SPAN_FIRST recipe."""
+    idf = " + ".join(_SQL_IDF_T.format(t=t) for t in idf_terms)
+    return f"""
+SELECT '{kind}' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  dls AS (
+    SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl FROM documents
+  ),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  surv AS ({surv_sql}),
+  freqs AS (
+    SELECT doc_id, sum(1.0 / (1.0 + CAST(gap AS DOUBLE)) ORDER BY s, e) AS tf
+    FROM surv GROUP BY doc_id
+  )
+  SELECT f.doc_id,
+         ({idf}) * f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS score
+  FROM freqs f JOIN dls USING (doc_id), corpus c
+)
+"""
+
+
+_SQL_SPAN_OR = _sql_span_family(
+    "span_or",
+    f"""{_sql_term_spans(SPAN_OR_CLAUSES[0])}
+    UNION ALL {_sql_term_spans(SPAN_OR_CLAUSES[1])}
+    UNION ALL {_sql_chain_spans(*SPAN_OR_CLAUSES[2].split(), SPAN_OR_SLOP)}""",
+    SPAN_OR_CLAUSES[0].split() + SPAN_OR_CLAUSES[1].split()
+    + SPAN_OR_CLAUSES[2].split(),
+)
+
+_SQL_SPAN_NOT = _sql_span_family(
+    "span_not",
+    f"""SELECT i.doc_id, i.s, i.e, i.gap FROM ({_sql_term_spans(SPAN_NOT[0])}) i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({_sql_term_spans(SPAN_NOT[1])}) x
+      WHERE x.doc_id = i.doc_id
+        AND x.s <= i.e + {SPAN_NOT[3]} AND x.e >= i.s - {SPAN_NOT[2]})""",
+    [SPAN_NOT[0]],
+)
+
+_SQL_SPAN_CONTAINING = _sql_span_family(
+    "span_containing",
+    f"""SELECT bq.doc_id, bq.s, bq.e, bq.gap
+    FROM ({_sql_chain_spans(*SPAN_CONTAIN[0].split(), SPAN_CONTAIN[2])}) bq
+    WHERE EXISTS (
+      SELECT 1 FROM ({_sql_term_spans(SPAN_CONTAIN[1])}) l
+      WHERE l.doc_id = bq.doc_id AND l.s >= bq.s AND l.e <= bq.e)""",
+    SPAN_CONTAIN[0].split(),
+)
+
+_SQL_SPAN_WITHIN = _sql_span_family(
+    "span_within",
+    f"""SELECT l.doc_id, l.s, l.e, l.gap
+    FROM ({_sql_term_spans(SPAN_WITHIN[0])}) l
+    WHERE EXISTS (
+      SELECT 1 FROM ({_sql_chain_spans(*SPAN_WITHIN[1].split(), SPAN_WITHIN[2])}) bq
+      WHERE bq.doc_id = l.doc_id AND bq.s <= l.s AND bq.e >= l.e)""",
+    [SPAN_WITHIN[0]],
+)
+
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
      _SQL_PERCOLATE,
      _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
      _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS,
-     _SQL_PINNED, _SQL_COMBINED_FIELDS]
+     _SQL_PINNED, _SQL_COMBINED_FIELDS,
+     _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN]
 )
 
 

@@ -72,16 +72,18 @@ def _slot_keys(blocks: pd.DataFrame, slot: int, n_slots: int, base: int):
     return keys, local, dls
 
 
-def _sloppy_starts(slot_blocks: list[pd.DataFrame], base: int, slop: int):
+def _ordered_spans(slot_blocks: list[pd.DataFrame], base: int, slop: int):
     """Ordered-within-window matching (Lucene ordered SpanNear semantics):
     positions p_0 < p_1 < ... < p_{n-1} with total span
     p_{n-1} - p_0 - (n-1) <= slop. Greedy-earliest chaining is exact here
     (a smaller p_i only loosens the constraint on p_{i+1}), and it is
     fully vectorized: one searchsorted per slot over (doc, pos) keys.
 
-    Returns int64 keys ``doc_local * 2^B + p_0`` of the surviving phrase
-    START positions (p_0 unique -> phrase freq = starts per doc), plus
-    slot-0's posting-level (docs, dls) for the dl lookup."""
+    Returns ``(doc, start, end, docs0, dls0)``: one entry per surviving
+    chain (doc local, p_0, p_{n-1} — the greedy-earliest span, the same
+    enumeration the phrase freq counts), plus slot-0's posting-level
+    (docs, dls) for the dl lookup. Spans are the span-query currency
+    (operators/spans.py); phrase freq is len-of-starts per doc."""
     n = len(slot_blocks)
     kk0, docs0, dls0 = _slot_keys(slot_blocks[0], 0, n, base)
     # undo the slot encoding: keys hold doc*2^B + pos + n
@@ -104,7 +106,16 @@ def _sloppy_starts(slot_blocks: list[pd.DataFrame], base: int, slop: int):
         ok &= q <= p0 + slot + slop
         alive &= ok
         cur_pos = np.where(alive, q, cur_pos)
-    return (doc[alive] * np.int64(1 << _POS_BITS) + p0[alive]), docs0, dls0
+    return doc[alive], p0[alive], cur_pos[alive], docs0, dls0
+
+
+def _sloppy_starts(slot_blocks: list[pd.DataFrame], base: int, slop: int):
+    """Phrase-freq view of :func:`_ordered_spans`: int64 keys
+    ``doc_local * 2^B + p_0`` of the surviving phrase START positions
+    (p_0 unique per doc -> phrase freq = starts per doc), plus slot-0's
+    posting-level (docs, dls)."""
+    doc, p0, _end, docs0, dls0 = _ordered_spans(slot_blocks, base, slop)
+    return doc * np.int64(1 << _POS_BITS) + p0, docs0, dls0
 
 
 def _minimal_windows_freq(events_pos: np.ndarray, events_slot: np.ndarray, n_slots: int, slop: int) -> float:

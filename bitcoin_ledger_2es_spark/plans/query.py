@@ -2428,6 +2428,148 @@ class BM25Searcher:
             " ".join(terms), k=k, with_meta=with_meta, slop=max_gaps, ordered=ordered
         )
 
+    def span_or_query(
+        self, clauses: list[str], slop: int = 0, k: int = 10,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Lucene/ES span_or query: the union of the clauses' spans. Each
+        clause is a text that analyzes to one term (point spans) or to an
+        ordered span_near within ``slop`` (operators/spans.py documents
+        the span model, weighting and fold order). Clauses whose terms
+        are out-of-vocabulary contribute nothing (Lucene skips absent
+        TermStates); idf = sum of per-term idfs over the surviving
+        clauses' terms."""
+        return self._span_family("or", [clauses, None], slop, 0, 0, k, with_meta)
+
+    def span_not_query(
+        self, include: str, exclude: str, pre: int = 0, post: int = 0,
+        slop: int = 0, k: int = 10, with_meta: bool = True,
+    ) -> DataFrame:
+        """Lucene/ES span_not query: spans of ``include`` with no
+        ``exclude`` span overlapping [start - pre, end + post]. Scoring
+        (tf AND idf) comes from the include side only — a vocabulary-miss
+        on the exclude side just disables exclusion (nothing to
+        subtract), a miss on the include side is an empty result."""
+        return self._span_family(
+            "not", [[include], exclude], slop, pre, post, k, with_meta
+        )
+
+    def span_containing_query(
+        self, big: str, little: str, slop: int = 0, k: int = 10,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Lucene/ES span_containing query: spans of ``big`` that contain
+        at least one span of ``little``; scored from the big side."""
+        return self._span_family(
+            "containing", [[big], little], slop, 0, 0, k, with_meta
+        )
+
+    def span_within_query(
+        self, little: str, big: str, slop: int = 0, k: int = 10,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Lucene/ES span_within query: spans of ``little`` that lie
+        inside at least one span of ``big``; scored from the little
+        side."""
+        return self._span_family(
+            "within", [[little], big], slop, 0, 0, k, with_meta
+        )
+
+    def _span_family(
+        self, kind: str, spec, slop: int, pre: int, post: int, k: int,
+        with_meta: bool,
+    ) -> DataFrame:
+        """Shared executor for the span composition family. ``spec`` =
+        [scoring_clauses, other_clause_or_None]. One pruned postings scan
+        over the union of every clause's terms; extraction, composition
+        and BM25 all happen inside the shard kernel (operators/spans.py),
+        so the plan is the same zero-exchange (aligned) / one-exchange
+        (grouped) shape as every other positional query."""
+        from ..operators.spans import (
+            bm25_topk_frame,
+            clause_spans,
+            merge_dl,
+            span_containing,
+            span_freqs,
+            span_not,
+            span_or,
+            span_within,
+        )
+
+        self._no_pending_deletes(f"span_{kind}_query")
+        ix, cfg = self.ix, self.ix.cfg
+        if not cfg.store_positions:
+            raise ValueError(
+                f"span_{kind}_query needs a positional index: build with "
+                "EngineConfig(store_positions=True)"
+            )
+        scoring_texts, other_text = spec
+        scoring = [analyze_query(t, cfg) for t in scoring_texts]
+        if any(not c for c in scoring):
+            raise ValueError("a span clause analyzed to zero terms")
+        other = analyze_query(other_text, cfg) if other_text is not None else None
+        if other is not None and not other:
+            raise ValueError("a span clause analyzed to zero terms")
+        all_terms = sorted({t for c in scoring for t in c} | set(other or []))
+        found = self._lookup_terms(all_terms)
+        # vocabulary misses, per Lucene's absent-TermStates behavior:
+        scoring = [c for c in scoring if all(t in found for t in c)]
+        if not scoring:
+            return self._empty()
+        other_present = other is not None and all(t in found for t in other)
+        if kind in ("containing", "within") and not other_present:
+            return self._empty()  # nothing can contain / be contained
+        # idf from the scoring side's terms, duplicates counted per clause
+        sum_idf = 0.0
+        for c in scoring:
+            for t in c:
+                sum_idf += float(idf_fn(float(found[t][1]), ix.n_docs))
+        sc_tids = [[found[t][0] for t in c] for c in scoring]
+        ot_tids = [found[t][0] for t in other] if other_present else None
+        need = sorted({tid for c in sc_tids for tid in c} | set(ot_tids or []))
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+        slop_i, pre_i, post_i = int(slop), int(pre), int(post)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY_CAND
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+
+            def extract(tids):
+                blocks = [by_tid.get(t) for t in tids]
+                if any(b_ is None for b_ in blocks):
+                    from ..operators.spans import EMPTY_SPANS
+                    return EMPTY_SPANS, np.empty(0, np.int64), np.empty(0, np.int64)
+                return clause_spans(blocks, base, slop_i)
+
+            parts, dl_pairs = [], []
+            for tids in sc_tids:
+                sp, d0, l0 = extract(tids)
+                parts.append(sp)
+                dl_pairs.append((d0, l0))
+            combined = span_or(parts)
+            if combined.doc.size and ot_tids is not None:
+                osp, _, _ = extract(ot_tids)
+                if kind == "not":
+                    combined = span_not(combined, osp, pre_i, post_i)
+                elif kind == "containing":
+                    combined = span_containing(combined, osp)
+                elif kind == "within":
+                    combined = span_within(combined, osp)
+            docs, freq = span_freqs(combined)
+            dl_docs, dl_vals = merge_dl(dl_pairs)
+            return bm25_topk_frame(
+                docs, freq, dl_docs, dl_vals, sum_idf, base, k, avgdl, k1, b
+            )
+
+        pruned = ix.postings.filter(F.col("term_id").isin(need))
+        if self.aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+        return self._ranked(cands, k, with_meta)
+
     def phrase_query(
         self,
         query_text: str,
