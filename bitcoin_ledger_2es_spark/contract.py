@@ -1826,6 +1826,12 @@ SPAN_OR_SLOP = 2
 SPAN_NOT = ("join", "row", 1, 2)  # include, exclude, pre, post
 SPAN_CONTAIN = ("table scan", "merge", 4)  # big, little, slop
 SPAN_WITHIN = ("scan", "table merge", 6)  # little, big, slop
+# intervals query: all_of([any_of(IV_ANY), match(IV_NEXT)], ordered,
+# max_gaps=IV_MAX_GAPS).not_containing(match(IV_NOT))
+IV_ANY = ("scan", "merge")
+IV_NEXT = "table"
+IV_MAX_GAPS = 3
+IV_NOT = "join"
 PERCOLATE_QUERIES = [
     (0, "data row", "and", 0),
     (1, "data table window", "or", 2),
@@ -1951,7 +1957,13 @@ def q_advanced_queries(spark, sf_dir):
       overlap-exclusion (pre/post slack) / containment both ways over
       greedy-earliest clause spans, freq = sum of 1/(1+gap) folded in
       (start, end) order (SQL twin: sum(... ORDER BY s, e)), idf from
-      the scoring side's terms; key = doc_id, n = 0."""
+      the scoring side's terms; key = doc_id, n = 0.
+    * ``intervals`` — the ES intervals algebra (operators/intervals.py,
+      minimal-interval semantics): all_of(ordered, max_gaps) over
+      [any_of(two terms), term], then not_containing — greedy chain +
+      minimalization (SQL twin: GROUP-BY-min chain + NOT EXISTS
+      domination test), gaps filter AFTER minimalization, weight
+      1/(1+gaps); key = doc_id, n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2141,6 +2153,16 @@ def q_advanced_queries(spark, sf_dir):
         SPAN_WITHIN[0], SPAN_WITHIN[1], slop=SPAN_WITHIN[2],
         k=1_000_000, with_meta=False,
     ))
+    from bitcoin_ledger_2es_spark.operators.intervals import Iv
+
+    iv = _span_rows("intervals", s.intervals_query(
+        Iv.all_of(
+            [Iv.any_of(Iv.match(IV_ANY[0]), Iv.match(IV_ANY[1])),
+             Iv.match(IV_NEXT)],
+            max_gaps=IV_MAX_GAPS, ordered=True,
+        ).not_containing(Iv.match(IV_NOT)),
+        k=1_000_000, with_meta=False,
+    ))
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
@@ -2148,6 +2170,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(pp).unionByName(bp).unionByName(tv).unionByName(pn)
         .unionByName(cf)
         .unionByName(so).unionByName(sn).unionByName(sc).unionByName(sw)
+        .unionByName(iv)
     )
 
 
@@ -2789,6 +2812,31 @@ _SQL_SPAN_WITHIN = _sql_span_family(
 )
 
 
+# --- intervals twin: the chain subquery is the engine's greedy-earliest
+# ordered all_of (per lead position, the MINIMAL next-term position);
+# domination NOT EXISTS = minimalize; the gaps filter runs AFTER it.
+_SQL_IV_CHAINS = f"""SELECT a.doc_id AS doc_id, a.pos AS l, min(b.pos) AS r, 2 AS w
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.tok = '{IV_NEXT}' AND b.pos > a.pos
+    WHERE a.tok IN ('{IV_ANY[0]}', '{IV_ANY[1]}')
+    GROUP BY a.doc_id, a.pos"""
+
+_SQL_INTERVALS = _sql_span_family(
+    "intervals",
+    f"""SELECT i.doc_id, i.l AS s, i.r AS e,
+           greatest(0, i.r - i.l + 1 - i.w) AS gap
+    FROM ({_SQL_IV_CHAINS}) i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ({_SQL_IV_CHAINS}) j
+        WHERE j.doc_id = i.doc_id AND j.l > i.l AND j.r <= i.r)
+      AND i.r - i.l + 1 - i.w <= {IV_MAX_GAPS}
+      AND NOT EXISTS (
+        SELECT 1 FROM toks x
+        WHERE x.doc_id = i.doc_id AND x.tok = '{IV_NOT}'
+          AND x.pos BETWEEN i.l AND i.r)""",
+    [IV_ANY[0], IV_ANY[1], IV_NEXT],
+)
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
@@ -2796,7 +2844,8 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _sql_rank_eval(0, ["data", "row"]), _sql_rank_eval(1, ["table"]),
      _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS,
      _SQL_PINNED, _SQL_COMBINED_FIELDS,
-     _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN]
+     _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN,
+     _SQL_INTERVALS]
 )
 
 

@@ -104,57 +104,88 @@ def span_or(parts: list[Spans]) -> Spans:
     return Spans(doc[order], start[order], end[order], gap[order])
 
 
+def overlap_mask(
+    adoc: np.ndarray, alo: np.ndarray, ahi: np.ndarray,
+    bdoc: np.ndarray, bs: np.ndarray, be: np.ndarray,
+) -> np.ndarray:
+    """Per A-row: does some B interval (s, e) in the same doc overlap
+    [alo, ahi]? Overlap iff s <= ahi and e >= alo. One sort + prefix max
+    of packed ends + one searchsorted; an earlier doc's packed end is
+    strictly below this doc's range, so per-doc grouping falls out of the
+    key arithmetic. B must be non-empty."""
+    order = np.lexsort((be, bs, bdoc))
+    b_start_key = bdoc[order] * _B + bs[order]
+    b_end_pmax = np.maximum.accumulate(bdoc[order] * _B + be[order])
+    j = np.searchsorted(b_start_key, adoc * _B + ahi, side="right")
+    out = np.zeros(adoc.size, dtype=bool)
+    has = j > 0
+    out[has] = b_end_pmax[j[has] - 1] >= (adoc[has] * _B + alo[has])
+    return out
+
+
+def containing_mask(
+    bdoc: np.ndarray, bs: np.ndarray, be: np.ndarray,
+    ldoc: np.ndarray, ls: np.ndarray, le: np.ndarray,
+) -> np.ndarray:
+    """Per big-row: does it contain some little interval (little.s >=
+    big.s and little.e <= big.e, same doc)? Suffix min of packed little
+    ends among starts >= big.start. Little must be non-empty."""
+    order = np.lexsort((le, ls, ldoc))
+    li_start_key = ldoc[order] * _B + ls[order]
+    li_end_key = ldoc[order] * _B + le[order]
+    smin = np.minimum.accumulate(li_end_key[::-1])[::-1]
+    i = np.searchsorted(li_start_key, bdoc * _B + bs, side="left")
+    ok = i < li_start_key.size
+    ic = np.minimum(i, li_start_key.size - 1)
+    ok &= smin[ic] <= bdoc * _B + be
+    return ok
+
+
+def within_mask(
+    ldoc: np.ndarray, ls: np.ndarray, le: np.ndarray,
+    bdoc: np.ndarray, bs: np.ndarray, be: np.ndarray,
+) -> np.ndarray:
+    """Per little-row: is it contained in some big interval (big.s <=
+    little.s and big.e >= little.e, same doc)? Prefix max of packed big
+    ends among starts <= little.start. Big must be non-empty."""
+    order = np.lexsort((be, bs, bdoc))
+    bg_start_key = bdoc[order] * _B + bs[order]
+    bg_end_pmax = np.maximum.accumulate(bdoc[order] * _B + be[order])
+    j = np.searchsorted(bg_start_key, ldoc * _B + ls, side="right")
+    ok = j > 0
+    jc = np.maximum(j - 1, 0)
+    ok &= bg_end_pmax[jc] >= ldoc * _B + le
+    return ok
+
+
 def span_not(inc: Spans, exc: Spans, pre: int = 0, post: int = 0) -> Spans:
     """Include spans with no exclude span overlapping
-    [start - pre, end + post]. Overlap(exclude (s2,e2), window (lo,hi))
-    iff s2 <= hi and e2 >= lo."""
+    [start - pre, end + post]."""
     if inc.doc.size == 0 or exc.doc.size == 0:
         return inc
-    order = np.lexsort((exc.end, exc.start, exc.doc))
-    ex_start_key = exc.doc[order] * _B + exc.start[order]
-    # prefix max of packed ends among excludes with start <= probe-hi;
-    # an earlier doc's packed end is strictly below this doc's range
-    ex_end_pmax = np.maximum.accumulate(exc.doc[order] * _B + exc.end[order])
     hi = np.minimum(inc.end + np.int64(post), _POS_MAX)
     lo = np.maximum(inc.start - np.int64(pre), np.int64(0))
-    j = np.searchsorted(ex_start_key, inc.doc * _B + hi, side="right")
-    overlapped = np.zeros(inc.doc.size, dtype=bool)
-    has = j > 0
-    overlapped[has] = ex_end_pmax[j[has] - 1] >= (inc.doc[has] * _B + lo[has])
-    keep = ~overlapped
+    keep = ~overlap_mask(inc.doc, lo, hi, exc.doc, exc.start, exc.end)
     return Spans(inc.doc[keep], inc.start[keep], inc.end[keep], inc.gap[keep])
 
 
 def span_containing(big: Spans, little: Spans) -> Spans:
-    """Big spans that contain at least one little span
-    (little.start >= big.start and little.end <= big.end, same doc)."""
+    """Big spans that contain at least one little span."""
     if big.doc.size == 0 or little.doc.size == 0:
         return EMPTY_SPANS
-    order = np.lexsort((little.end, little.start, little.doc))
-    li_start_key = little.doc[order] * _B + little.start[order]
-    li_end_key = little.doc[order] * _B + little.end[order]
-    # suffix min of packed ends among littles with start >= big.start;
-    # a later doc's packed end is strictly above this doc's range
-    smin = np.minimum.accumulate(li_end_key[::-1])[::-1]
-    i = np.searchsorted(li_start_key, big.doc * _B + big.start, side="left")
-    ok = i < li_start_key.size
-    ic = np.minimum(i, li_start_key.size - 1)
-    ok &= smin[ic] <= big.doc * _B + big.end
+    ok = containing_mask(
+        big.doc, big.start, big.end, little.doc, little.start, little.end
+    )
     return Spans(big.doc[ok], big.start[ok], big.end[ok], big.gap[ok])
 
 
 def span_within(little: Spans, big: Spans) -> Spans:
-    """Little spans contained in at least one big span
-    (big.start <= little.start and big.end >= little.end, same doc)."""
+    """Little spans contained in at least one big span."""
     if little.doc.size == 0 or big.doc.size == 0:
         return EMPTY_SPANS
-    order = np.lexsort((big.end, big.start, big.doc))
-    bg_start_key = big.doc[order] * _B + big.start[order]
-    bg_end_pmax = np.maximum.accumulate(big.doc[order] * _B + big.end[order])
-    j = np.searchsorted(bg_start_key, little.doc * _B + little.start, side="right")
-    ok = j > 0
-    jc = np.maximum(j - 1, 0)
-    ok &= bg_end_pmax[jc] >= little.doc * _B + little.end
+    ok = within_mask(
+        little.doc, little.start, little.end, big.doc, big.start, big.end
+    )
     return Spans(little.doc[ok], little.start[ok], little.end[ok], little.gap[ok])
 
 

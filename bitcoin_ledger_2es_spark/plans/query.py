@@ -2428,6 +2428,186 @@ class BM25Searcher:
             " ".join(terms), k=k, with_meta=with_meta, slop=max_gaps, ordered=ordered
         )
 
+    def intervals_query(
+        self, source, k: int = 10, with_meta: bool = True
+    ) -> DataFrame:
+        """ES intervals query, full source algebra (operators/intervals.py
+        documents the minimal-interval model, filter rules, weighting and
+        fold order). ``source`` is an ``Iv`` AST::
+
+            from bitcoin_ledger_2es_spark.operators.intervals import Iv
+            s.intervals_query(
+                Iv.all_of(
+                    [Iv.any_of(Iv.match("scan"), Iv.match("merge")),
+                     Iv.match("table")],
+                    max_gaps=3, ordered=True,
+                ).not_containing(Iv.match("join")),
+                k=10,
+            )
+
+        Resolution (analysis, dictionary lookup, prefix/wildcard
+        expansion, idf) runs driver-side; extraction, the interval
+        algebra and BM25 run inside the shard kernel on one pruned
+        postings scan — the same zero-exchange (aligned) / one-exchange
+        (grouped) plan as every other positional query."""
+        from ..operators.intervals import (
+            IvAllOf,
+            IvAnyOf,
+            IvFilter,
+            IvMatch,
+            IvPrefix,
+            IvSource,
+            IvWildcard,
+            decode_term_points,
+            eval_resolved,
+            iv_freqs,
+        )
+        from ..operators.spans import bm25_topk_frame, merge_dl
+
+        self._no_pending_deletes("intervals_query")
+        ix, cfg = self.ix, self.ix.cfg
+        if not cfg.store_positions:
+            raise ValueError(
+                "intervals_query needs a positional index: build with "
+                "EngineConfig(store_positions=True)"
+            )
+        if not isinstance(source, IvSource):
+            raise TypeError("source must be an Iv AST (operators.intervals.Iv)")
+
+        # pass 1: collect every leaf's terms (main + filter sides)
+        texts: list[str] = []
+
+        def walk(n):
+            if isinstance(n, IvMatch):
+                texts.extend(analyze_query(n.text, cfg))
+            elif isinstance(n, (IvAnyOf, IvAllOf)):
+                for c in n.sources:
+                    walk(c)
+            elif isinstance(n, IvFilter):
+                walk(n.source)
+                walk(n.reference)
+            # prefix/wildcard expand against the dictionary below
+
+        walk(source)
+        found = self._lookup_terms(sorted(set(texts)))
+
+        # pass 2: resolve to term_id nodes + the scoring-side idf sum
+        scoring_idf = [0.0]
+
+        def resolve(n, scores: bool):
+            if isinstance(n, IvMatch):
+                terms = analyze_query(n.text, cfg)
+                if not terms:
+                    raise ValueError("an intervals match analyzed to zero terms")
+                if any(t not in found for t in terms):
+                    return ("empty",)
+                if scores:
+                    for t in terms:
+                        scoring_idf[0] += float(
+                            idf_fn(float(found[t][1]), ix.n_docs)
+                        )
+                tids = tuple(found[t][0] for t in terms)
+                if len(tids) == 1:
+                    return ("points", tids)
+                node = ("all", tuple(("points", (t,)) for t in tids), n.ordered)
+                return ("gaps", node, n.max_gaps) if n.max_gaps >= 0 else node
+            if isinstance(n, (IvPrefix, IvWildcard)):
+                if isinstance(n, IvPrefix):
+                    cond = F.col("term").startswith(n.prefix.lower())
+                else:
+                    import re as _re
+
+                    rx = "^" + "".join(
+                        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                        for ch in n.pattern.lower()
+                    ) + "$"
+                    cond = F.col("term").rlike(rx)
+                exp = self._expanded_alpha(cond, n.max_expansions)
+                if not exp:
+                    return ("empty",)
+                if scores:  # blended: one idf at the max expansion df
+                    scoring_idf[0] += float(
+                        idf_fn(float(max(df_ for _, df_ in exp.values())), ix.n_docs)
+                    )
+                return ("points", tuple(tid for tid, _ in exp.values()))
+            if isinstance(n, IvAnyOf):
+                if not n.sources:
+                    raise ValueError("any_of needs at least one source")
+                kids = [resolve(c, scores) for c in n.sources]
+                kids = [c for c in kids if c[0] != "empty"]
+                if not kids:
+                    return ("empty",)
+                return kids[0] if len(kids) == 1 else ("any", tuple(kids))
+            if isinstance(n, IvAllOf):
+                if not n.sources:
+                    raise ValueError("all_of needs at least one source")
+                kids = [resolve(c, scores) for c in n.sources]
+                if any(c[0] == "empty" for c in kids):
+                    return ("empty",)
+                node = ("all", tuple(kids), n.ordered)
+                return ("gaps", node, n.max_gaps) if n.max_gaps >= 0 else node
+            if isinstance(n, IvFilter):
+                src = resolve(n.source, scores)
+                ref = resolve(n.reference, False)  # filter side doesn't score
+                if src[0] == "empty":
+                    return ("empty",)
+                if ref[0] == "empty":
+                    if n.rule in ("containing", "contained_by"):
+                        return ("empty",)
+                    return src  # nothing to exclude
+                if n.rule not in (
+                    "containing", "not_containing", "contained_by",
+                    "not_contained_by", "not_overlapping",
+                ):
+                    raise ValueError(f"unknown intervals filter rule: {n.rule}")
+                return ("filter", src, ref, n.rule)
+            raise TypeError(f"not an Iv source: {type(n).__name__}")
+
+        root = resolve(source, True)
+        if root[0] == "empty":
+            return self._empty()
+        sum_idf = scoring_idf[0]
+
+        def node_tids(n, acc):
+            if n[0] == "points":
+                acc.update(n[1])
+            elif n[0] == "any":
+                for c in n[1]:
+                    node_tids(c, acc)
+            elif n[0] == "all":
+                for c in n[1]:
+                    node_tids(c, acc)
+            elif n[0] == "gaps":
+                node_tids(n[1], acc)
+            elif n[0] == "filter":
+                node_tids(n[1], acc)
+                node_tids(n[2], acc)
+
+        need_set: set[int] = set()
+        node_tids(root, need_set)
+        need = sorted(need_set)
+        avgdl, k1, b, dps = ix.avgdl, cfg.k1, cfg.b, cfg.docs_per_shard
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return _EMPTY_CAND
+            base = int(pdf["shard_id"].iloc[0]) * dps
+            by_tid = {tid: g for tid, g in pdf.groupby("term_id")}
+            points, dl_pairs = decode_term_points(by_tid, need, base)
+            ivl = eval_resolved(root, points)
+            docs, freq = iv_freqs(ivl)
+            dl_docs, dl_vals = merge_dl(dl_pairs)
+            return bm25_topk_frame(
+                docs, freq, dl_docs, dl_vals, sum_idf, base, k, avgdl, k1, b
+            )
+
+        pruned = ix.postings.filter(F.col("term_id").isin(need))
+        if self.aligned:
+            cands = pruned.mapInPandas(_aligned_kernel(kernel), schema=_CAND_DDL)
+        else:
+            cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
+        return self._ranked(cands, k, with_meta)
+
     def span_or_query(
         self, clauses: list[str], slop: int = 0, k: int = 10,
         with_meta: bool = True,
