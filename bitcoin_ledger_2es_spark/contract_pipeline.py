@@ -403,7 +403,14 @@ def q_ann_cosine_topk(spark, sf_dir):
       with the cosine top-20 for query vector 0; rrf(d) = sum of
       1/(60 + rank_r(d)), folded f64 in retriever order (plans/query.py
       rrf_fuse), rank on the raw f64 rrf (ties doc_id asc), top 10;
-      q_id = 0, score6 = round(rrf, 6)."""
+      q_id = 0, score6 = round(rrf, 6).
+    * ``knn`` — the ES 8 top-level kNN search shape
+      (operators/similarity.py knn_search): PRE-filter (even vec_ids),
+      raw-similarity floor (cosine >= 0) applied before the score
+      transform, ES _score = (1 + cosine) / 2.
+    * ``knn_l2`` — same API, l2_norm metric: d = sqrt(sum((x-y)^2)) in
+      array order, _score = 1 / (1 + d*d) (the exact expression shape —
+      the twin mirrors sqrt-then-square, not the algebraic sum)."""
     from .contract import _bm25_relational  # runtime import: no cycle
     from .functions.parity import duck_round
     from .plans.query import rrf_fuse
@@ -429,7 +436,24 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("doc_id").alias("id"),
         duck_round(F.col("rrf"), 6).alias("score6"),
     )
-    return cos.unionByName(hyb)
+
+    def _knn_rows(kind, df):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col("q_id").cast("long").alias("q_id"),
+            "rank",
+            F.col("neighbor_id").alias("id"),
+            F.col("score6"),
+        )
+
+    knn = _knn_rows("knn", S.knn_search(
+        v, q, k=10, num_candidates=50, metric="cosine",
+        filter_expr=F.col("vec_id") % 2 == 0, similarity=0.0,
+    ))
+    knn_l2 = _knn_rows("knn_l2", S.knn_search(
+        v, q, k=10, num_candidates=100, metric="l2_norm",
+    ))
+    return cos.unionByName(hyb).unionByName(knn).unionByName(knn_l2)
 
 
 _SQL_ANN_COSINE = """
@@ -511,9 +535,55 @@ FROM (
 ) WHERE rank <= 10
 """
 
+# knn twins: same raw-cosine CTE shape; the ES transform and the
+# similarity floor mirror knn_search exactly (floor on RAW value, rank
+# on the ROUNDED transformed score)
+_SQL_ANN_KNN = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+           WHERE vec_id >= 3 AND vec_id % 2 = 0),
+     s AS (
+       SELECT q.q_id, v.vec_id AS neighbor_id,
+              list_dot_product(q.qv, v.ev)
+                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.ev, v.ev))) AS cosine
+       FROM q, v
+     )
+SELECT 'knn' AS kind, CAST(q_id AS BIGINT) AS q_id, rank,
+       CAST(neighbor_id AS BIGINT) AS id, round((1.0 + cosine) / 2.0, 6) AS score6
+FROM (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round((1.0 + cosine) / 2.0, 6) DESC, neighbor_id ASC) AS rank
+  FROM s WHERE cosine >= 0.0
+) WHERE rank <= 10
+"""
+
+_SQL_ANN_KNN_L2 = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id >= 3),
+     s AS (
+       SELECT q.q_id, v.vec_id AS neighbor_id,
+              sqrt(list_sum(list_transform(list_zip(q.qv, v.ev),
+                x -> (x[1] - x[2]) * (x[1] - x[2])))) AS d
+       FROM q, v
+     )
+SELECT 'knn_l2' AS kind, CAST(q_id AS BIGINT) AS q_id, rank,
+       CAST(neighbor_id AS BIGINT) AS id, round(1.0 / (1.0 + d * d), 6) AS score6
+FROM (
+  SELECT q_id, neighbor_id, d,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round(1.0 / (1.0 + d * d), 6) DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
 SQL_ANN_COSINE_TOPK = (
     "SELECT * FROM (" + _SQL_ANN_COSINE + ")\nUNION ALL\n"
-    "SELECT * FROM (" + _SQL_ANN_HYBRID + ")"
+    "SELECT * FROM (" + _SQL_ANN_HYBRID + ")\nUNION ALL\n"
+    "SELECT * FROM (" + _SQL_ANN_KNN + ")\nUNION ALL\n"
+    "SELECT * FROM (" + _SQL_ANN_KNN_L2 + ")"
 )
 
 

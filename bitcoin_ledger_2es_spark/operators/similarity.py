@@ -61,6 +61,88 @@ def cosine_topk_bruteforce(
     )
 
 
+_KNN_METRICS = ("cosine", "dot_product", "l2_norm")
+
+
+def knn_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_candidates: int = 100,
+    metric: str = "cosine",
+    filter_expr=None,
+    similarity: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """ES 8 top-level ``knn`` search semantics over an embedding column:
+
+    * ``filter`` is a PRE-filter (ES applies the kNN filter during graph
+      search, so only passing docs are candidates);
+    * ``similarity`` is the optional raw-similarity floor in the
+      metric's own space (ES ``knn.similarity``) — applied to the raw
+      f64 value, BEFORE the score transform;
+    * the returned ``_score`` uses the ES dense_vector transforms:
+      cosine -> (1 + cos) / 2, dot_product -> (1 + dot) / 2,
+      l2_norm -> 1 / (1 + d^2);
+    * ``num_candidates`` is validated (must be >= k) but does not change
+      results: this exact scorer has no per-segment approximation, so
+      the candidate pool is the full filtered set. The determinism
+      contract forbids a per-PARTITION candidate cap (partitioning is
+      not content) — an approximate pool comes from the LSH/IVF paths
+      (ann_lsh_topk / ann_ivf_topk), not from this one.
+
+    Ranking is on the ROUNDED (6dp) transformed score so the ordering
+    key matches the DuckDB twin exactly; ties break id asc. Returns
+    (q_id, rank, neighbor_id, score6)."""
+    if metric not in _KNN_METRICS:
+        raise ValueError(f"metric must be one of {_KNN_METRICS}")
+    if num_candidates < k:
+        raise ValueError("num_candidates must be >= k (ES requires this)")
+    if filter_expr is not None:
+        vectors = vectors.filter(filter_expr)
+    j = vectors.crossJoin(F.broadcast(queries))
+    q, v = F.col(q_vec_col), F.col(vec_col)
+    if metric == "cosine":
+        raw = _dot(q, v) / (_norm(q) * _norm(v))
+        score = (F.lit(1.0) + raw) / F.lit(2.0)
+    elif metric == "dot_product":
+        raw = _dot(q, v)
+        score = (F.lit(1.0) + raw) / F.lit(2.0)
+    else:  # l2_norm
+        raw = F.sqrt(
+            F.aggregate(
+                F.zip_with(q, v, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + raw * raw)
+    j = j.withColumn("_raw", raw).withColumn("_score", score)
+    if similarity is not None:
+        # ES similarity is a floor for cosine/dot, a distance CEILING
+        # for l2_norm (smaller distance = more similar)
+        if metric == "l2_norm":
+            j = j.filter(F.col("_raw") <= F.lit(float(similarity)))
+        else:
+            j = j.filter(F.col("_raw") >= F.lit(float(similarity)))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc(duck_round("_score", 6)), F.asc(id_col)
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            q_id_col,
+            "rank",
+            F.col(id_col).alias("neighbor_id"),
+            duck_round("_score", 6).alias("score6"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

@@ -106,6 +106,52 @@ def test_ann_bruteforce_matches_numpy(spark):
         assert got[got["q_id"] == qi]["neighbor_id"].tolist() == expect
 
 
+def test_knn_search_es_semantics(spark):
+    """ES-8 knn: pre-filter, raw-similarity floor, score transforms,
+    num_candidates validation — against a numpy recomputation."""
+    import pytest as _pytest
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    v = e.filter(F.col("vec_id") >= 2)
+    got = S.knn_search(
+        v, q, k=5, num_candidates=20, metric="cosine",
+        filter_expr=F.col("vec_id") % 2 == 0, similarity=0.0,
+    ).toPandas()
+    pdf = e.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in (0, 1):
+        keep = (ids >= 2) & (ids % 2 == 0)  # the PRE-filter
+        cos = nm[keep] @ nm[ids == qi][0]
+        vids = ids[keep]
+        m = cos >= 0.0  # raw floor BEFORE transform
+        score = np.round((1.0 + cos[m]) / 2.0, 6)
+        order = np.lexsort((vids[m], -score))[:5]
+        sub = got[got["q_id"] == qi]
+        assert sub["neighbor_id"].tolist() == vids[m][order].tolist()
+        assert np.allclose(sub["score6"].to_numpy(), score[order], atol=1e-12)
+        assert ((sub["score6"] >= 0.5) & (sub["score6"] <= 1.0)).all()
+    # l2_norm transform: 1/(1+d^2), rank ascending by distance
+    got2 = S.knn_search(v, q, k=3, metric="l2_norm").toPandas()
+    for qi in (0, 1):
+        d = np.sqrt(((mat[ids >= 2] - mat[ids == qi][0]) ** 2).sum(axis=1))
+        score = np.round(1.0 / (1.0 + d * d), 6)
+        vids = ids[ids >= 2]
+        order = np.lexsort((vids, -score))[:3]
+        sub = got2[got2["q_id"] == qi]
+        assert sub["neighbor_id"].tolist() == vids[order].tolist()
+    with _pytest.raises(ValueError):
+        S.knn_search(v, q, k=10, num_candidates=5)
+    with _pytest.raises(ValueError):
+        S.knn_search(v, q, k=3, metric="manhattan")
+
+
 def test_ann_lsh_recall(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
