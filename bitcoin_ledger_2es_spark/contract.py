@@ -2975,7 +2975,14 @@ def q_agg_extras(spark, sf_dir):
     input grid); then geohash_grid p=2 (deterministic floors, then pure
     int64 bit-interleave + base32 — the SQL twin is GENERATED from the
     same bit plan), geo_centroid per event_type (exact integer-degree
-    sums, closed-form mean) and geo_bounds (exact min/max edges)."""
+    sums, closed-form mean) and geo_bounds (exact min/max edges).
+    Session-3 additions: date_range (from-inclusive/to-exclusive
+    timestamp bounds, one conditional-agg pass), ip_range (derived
+    dotted-quad, numeric octet-fold ordering, CIDR via parse_cidr — the
+    twin folds octets to the same int64), and vw_histogram (the
+    deterministic equal-depth reading of ES variable_width_histogram:
+    exact interpolated quantile boundaries — quantile_cont parity —
+    with min/max/avg rows per bucket)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -3342,6 +3349,57 @@ def q_agg_extras(spark, sf_dir):
             for edge in ("top", "bottom", "left", "right")
         ])).alias("b")
     ).select(F.lit("geo_bounds").alias("agg"), "b.*")
+    # date_range over events.ts: from-inclusive / to-exclusive timestamp
+    # bounds, one conditional-agg pass (the range recipe on a time axis)
+    from .operators.aggs import date_range_agg, ip_range_agg, parse_cidr
+    from .operators.aggs import variable_width_histogram as vwh_agg
+
+    dr = date_range_agg(
+        ev, "ts",
+        [("early", None, "2024-01-10"),
+         ("mid", "2024-01-10", "2024-01-20"),
+         ("late", "2024-01-20", None)],
+        metrics={"metric": lambda c: duck_round(F.avg(F.when(c, F.col("value"))), 6)},
+    ).select(F.lit("date_range").alias("agg"), "key", "doc_count", "metric")
+    # ip_range over a DERIVED dotted-quad (pure integer fn of the row —
+    # deterministic, SQL-mirrorable): 10.(user_id%200).(event_id%250).x
+    ip_col = F.concat_ws(
+        ".", F.lit("10"),
+        F.pmod(F.col("user_id"), F.lit(200)).cast("string"),
+        F.pmod(F.col("event_id"), F.lit(250)).cast("string"),
+        F.pmod(F.floor(F.col("event_id") / F.lit(250)), F.lit(250)).cast("string"),
+    )
+    cidr_lo, cidr_hi = parse_cidr("10.0.0.0/9")  # second octet 0..127
+    ipq = ip_range_agg(
+        ev.withColumn("ip", ip_col), "ip",
+        [("lo_half", None, "10.100.0.0"),
+         ("cidr9", cidr_lo, cidr_hi),
+         ("hi_half", "10.100.0.0", None)],
+        metrics={"metric": lambda c: duck_round(F.avg(F.when(c, F.col("value"))), 6)},
+    ).select(F.lit("ip_range").alias("agg"), "key", "doc_count", "metric")
+    # variable_width_histogram (deterministic equal-depth variant):
+    # 4 buckets over events.value; boundaries are exact interpolated
+    # percentiles (quantile_cont parity), min/max exact edges, avg at
+    # 6dp (the proven `range`-kind recipe on this column)
+    vw = vwh_agg(ev, "value", buckets=4).select(
+        F.explode(F.array(
+            F.struct(
+                F.col("bucket").cast("string").alias("key"),
+                F.col("doc_count"),
+                duck_round(F.col("avg"), 6).alias("metric"),
+            ),
+            F.struct(
+                F.concat(F.col("bucket").cast("string"), F.lit(":min")).alias("key"),
+                F.col("doc_count"),
+                duck_round(F.col("min"), 6).alias("metric"),
+            ),
+            F.struct(
+                F.concat(F.col("bucket").cast("string"), F.lit(":max")).alias("key"),
+                F.col("doc_count"),
+                duck_round(F.col("max"), 6).alias("metric"),
+            ),
+        )).alias("b")
+    ).select(F.lit("vw_histogram").alias("agg"), "b.*")
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
@@ -3352,6 +3410,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(bx).unionByName(tt).unionByName(rt).unionByName(sb)
         .unionByName(nz).unionByName(cc).unionByName(gt)
         .unionByName(gh).unionByName(gc).unionByName(gb)
+        .unionByName(dr).unionByName(ipq).unionByName(vw)
     )
 
 
@@ -3852,6 +3911,73 @@ SELECT 'geo_bounds', key, dc, v FROM (
            max(CAST((event_id * 91) % 360 - 180 AS DOUBLE)) AS mxlo
     FROM events GROUP BY 1
   )
+)
+"""
+
+# date_range / ip_range / variable_width_histogram twins. The ip twin
+# computes the numeric fold directly (the engine builds a dotted-quad
+# string then folds it back — octets < 256, so the round-trip is exact);
+# bounds come from the SAME parse_cidr the entry uses.
+from .operators.aggs import parse_cidr as _parse_cidr  # noqa: E402
+
+_IP_NUM = (
+    "(((10 * 256 + (user_id % 200)) * 256 + (event_id % 250)) * 256"
+    " + ((event_id // 250) % 250))"
+)
+_IP_MID = _parse_cidr("10.100.0.0/32")[0]
+_IP_C9_LO, _IP_C9_HI = _parse_cidr("10.0.0.0/9")
+
+SQL_AGG_EXTRAS += f"""
+UNION ALL
+SELECT 'date_range', 'early',
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN value END), 6) FROM events
+UNION ALL
+SELECT 'date_range', 'mid',
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' THEN value END), 6) FROM events
+UNION ALL
+SELECT 'date_range', 'late',
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN value END), 6) FROM events
+UNION ALL
+SELECT 'ip_range', 'lo_half',
+       CAST(sum(CASE WHEN {_IP_NUM} < {_IP_MID} THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN {_IP_NUM} < {_IP_MID} THEN value END), 6) FROM events
+UNION ALL
+SELECT 'ip_range', 'cidr9',
+       CAST(sum(CASE WHEN {_IP_NUM} >= {_IP_C9_LO} AND {_IP_NUM} < {_IP_C9_HI} THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN {_IP_NUM} >= {_IP_C9_LO} AND {_IP_NUM} < {_IP_C9_HI} THEN value END), 6) FROM events
+UNION ALL
+SELECT 'ip_range', 'hi_half',
+       CAST(sum(CASE WHEN {_IP_NUM} >= {_IP_MID} THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN {_IP_NUM} >= {_IP_MID} THEN value END), 6) FROM events
+UNION ALL
+SELECT 'vw_histogram', key, dc, m FROM (
+  WITH bnd AS (
+    SELECT quantile_cont(value, 0.25) AS b0,
+           quantile_cont(value, 0.5) AS b1,
+           quantile_cont(value, 0.75) AS b2
+    FROM events
+  ),
+  asg AS (
+    SELECT value,
+           (CASE WHEN value >= b.b0 THEN 1 ELSE 0 END
+            + CASE WHEN value >= b.b1 THEN 1 ELSE 0 END
+            + CASE WHEN value >= b.b2 THEN 1 ELSE 0 END) AS bucket
+    FROM events, bnd b
+  ),
+  g AS (
+    SELECT bucket, count(*) AS dc,
+           min(value) AS mn, max(value) AS mx, avg(value) AS av
+    FROM asg GROUP BY bucket
+  )
+  SELECT dc,
+         unnest([CAST(bucket AS VARCHAR),
+                 CAST(bucket AS VARCHAR) || ':min',
+                 CAST(bucket AS VARCHAR) || ':max']) AS key,
+         unnest([round(av, 6), round(mn, 6), round(mx, 6)]) AS m
+  FROM g
 )
 """
 

@@ -1001,3 +1001,141 @@ def cumulative_cardinality(
         .select(F.col("__m").alias("month"), "new_ids", "cumulative")
         .orderBy("month")
     )
+
+
+def date_range_agg(
+    df: DataFrame,
+    ts_field: str,
+    ranges: list[tuple[str, str | None, str | None]],
+    metrics: dict | None = None,
+) -> DataFrame:
+    """ES date_range agg: ``ranges`` = (key, from_inclusive,
+    to_exclusive) with ISO date/timestamp strings (None = unbounded) —
+    the same independent-filter-bucket semantics as ``range_agg``
+    (buckets may overlap), evaluated in ONE conditional-aggregation
+    pass. ES resolves date math driver-side; here the bounds arrive
+    already-resolved as literals, cast to timestamp once."""
+    branches = []
+    for key, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(ts_field) >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (F.col(ts_field) < F.lit(hi).cast("timestamp"))
+        branches.append((key, cond))
+    named = _as_masked(metrics)
+    aggs = []
+    for i, (_, cond) in enumerate(branches):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c_{i}"))
+        for j, (_, fn) in enumerate(named):
+            aggs.append(fn(cond).alias(f"__m_{i}_{j}"))
+    rows = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(key).alias("key"),
+            F.col(f"__c_{i}").cast("long").alias("doc_count"),
+            *[F.col(f"__m_{i}_{j}").alias(n) for j, (n, _) in enumerate(named)],
+        )
+        for i, (key, _) in enumerate(branches)
+    ]
+    return rows.select(F.explode(F.array(*structs)).alias("b")).select("b.*")
+
+
+def _ip_to_num(col: Column) -> Column:
+    """Dotted-quad IPv4 -> int64 (big-endian octet fold) as a pure
+    column expression — stays in whole-stage codegen."""
+    parts = F.split(col, r"\.")
+    out = F.lit(0).cast("long")
+    for i in range(4):
+        out = out * F.lit(256) + parts.getItem(i).cast("long")
+    return out
+
+
+def parse_cidr(cidr: str) -> tuple[int, int]:
+    """CIDR 'a.b.c.d/m' -> numeric [from, to) half-open bounds (ES
+    ip_range mask form). Driver-side, pure."""
+    ip, mask = cidr.split("/")
+    octets = [int(x) for x in ip.split(".")]
+    num = 0
+    for o in octets:
+        num = num * 256 + o
+    m = int(mask)
+    size = 1 << (32 - m)
+    lo = (num >> (32 - m)) << (32 - m)
+    return lo, lo + size
+
+
+def ip_range_agg(
+    df: DataFrame,
+    ip_field: str,
+    ranges: list[tuple[str, str | None, str | None]],
+    metrics: dict | None = None,
+) -> DataFrame:
+    """ES ip_range agg over a dotted-quad IPv4 string column:
+    ``ranges`` = (key, from_ip_inclusive, to_ip_exclusive) — pass a
+    CIDR through :func:`parse_cidr` to get the ES mask form. Ordering
+    is numeric (big-endian octet fold), matching ES's ip ordering, NOT
+    lexicographic. One conditional-aggregation pass, all JVM-side."""
+    num = _ip_to_num(F.col(ip_field))
+    branches = []
+    for key, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            lo_n = lo if isinstance(lo, int) else parse_cidr(lo + "/32")[0]
+            cond = cond & (num >= F.lit(int(lo_n)))
+        if hi is not None:
+            hi_n = hi if isinstance(hi, int) else parse_cidr(hi + "/32")[0]
+            cond = cond & (num < F.lit(int(hi_n)))
+        branches.append((key, cond))
+    named = _as_masked(metrics)
+    aggs = []
+    for i, (_, cond) in enumerate(branches):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c_{i}"))
+        for j, (_, fn) in enumerate(named):
+            aggs.append(fn(cond).alias(f"__m_{i}_{j}"))
+    rows = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(key).alias("key"),
+            F.col(f"__c_{i}").cast("long").alias("doc_count"),
+            *[F.col(f"__m_{i}_{j}").alias(n) for j, (n, _) in enumerate(named)],
+        )
+        for i, (key, _) in enumerate(branches)
+    ]
+    return rows.select(F.explode(F.array(*structs)).alias("b")).select("b.*")
+
+
+def variable_width_histogram(
+    df: DataFrame, field: str, buckets: int
+) -> DataFrame:
+    """ES variable_width_histogram, DETERMINISTIC variant: ES clusters
+    with an order-sensitive streaming algorithm (its docs warn the
+    buckets are approximate and shard-order dependent); that is
+    unreproducible across parallelism, so this engine pins the
+    equal-depth reading — bucket boundaries at the EXACT interpolated
+    percentiles i/buckets (the boxplot/percentiles parity machinery:
+    Spark ``percentile`` == DuckDB ``quantile_cont``), values assigned
+    by boundary count (value >= b_i), half-open on the left. Returns
+    per bucket (bucket, doc_count, min, max, avg) — min/key/max is the
+    ES response shape (ES's key IS the bucket average). Two passes over
+    the column (one tiny boundary aggregate + one bucketed aggregate);
+    the boundary row is k-1 doubles — broadcast-safe at any scale."""
+    c = F.col(field).cast("double")
+    qs = [i / buckets for i in range(1, buckets)]
+    brow = df.agg(
+        *[F.percentile(c, F.lit(q)).alias(f"b{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    bounds = [float(brow[f"b{i}"]) for i in range(len(qs))]
+    bucket = F.lit(0)
+    for b_ in bounds:
+        bucket = bucket + F.when(c >= F.lit(b_), 1).otherwise(0)
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.avg(c).alias("avg"),
+        )
+        .orderBy("bucket")
+    )

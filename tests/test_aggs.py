@@ -778,3 +778,54 @@ def test_min_max_sum_avg_bucket_and_moving_percentiles(spark):
     assert mp.loc[1, "mov_p50"] == 10.0
     assert mp.loc[2, "mov_p50"] == 25.0
     assert mp.loc[3, "mov_p50"] == 40.0
+
+
+def test_date_range_ip_range_vw_histogram(spark):
+    from pyspark.sql import functions as F
+
+    from bitcoin_ledger_2es_spark.operators.aggs import (
+        date_range_agg,
+        ip_range_agg,
+        parse_cidr,
+        variable_width_histogram,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{(i % 28) + 1:02d} 12:00:00", f"10.{i % 200}.{i % 250}.{i // 250}", float(i))
+            for i in range(100)
+        ],
+        "event_id long, ts string, ip string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dr = date_range_agg(
+        ev, "ts",
+        [("early", None, "2024-01-10"), ("rest", "2024-01-10", None)],
+        metrics={"m": lambda c: F.avg(F.when(c, F.col("value")))},
+    ).toPandas()
+    # days 1..9 inclusive (to-exclusive at the 10th)
+    n_early = sum(1 for i in range(100) if (i % 28) + 1 < 10)
+    assert dr[dr["key"] == "early"]["doc_count"].iloc[0] == n_early
+    assert dr[dr["key"] == "rest"]["doc_count"].iloc[0] == 100 - n_early
+
+    # CIDR parsing: /9 halves the second octet range under 10.x
+    assert parse_cidr("10.0.0.0/9") == (10 << 24, (10 << 24) + (1 << 23))
+    assert parse_cidr("10.100.0.0/32") == (
+        (10 << 24) + (100 << 16), (10 << 24) + (100 << 16) + 1
+    )
+    ipr = ip_range_agg(
+        ev, "ip",
+        [("low", None, "10.50.0.0"), ("cidr", *parse_cidr("10.0.0.0/9"))],
+    ).toPandas()
+    n_low = sum(1 for i in range(100) if i % 200 < 50)
+    n_cidr = sum(1 for i in range(100) if i % 200 < 128)
+    assert ipr[ipr["key"] == "low"]["doc_count"].iloc[0] == n_low
+    assert ipr[ipr["key"] == "cidr"]["doc_count"].iloc[0] == n_cidr
+
+    vw = variable_width_histogram(ev, "value", buckets=4).toPandas()
+    # equal-depth on 0..99: exact quartile boundaries -> 25 per bucket
+    assert vw["bucket"].tolist() == [0, 1, 2, 3]
+    assert vw["doc_count"].tolist() == [25, 25, 25, 25]
+    # boundaries are the interpolated quartiles (24.75, 49.5, 74.25);
+    # integer data -> first member of each bucket is the next integer
+    assert vw["min"].tolist() == [0.0, 25.0, 50.0, 75.0]
+    assert vw["max"].tolist() == [24.0, 49.0, 74.0, 99.0]
