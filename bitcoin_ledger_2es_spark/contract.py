@@ -1963,7 +1963,11 @@ def q_advanced_queries(spark, sf_dir):
       [any_of(two terms), term], then not_containing — greedy chain +
       minimalization (SQL twin: GROUP-BY-min chain + NOT EXISTS
       domination test), gaps filter AFTER minimalization, weight
-      1/(1+gaps); key = doc_id, n = 0."""
+      1/(1+gaps); key = doc_id, n = 0.
+    * ``mtermvectors`` — the batched _mtermvectors API (docs 19 + 42 in
+      ONE scan/job, interval-pruned blocks, decode skipped for blocks
+      with no target); key = doc_id@term@positions, same stat packing
+      as ``termvectors``."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2110,6 +2114,17 @@ def q_advanced_queries(spark, sf_dir):
         ).alias("score3"),
         F.col("tf").cast("long").alias("n"),
     )
+    mtv = s.mtermvectors([19, 42]).select(
+        F.lit("mtermvectors").alias("kind"),
+        F.concat_ws(
+            "@", F.col("doc_id").cast("string"), F.col("term"),
+            F.array_join(F.col("positions").cast("array<string>"), ","),
+        ).alias("key"),
+        duck_round(
+            F.col("df").cast("double") + F.col("ttf").cast("double") / 1000.0, 3
+        ).alias("score3"),
+        F.col("tf").cast("long").alias("n"),
+    )
     from bitcoin_ledger_2es_spark.plans.query import combined_fields
 
     cf = combined_fields(
@@ -2170,7 +2185,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(pp).unionByName(bp).unionByName(tv).unionByName(pn)
         .unionByName(cf)
         .unionByName(so).unionByName(sn).unionByName(sc).unionByName(sw)
-        .unionByName(iv)
+        .unionByName(iv).unionByName(mtv)
     )
 
 
@@ -2624,6 +2639,30 @@ SELECT 'termvectors' AS kind, key, score3, n FROM (
 )
 """
 
+# mtermvectors twin: the termvectors recipe for two docs in one pass,
+# key prefixed by doc_id
+_SQL_MTERMVECTORS = """
+SELECT 'mtermvectors' AS kind, key, score3, n FROM (
+  WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents)
+  ),
+  stats AS (
+    SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS ttf
+    FROM toks GROUP BY tok
+  ),
+  tv AS (
+    SELECT doc_id, tok, count(*) AS tf,
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS poss
+    FROM toks WHERE doc_id IN (19, 42) GROUP BY doc_id, tok
+  )
+  SELECT CAST(tv.doc_id AS VARCHAR) || '@' || tv.tok || '@' || tv.poss AS key,
+         round(CAST(s.df AS DOUBLE) + CAST(s.ttf AS DOUBLE) / 1000.0, 3) AS score3,
+         CAST(tv.tf AS BIGINT) AS n
+  FROM tv JOIN stats s ON s.tok = tv.tok
+)
+"""
+
 # pinned: pins first (sentinel score), then the organic 'data row'
 # ranking with pins removed — ordered on the PRE-rounding f32 score so
 # the oracle's selection edge is the engine's (f32 desc, doc_id asc)
@@ -2845,7 +2884,7 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS,
      _SQL_PINNED, _SQL_COMBINED_FIELDS,
      _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN,
-     _SQL_INTERVALS]
+     _SQL_INTERVALS, _SQL_MTERMVECTORS]
 )
 
 

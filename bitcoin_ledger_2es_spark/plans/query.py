@@ -1487,6 +1487,108 @@ class BM25Searcher:
             .orderBy("term")
         )
 
+    def mtermvectors(self, doc_ids: list[int]) -> DataFrame:
+        """ES ``_mtermvectors``: term vectors for MANY documents in ONE
+        job — not a term_vectors() loop (which would run one Spark job
+        and one postings scan per doc).
+
+        Plan shape: the target ids are grouped by shard driver-side and
+        the scan predicate is the OR of per-shard ``shard_id == sid AND
+        first_doc_id <= max(ids) AND last_doc_id >= min(ids)`` interval
+        tests — all three columns parquet min/max-pruned, so only block
+        ranges overlapping some target survive the scan. Inside the
+        kernel each block's [first_doc_id, last_doc_id] is searchsorted
+        against the sorted target ids; blocks containing no target skip
+        the varint decode entirely. One k-row broadcast join against the
+        dictionary serves every doc's term statistics.
+
+        Tombstoned ids (pending delete_by_query) are omitted from the
+        result — the ES per-doc ``found: false`` shape. Returns
+        (doc_id, term, tf, positions, df, ttf) ordered (doc_id, term).
+        """
+        ix, cfg = self.ix, self.ix.cfg
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            raise ValueError("mtermvectors needs at least one doc id")
+        if self._deletes is not None:
+            gone = {
+                r["doc_id"]
+                for r in self._deletes.filter(
+                    F.col("doc_id").isin(ids)
+                ).collect()
+            }
+            ids = [d for d in ids if d not in gone]
+            if not ids:
+                return self._spark.createDataFrame(
+                    [],
+                    "doc_id long, term string, tf long, "
+                    "positions array<int>, df long, ttf long",
+                )
+        dps = cfg.docs_per_shard
+        by_shard: dict[int, list[int]] = {}
+        for d in ids:
+            by_shard.setdefault(d // dps, []).append(d)
+        cond = None
+        for sid, sids in by_shard.items():
+            c = (
+                (F.col("shard_id") == sid)
+                & (F.col("first_doc_id") <= max(sids))
+                & (F.col("last_doc_id") >= min(sids))
+            )
+            cond = c if cond is None else (cond | c)
+        targets = np.asarray(ids, dtype=np.int64)
+        has_pos = cfg.store_positions
+
+        def kernel(it):
+            for pdf in it:
+                out_doc, out_term, out_tf, out_pos = [], [], [], []
+                for r in pdf.itertuples(index=False):
+                    lo = int(
+                        np.searchsorted(targets, int(r.first_doc_id), side="left")
+                    )
+                    hi = int(
+                        np.searchsorted(targets, int(r.last_doc_id), side="right")
+                    )
+                    if lo == hi:
+                        continue  # no target in this block: skip decode
+                    blk = targets[lo:hi]
+                    dids = decode_doc_gaps(
+                        r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)
+                    )
+                    j = np.searchsorted(dids, blk)
+                    ok = (j < dids.size) & (dids[np.minimum(j, dids.size - 1)] == blk)
+                    if not ok.any():
+                        continue
+                    tfs = decode_tfs(r.tfs)
+                    allpos = decode_positions(r.poss, tfs) if has_pos else None
+                    offs = np.concatenate(([0], np.cumsum(tfs)))
+                    for d, i in zip(blk[ok], j[ok]):
+                        tf = int(tfs[i])
+                        if has_pos:
+                            pos = allpos[offs[i] : offs[i] + tf].astype(np.int32)
+                            out_pos.append(pos.tolist())
+                        else:
+                            out_pos.append([])
+                        out_doc.append(int(d))
+                        out_term.append(int(r.term_id))
+                        out_tf.append(tf)
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(out_doc, dtype=np.int64),
+                     "term_id": pd.Series(out_term, dtype=np.int64),
+                     "tf": pd.Series(out_tf, dtype=np.int64),
+                     "positions": pd.Series(out_pos, dtype=object)}
+                )
+
+        hits = ix.postings.filter(cond).mapInPandas(
+            kernel, schema="doc_id long, term_id long, tf long, positions array<int>"
+        )
+        return (
+            ix.dictionary.select("term", "term_id", "df", F.col("cf").alias("ttf"))
+            .join(F.broadcast(hits), "term_id")
+            .select("doc_id", "term", "tf", "positions", "df", "ttf")
+            .orderBy("doc_id", "term")
+        )
+
     def scroll(
         self,
         query_text: str,

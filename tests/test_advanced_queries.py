@@ -205,3 +205,35 @@ def test_mlt_by_doc_reference(searcher, docs_pdf):
         searcher.more_like_this("x", like_doc_id=3)
     with pytest.raises(ValueError, match="exactly one"):
         searcher.more_like_this()
+
+
+def test_mtermvectors_matches_per_doc_and_is_one_job(searcher):
+    """Batched _mtermvectors == the per-doc term_vectors rows, and the
+    driver job count does not grow with the number of requested docs
+    (one interval-pruned scan for all of them)."""
+    ids = [3, 77, 150]
+    got = searcher.mtermvectors(ids).toPandas()
+    import pandas as pd
+
+    singles = []
+    for d in ids:
+        one = searcher.term_vectors(d).toPandas()
+        one.insert(0, "doc_id", d)
+        singles.append(one)
+    exp = pd.concat(singles, ignore_index=True).sort_values(
+        ["doc_id", "term"]
+    ).reset_index(drop=True)
+    assert got[["doc_id", "term", "tf", "df", "ttf"]].values.tolist() == \
+        exp[["doc_id", "term", "tf", "df", "ttf"]].values.tolist()
+    assert [list(p) for p in got["positions"]] == [list(p) for p in exp["positions"]]
+
+    sc = searcher.ix.postings.sparkSession.sparkContext
+    for tag, req in (("mtv1", [3]), ("mtv3", [3, 77, 150])):
+        sc.setJobGroup(tag, tag)
+        try:
+            searcher.mtermvectors(req).collect()
+        finally:
+            sc.setJobGroup(None, None)
+    n1 = len(sc.statusTracker().getJobIdsForGroup("mtv1"))
+    n3 = len(sc.statusTracker().getJobIdsForGroup("mtv3"))
+    assert n3 == n1, f"mtermvectors jobs grew with doc count: {n1} -> {n3}"
