@@ -39,9 +39,10 @@ same cost shape as the engine's unordered sloppy phrase):
     one, the window ``[min latest-l, sweep end]`` is a candidate, and
     the same-left / tighter-same-right rules of the engine's
     ``_minimal_windows_freq`` reduce candidates to the minimal set;
-  * ``prefix`` / ``wildcard``: the union of the expanded dictionary
-    terms' point sources (expansion is alphabetical, capped at
-    ``max_expansions`` — the phrase-prefix rewrite shape);
+  * ``prefix`` / ``wildcard`` / ``fuzzy``: the union of the expanded
+    dictionary terms' point sources (expansion is alphabetical, capped
+    at ``max_expansions`` — the phrase-prefix rewrite shape; fuzzy
+    expands within a Levenshtein bound, Lucene Intervals.fuzzyTerm);
   * ``max_gaps`` filters AFTER minimalization (Lucene
     ``Intervals.maxgaps``): a gaps-rejected minimal interval does NOT
     resurrect a wider interval it dominated;
@@ -138,6 +139,13 @@ class IvWildcard(IvSource):
 
 
 @dataclass(frozen=True)
+class IvFuzzy(IvSource):
+    term: str
+    fuzziness: int = 1
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
 class IvFilter(IvSource):
     source: IvSource = None
     reference: IvSource = None
@@ -170,6 +178,10 @@ class Iv:
     @staticmethod
     def wildcard(pattern: str, max_expansions: int = 50) -> IvWildcard:
         return IvWildcard(pattern, max_expansions)
+
+    @staticmethod
+    def fuzzy(term: str, fuzziness: int = 1, max_expansions: int = 50) -> IvFuzzy:
+        return IvFuzzy(term, fuzziness, max_expansions)
 
 
 # --------------------------------------------------------------- kernel

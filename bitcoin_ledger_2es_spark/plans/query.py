@@ -2556,6 +2556,7 @@ class BM25Searcher:
             IvAllOf,
             IvAnyOf,
             IvFilter,
+            IvFuzzy,
             IvMatch,
             IvPrefix,
             IvSource,
@@ -2613,9 +2614,14 @@ class BM25Searcher:
                     return ("points", tids)
                 node = ("all", tuple(("points", (t,)) for t in tids), n.ordered)
                 return ("gaps", node, n.max_gaps) if n.max_gaps >= 0 else node
-            if isinstance(n, (IvPrefix, IvWildcard)):
+            if isinstance(n, (IvPrefix, IvWildcard, IvFuzzy)):
                 if isinstance(n, IvPrefix):
                     cond = F.col("term").startswith(n.prefix.lower())
+                elif isinstance(n, IvFuzzy):
+                    cond = (
+                        F.levenshtein(F.col("term"), F.lit(n.term.lower()))
+                        <= n.fuzziness
+                    )
                 else:
                     import re as _re
 

@@ -254,6 +254,19 @@ def test_prefix_source_and_oov(searcher, oracle):
     )
 
 
+def test_fuzzy_leaf(searcher):
+    """fuzziness=0 expands to exactly the term (blended idf at its own
+    df == the match idf) — identical scores; fuzziness=1 broadens."""
+    a = searcher.intervals_query(Iv.fuzzy("w0004", 0), k=15, with_meta=False).toPandas()
+    b = searcher.intervals_query(Iv.match("w0004"), k=15, with_meta=False).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+    wide = searcher.intervals_query(
+        Iv.fuzzy("w0004", 1, max_expansions=100), k=1000, with_meta=False
+    )
+    assert wide.count() > len(b)  # w0001/w0002/... are 1 edit away
+
+
 def test_single_term_match_equals_term_topk(searcher):
     """A 1-term intervals query IS the term query: every occurrence is a
     width-1 interval, freq = tf, same idf — scores must be identical."""
