@@ -3021,7 +3021,9 @@ def q_agg_extras(spark, sf_dir):
     twin folds octets to the same int64), and vw_histogram (the
     deterministic equal-depth reading of ES variable_width_histogram:
     exact interpolated quantile boundaries — quantile_cont parity —
-    with min/max/avg rows per bucket)."""
+    with min/max/avg rows per bucket); categorize_text (deterministic
+    reading of ES's drain-tree categorization: key = first-5 analyzer
+    tokens with numerics dropped, (doc_count desc, key asc) cap)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -3390,7 +3392,7 @@ def q_agg_extras(spark, sf_dir):
     ).select(F.lit("geo_bounds").alias("agg"), "b.*")
     # date_range over events.ts: from-inclusive / to-exclusive timestamp
     # bounds, one conditional-agg pass (the range recipe on a time axis)
-    from .operators.aggs import date_range_agg, ip_range_agg, parse_cidr
+    from .operators.aggs import categorize_text, date_range_agg, ip_range_agg, parse_cidr
     from .operators.aggs import variable_width_histogram as vwh_agg
 
     dr = date_range_agg(
@@ -3439,6 +3441,10 @@ def q_agg_extras(spark, sf_dir):
             ),
         )).alias("b")
     ).select(F.lit("vw_histogram").alias("agg"), "b.*")
+    ct = categorize_text(docs, "text", max_tokens=5, size=10).select(
+        F.lit("categorize_text").alias("agg"), "key", "doc_count",
+        F.col("doc_count").cast("double").alias("metric"),
+    )
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
@@ -3449,7 +3455,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(bx).unionByName(tt).unionByName(rt).unionByName(sb)
         .unionByName(nz).unionByName(cc).unionByName(gt)
         .unionByName(gh).unionByName(gc).unionByName(gb)
-        .unionByName(dr).unionByName(ipq).unionByName(vw)
+        .unionByName(dr).unionByName(ipq).unionByName(vw).unionByName(ct)
     )
 
 
@@ -4017,6 +4023,17 @@ SELECT 'vw_histogram', key, dc, m FROM (
                  CAST(bucket AS VARCHAR) || ':max']) AS key,
          unnest([round(av, 6), round(mn, 6), round(mx, 6)]) AS m
   FROM g
+)
+UNION ALL
+SELECT 'categorize_text', key, dc, CAST(dc AS DOUBLE) FROM (
+  SELECT key, count(*) AS dc FROM (
+    SELECT array_to_string(
+      (list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
+                   t -> NOT regexp_full_match(t, '[0-9]+')))[1:5], ' ') AS key
+    FROM documents)
+  GROUP BY key
+  ORDER BY dc DESC, key ASC
+  LIMIT 10
 )
 """
 

@@ -1139,3 +1139,33 @@ def variable_width_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def categorize_text(
+    df: DataFrame,
+    text_col: str,
+    max_tokens: int = 5,
+    size: int = 10,
+    token_pattern: str = "[a-z0-9_]+",
+) -> DataFrame:
+    """ES categorize_text agg, DETERMINISTIC variant: ES categorizes
+    log-like messages with an order-sensitive streaming drain tree (its
+    docs call the result approximate and re-runnable-different); that is
+    unreproducible across parallelism, so this engine pins the
+    reproducible reading — the category key is the first ``max_tokens``
+    analyzer tokens with pure-number tokens dropped (ES's categorization
+    tokenizer likewise excludes numerics from category definitions),
+    joined by single spaces. Buckets ordered (doc_count desc, key asc),
+    capped at ``size``. Pure column expressions — codegen end to end."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(token_pattern), 0,
+    )
+    kept = F.filter(toks, lambda t: ~t.rlike("^[0-9]+$"))
+    key = F.array_join(F.slice(kept, 1, max_tokens), " ")
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )

@@ -2428,6 +2428,58 @@ class BM25Searcher:
 
         return self._ranked(cands, k, with_meta)
 
+    def validate_query(
+        self, query_text: str, syntax: str = "classic",
+        default_operator: str = "or",
+    ) -> dict:
+        """ES ``_validate/query`` with the rewrite=true response shape:
+        parse the query string WITHOUT executing it (no Spark job) and
+        return ``{"valid": bool, "explanation": str}`` — the explanation
+        renders the parsed clause structure the way ES echoes the
+        rewritten Lucene query. Both parsers are lenient (Lucene
+        escape-tolerant): unparseable fragments drop out, so
+        ``valid=False`` means nothing in the input lowers to an
+        executable clause (ES's empty-bool case) or a parameter is
+        invalid (bad syntax name / default_operator)."""
+        from ..functions.querystring import (
+            parse_query_string,
+            parse_simple_query_string,
+        )
+
+        cfg = self.ix.cfg
+        try:
+            if syntax == "classic":
+                parsed = parse_query_string(query_text, cfg, default_operator)
+            elif syntax == "simple":
+                parsed = parse_simple_query_string(
+                    query_text, cfg, default_operator
+                )
+            else:
+                raise ValueError(f"unknown syntax: {syntax!r}")
+        except ValueError as e:
+            return {"valid": False, "explanation": f"parse error: {e}"}
+        parts: list[str] = []
+        for t in parsed.terms:
+            parts.append(f"{t.role}:({' '.join(t.terms)})")
+        for p in parsed.phrases:
+            parts.append(f"{p.role}:\"{' '.join(p.terms)}\"~{p.slop}")
+        for x in parsed.expands:
+            suffix = f"~{x.fuzziness}" if x.kind == "fuzzy" else ""
+            parts.append(f"{x.role}:{x.kind}({x.pattern}{suffix})")
+        for fc in parsed.filters:
+            parts.append(f"{fc.role}:filter({fc.fld}:{fc.value})")
+        for role in parsed.unmapped:
+            parts.append(f"{role}:unmapped(MatchNoDocs)")
+        scoring = bool(parsed.terms or parsed.phrases or parsed.expands)
+        filtering = bool(parsed.filters)
+        valid = scoring or filtering
+        if not valid:
+            return {
+                "valid": False,
+                "explanation": "no clause survives analysis (empty bool)",
+            }
+        return {"valid": True, "explanation": " ".join(parts)}
+
     def simple_query_string(
         self,
         qs: str,

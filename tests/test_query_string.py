@@ -321,3 +321,17 @@ def test_suggest_completion(searcher):
     fz = searcher.suggest_completion("v00", size=5, fuzziness=1).toPandas()
     assert got["term"].iloc[0] in fz["term"].tolist()
     assert searcher.suggest_completion("", size=5).count() == 0
+
+
+def test_validate_query(searcher):
+    """_validate/query: rewrite-style explanation, no Spark job."""
+    v = searcher.validate_query('w0001 +"w0002 w0003"~2 -dat* conv_id:c0001 nope:x')
+    assert v["valid"]
+    e = v["explanation"]
+    assert "should:(w0001)" in e
+    assert 'must:"w0002 w0003"~2' in e
+    assert "must_not:prefix(dat)" in e
+    assert "unmapped(MatchNoDocs)" in e
+    assert searcher.validate_query("???")["valid"] is False
+    assert searcher.validate_query("a | b", syntax="simple")["valid"]
+    assert searcher.validate_query("x", syntax="nope")["valid"] is False
