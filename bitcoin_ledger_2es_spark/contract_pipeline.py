@@ -667,7 +667,12 @@ def q_text_features(spark, sf_dir):
     entries: text_quality, lang_id, token_counts, clean_text,
     repetition_stats, doc_fingerprint — each hash-green individually in
     r2/r3). Inner joins: the fingerprint op omits zero-token docs on both
-    engines identically."""
+    engines identically. Session 3 adds benchmark DECONTAMINATION
+    (operators/dedup.py ngram_contamination, the GPT-3-style n-gram
+    overlap test): docs with doc_id % 37 == 0 play the benchmark set,
+    the rest the training corpus; 3-grams at this corpus scale;
+    contam_hits/contam_frac LEFT-joined, 0 for clean docs AND for the
+    benchmark docs themselves."""
     d = _t(spark, sf_dir, "documents")
     q = T.quality_features(d)
     lang = T.lang_id(d)
@@ -675,12 +680,26 @@ def q_text_features(spark, sf_dir):
     ct = T.clean_text(d)
     rs = T.repetition_stats(d).drop("n_tokens")
     fp = T.fingerprint(d).drop("n_tokens")
+    from .operators.dedup import ngram_contamination
+
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    cont = ngram_contamination(train, bench, n=3).select(
+        "doc_id",
+        F.col("n_hit").alias("contam_hits"),
+        F.col("hit_frac").alias("contam_frac"),
+    )
     return (
         q.join(lang, "doc_id")
         .join(tc, "doc_id")
         .join(ct, "doc_id")
         .join(rs, "doc_id")
         .join(fp, "doc_id")
+        .join(cont, "doc_id", "left")
+        .withColumn("contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0)))
+        .withColumn(
+            "contam_frac", F.coalesce(F.col("contam_frac"), F.lit(0.0))
+        )
     )
 
 
@@ -692,14 +711,34 @@ ct AS ({SQL_CLEAN_TEXT}),
 rs AS (SELECT doc_id, top_token_count, top_bigram_count, top_token_frac,
               top_bigram_frac, keep
        FROM ({SQL_REPETITION_STATS})),
-fp AS (SELECT doc_id, fp FROM ({SQL_DOC_FINGERPRINT}))
+fp AS (SELECT doc_id, fp FROM ({SQL_DOC_FINGERPRINT})),
+gr AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+bg AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 37 = 0),
+cont AS (
+  SELECT tg.doc_id,
+         CAST(count(*) FILTER (WHERE bg.gram IS NOT NULL) AS BIGINT) AS contam_hits,
+         count(*) FILTER (WHERE bg.gram IS NOT NULL)
+           / count(*) AS contam_frac
+  FROM gr tg LEFT JOIN bg ON tg.gram = bg.gram
+  WHERE tg.doc_id % 37 != 0
+  GROUP BY tg.doc_id
+  HAVING count(*) FILTER (WHERE bg.gram IS NOT NULL) >= 1
+)
 SELECT q.*, l.pred_lang, l.marker_hits, tc.n_bpe_pieces,
        ct.clean_text, ct.n_removed_chars,
        rs.top_token_count, rs.top_bigram_count, rs.top_token_frac,
-       rs.top_bigram_frac, rs.keep, fp.fp
+       rs.top_bigram_frac, rs.keep, fp.fp,
+       coalesce(cont.contam_hits, 0) AS contam_hits,
+       coalesce(cont.contam_frac, 0.0) AS contam_frac
 FROM q
 JOIN l USING (doc_id) JOIN tc USING (doc_id) JOIN ct USING (doc_id)
 JOIN rs USING (doc_id) JOIN fp USING (doc_id)
+LEFT JOIN cont USING (doc_id)
 """
 
 

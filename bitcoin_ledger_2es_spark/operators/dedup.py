@@ -404,3 +404,39 @@ def release_cached(df: DataFrame) -> None:
     prevents cache leaks across many pipeline invocations in one session."""
     for c in getattr(df, "_graft_cached", []):
         c.unpersist()
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the published n-gram overlap test for
+    LLM training corpora (GPT-3 appendix C used 13-grams; 8 is a common
+    modern choice): flag every training doc sharing at least one word
+    n-gram with the benchmark/eval set.
+
+    Scale shape: the benchmark's DISTINCT n-gram set is the small side
+    by construction (eval sets are tiny next to a training corpus) — it
+    broadcasts; the training side streams through one hash join with
+    map-side partial aggregation per doc. No shuffle is proportional to
+    the corpus beyond the per-doc count.
+
+    Returns (doc_id, n_ngrams, n_hit, hit_frac) for CONTAMINATED docs
+    only (n_hit >= 1), where n_ngrams counts the doc's DISTINCT n-grams
+    and hit_frac = n_hit / n_ngrams. Docs shorter than ``n`` tokens have
+    no n-grams and cannot be flagged."""
+    tg = token_set(train, text_col, id_col, n)
+    bg = token_set(bench, text_col, id_col, n).select("gram").distinct()
+    totals = tg.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id", "n_ngrams", "n_hit",
+        (F.col("n_hit") / F.col("n_ngrams")).alias("hit_frac"),
+    )

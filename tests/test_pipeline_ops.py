@@ -460,3 +460,42 @@ def test_train_val_split_large_doc_ids(spark):
     }
     for d in ids:
         assert got[d] == ((d + salt) * 2654435761) % (1 << 32), d
+
+
+def test_ngram_contamination_matches_brute(spark, docs):
+    """Engine vs python brute on the shared docs fixture: doc_id % 7 == 0
+    rows play the benchmark; distinct 3-gram overlap counts must agree,
+    and clean docs must be absent from the result."""
+    from bitcoin_ledger_2es_spark.operators.dedup import ngram_contamination
+
+    pdf = docs.toPandas()
+    import re
+
+    def grams(text, n=3):
+        t = re.findall(r"[a-z0-9_]+", str(text).lower())
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    bench_ids = set(pdf[pdf["doc_id"] % 7 == 0]["doc_id"])
+    bench_grams = set()
+    for _, r in pdf[pdf["doc_id"].isin(bench_ids)].iterrows():
+        bench_grams |= grams(r["text"])
+    expect = {}
+    for _, r in pdf[~pdf["doc_id"].isin(bench_ids)].iterrows():
+        g = grams(r["text"])
+        hit = len(g & bench_grams)
+        if hit:
+            expect[int(r["doc_id"])] = (len(g), hit)
+    from pyspark.sql import functions as F
+
+    got = ngram_contamination(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=3,
+    ).toPandas()
+    assert len(expect) > 0  # the injected near-dups guarantee overlap
+    got_map = {
+        int(r["doc_id"]): (int(r["n_ngrams"]), int(r["n_hit"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == expect
+    assert ((got["hit_frac"] > 0) & (got["hit_frac"] <= 1)).all()
