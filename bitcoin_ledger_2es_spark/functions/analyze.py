@@ -54,3 +54,25 @@ def analyze_query(query_text: str, cfg: EngineConfig = DEFAULT) -> list[str]:
     if cfg.lowercase:
         q = q.lower()
     return re.findall(cfg.token_pattern, q)
+
+
+def analyze_tokens(text: str, cfg: EngineConfig = DEFAULT) -> list[dict]:
+    """ES ``_analyze`` API response shape: one dict per token with
+    ``token``, ``start_offset``, ``end_offset`` (character offsets into
+    the input) and ``position`` — the same token pattern and lowercase
+    fold as indexing, so ``[t["token"] for t in ...]`` is exactly
+    ``analyze_query``'s output. Offsets index the ORIGINAL text: the
+    token pattern is ASCII, and ASCII lowercasing is length-preserving,
+    so folding before the scan cannot shift offsets. Driver-side, no
+    job — the introspection API, not a hot path."""
+    src = text or ""
+    hay = src.lower() if cfg.lowercase else src
+    return [
+        {
+            "token": m.group(0),
+            "start_offset": m.start(),
+            "end_offset": m.end(),
+            "position": pos,
+        }
+        for pos, m in enumerate(re.finditer(cfg.token_pattern, hay))
+    ]

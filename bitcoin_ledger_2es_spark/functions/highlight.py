@@ -174,3 +174,50 @@ def with_highlight(
         )
         .join(F.broadcast(hits), "doc_id", "inner")
     )
+
+
+def intervals_highlight_col(
+    text: Column, source, cfg: EngineConfig = DEFAULT
+) -> Column:
+    """Interval-aware highlighting: evaluate an Iv AST
+    (operators/intervals.py) over each row's analyzed token stream with
+    the SAME numpy kernels the scorer runs (eval_over_tokens), then wrap
+    each overlap-merged final interval in ONE ``<em>...</em>`` span over
+    the normalized token stream — the phrase-highlight convention
+    extended to the full intervals algebra (span queries highlight the
+    same way: a span IS an interval). Arrow-batched pandas UDF; the
+    per-row Python is acceptable because highlighting runs over the k
+    HIT rows, never the corpus."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.intervals import eval_over_tokens, merge_token_ranges
+    from .analyze import analyze_query, tokenize_series
+
+    def _mark(toks: list[str], ranges: list[tuple[int, int]]) -> str:
+        if not ranges:
+            return " ".join(toks)
+        out = []
+        ri, n = 0, len(ranges)
+        i = 0
+        while i < len(toks):
+            if ri < n and i == ranges[ri][0]:
+                l, r = ranges[ri]
+                out.append(PRE + " ".join(toks[l : r + 1]) + POST)
+                i = r + 1
+                ri += 1
+            else:
+                out.append(toks[i])
+                i += 1
+        return " ".join(out)
+
+    @pandas_udf("string")
+    def _hl(s):
+        tok_lists = tokenize_series(s, cfg)
+        out = []
+        for toks in tok_lists:
+            ivl = eval_over_tokens(source, list(toks), lambda t: analyze_query(t, cfg))
+            out.append(_mark(list(toks), merge_token_ranges(ivl)))
+        return pd.Series(out)
+
+    return _hl(text)

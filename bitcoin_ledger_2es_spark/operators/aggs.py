@@ -1169,3 +1169,41 @@ def categorize_text(
         .orderBy(F.desc("doc_count"), F.asc("key"))
         .limit(size)
     )
+
+
+def composite_pages(
+    df: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    metrics: dict[str, Column] | None = None,
+) -> DataFrame:
+    """ES composite agg with ``after_key`` pagination: buckets are the
+    distinct tuples of ``sources`` in ascending tuple order; a page is
+    the first ``size`` buckets strictly AFTER the ``after`` tuple (ES's
+    after_key cursor — the stateless deep-pagination contract, the same
+    shape as this engine's search_after). The after filter is a
+    lexicographic tuple comparison pushed below the aggregation, so a
+    deep page never materializes earlier pages. Returns the source
+    columns + doc_count + metrics, ordered by the source tuple."""
+    if not sources:
+        raise ValueError("composite needs at least one source")
+    out = df
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after must have one value per source")
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for col, val in zip(sources, after):
+            cond = cond | (eq & (F.col(col) > F.lit(val)))
+            eq = eq & (F.col(col) == F.lit(val))
+        out = out.filter(cond)
+    aggs = [F.count("*").alias("doc_count")] + [
+        c.alias(n) for n, c in (metrics or {}).items()
+    ]
+    return (
+        out.groupBy(*[F.col(c) for c in sources])
+        .agg(*aggs)
+        .orderBy(*[F.asc(c) for c in sources])
+        .limit(size)
+    )

@@ -450,3 +450,130 @@ def iv_freqs(ivl: Ivl):
     )
     freq = np.add.reduceat(wt, starts)
     return ivl.doc[starts], freq
+
+
+# ----------------------------------------------------- highlight face
+
+
+def _levenshtein(a: str, b: str, bound: int) -> int:
+    """Small DP edit distance with an early exit above ``bound`` —
+    highlight-local only (doc vocabularies are tiny)."""
+    if abs(len(a) - len(b)) > bound:
+        return bound + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            best = min(best, v)
+        if best > bound:
+            return bound + 1
+        prev = cur
+    return prev[-1]
+
+
+def eval_over_tokens(source: IvSource, tokens: list[str], analyze) -> Ivl:
+    """Evaluate an Iv AST over ONE document's analyzed token list — the
+    highlight/explain face of the algebra. Runs the SAME numpy kernels
+    as the shard kernel (point sources built from token positions), so
+    the intervals a highlighter marks are exactly the intervals the
+    scorer weighted. ``analyze`` maps a match text to its term list
+    (pass ``lambda t: analyze_query(t, cfg)``).
+
+    Expansion leaves (prefix / wildcard / fuzzy) expand against the
+    DOCUMENT's own vocabulary here (alphabetical, same max_expansions
+    cap) — the local stand-in for the query path's dictionary
+    expansion; a dictionary-expanded term absent from this doc could
+    never produce an interval in it anyway. The one divergence is the
+    cap's universe (doc vocab vs corpus dictionary), documented."""
+    import re as _re
+
+    arr = np.asarray(tokens, dtype=object)
+
+    def points_of(terms: list[str]) -> dict[str, Ivl]:
+        out = {}
+        for t in set(terms):
+            pos = np.flatnonzero(arr == t).astype(np.int64)
+            if pos.size:
+                out[t] = Ivl(
+                    np.zeros(pos.size, np.int64), pos, pos.copy(),
+                    np.ones(pos.size, np.int64),
+                )
+        return out
+
+    def union_points(terms: list[str]) -> Ivl:
+        pts = points_of(terms)
+        return iv_any_of([pts[t] for t in sorted(pts)])
+
+    def ev(n) -> Ivl:
+        if isinstance(n, IvMatch):
+            terms = analyze(n.text)
+            if not terms:
+                raise ValueError("an intervals match analyzed to zero terms")
+            pts = points_of(terms)
+            if any(t not in pts for t in terms):
+                return EMPTY_IVL
+            if len(terms) == 1:
+                return pts[terms[0]]
+            parts = [pts[t] for t in terms]
+            out = (
+                iv_all_of_ordered(parts) if n.ordered
+                else iv_all_of_unordered(parts)
+            )
+            return iv_gaps(out, n.max_gaps) if n.max_gaps >= 0 else out
+        if isinstance(n, IvPrefix):
+            cand = sorted(
+                {t for t in tokens if t.startswith(n.prefix.lower())}
+            )[: n.max_expansions]
+            return union_points(cand)
+        if isinstance(n, IvWildcard):
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in n.pattern.lower()
+            ) + "$"
+            cand = sorted({t for t in tokens if _re.match(rx, t)})[
+                : n.max_expansions
+            ]
+            return union_points(cand)
+        if isinstance(n, IvFuzzy):
+            base = n.term.lower()
+            cand = sorted(
+                {t for t in tokens if _levenshtein(t, base, n.fuzziness) <= n.fuzziness}
+            )[: n.max_expansions]
+            return union_points(cand)
+        if isinstance(n, IvAnyOf):
+            return iv_any_of([ev(c) for c in n.sources])
+        if isinstance(n, IvAllOf):
+            parts = [ev(c) for c in n.sources]
+            if any(p.doc.size == 0 for p in parts):
+                return EMPTY_IVL
+            out = (
+                iv_all_of_ordered(parts) if n.ordered
+                else iv_all_of_unordered(parts)
+            )
+            return iv_gaps(out, n.max_gaps) if n.max_gaps >= 0 else out
+        if isinstance(n, IvFilter):
+            src = ev(n.source)
+            ref = ev(n.reference)
+            return iv_filter(src, ref, n.rule)
+        raise TypeError(f"not an Iv source: {type(n).__name__}")
+
+    return ev(source)
+
+
+def merge_token_ranges(ivl: Ivl) -> list[tuple[int, int]]:
+    """Overlap-merge an interval set into disjoint [l, r] token ranges
+    (the highlight cover: one <em> span per merged range)."""
+    if ivl.doc.size == 0:
+        return []
+    order = np.lexsort((ivl.r, ivl.l))
+    out: list[tuple[int, int]] = []
+    for i in order:
+        l, r = int(ivl.l[i]), int(ivl.r[i])
+        if out and l <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], r))
+        else:
+            out.append((l, r))
+    return out

@@ -829,3 +829,29 @@ def test_date_range_ip_range_vw_histogram(spark):
     # integer data -> first member of each bucket is the next integer
     assert vw["min"].tolist() == [0.0, 25.0, 50.0, 75.0]
     assert vw["max"].tolist() == [24.0, 49.0, 74.0, 99.0]
+
+
+def test_composite_after_key_pagination(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import composite_pages
+
+    df = spark.createDataFrame(
+        [(lang, src) for lang in ("de", "en", "fr") for src in ("a", "b")
+         for _ in range(2)],
+        "lang string, source string",
+    )
+    p1 = composite_pages(df, ["lang", "source"], size=3).toPandas()
+    assert list(zip(p1["lang"], p1["source"])) == [
+        ("de", "a"), ("de", "b"), ("en", "a")
+    ]
+    assert p1["doc_count"].tolist() == [2, 2, 2]
+    after = (p1.iloc[-1]["lang"], p1.iloc[-1]["source"])  # the after_key
+    p2 = composite_pages(df, ["lang", "source"], size=3, after=after).toPandas()
+    assert list(zip(p2["lang"], p2["source"])) == [
+        ("en", "b"), ("fr", "a"), ("fr", "b")
+    ]
+    # page 3 is empty; bad after arity raises
+    assert len(composite_pages(df, ["lang", "source"], size=3,
+                               after=("fr", "b")).toPandas()) == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        composite_pages(df, ["lang", "source"], after=("en",))
