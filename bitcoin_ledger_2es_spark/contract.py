@@ -1832,6 +1832,15 @@ IV_ANY = ("scan", "merge")
 IV_NEXT = "table"
 IV_MAX_GAPS = 3
 IV_NOT = "join"
+# _explain breakdown: query terms x one doc (same doc the termvectors kind pins)
+EXPLAIN_QUERY = "data row table"
+EXPLAIN_DOC = 7
+# terms_set: >= ceil(n/2) of these exact terms must match (callable msm form)
+TERMS_SET_TERMS = ["spark", "join", "scan", "merge"]
+# scroll: three search_after-cursored pages of 10
+SCROLL_QUERY = "data table"
+SCROLL_PAGE_SIZE = 10
+SCROLL_PAGES = 3
 PERCOLATE_QUERIES = [
     (0, "data row", "and", 0),
     (1, "data table window", "or", 2),
@@ -1967,7 +1976,23 @@ def q_advanced_queries(spark, sf_dir):
     * ``mtermvectors`` — the batched _mtermvectors API (docs 19 + 42 in
       ONE scan/job, interval-pruned blocks, decode skipped for blocks
       with no target); key = doc_id@term@positions, same stat packing
-      as ``termvectors``."""
+      as ``termvectors``.
+    * ``explain`` — the ES ``_explain`` API: per-term BM25 breakdown for
+      (EXPLAIN_QUERY, doc 7) straight from the doc's shard slice of the
+      postings; key = term, n = tf, score3 = the f64 contribution
+      rounded 3dp (the twin mirrors the engine's exact expression
+      association, w*idf*tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))).
+    * ``terms_set`` — ES terms_set query with the
+      minimum_should_match_script shape (ceil(n/2) of 4 exact terms):
+      should+msm bool kernel, score = sum of MATCHED term contribs (f64
+      asc term order, f32 emit), k unbounded; key = doc_id, n = rank in
+      the (f32 desc, doc_id asc) total order — the twin re-ranks with
+      row_number() over the identical key.
+    * ``scroll`` — the scroll/PIT cursor surface: three
+      search_after-advanced pages of 10 for SCROLL_QUERY, each page an
+      O(k) job (no from/size rescan); key = doc_id, n = page index —
+      the twin assigns pages via (row_number()-1)//page_size over the
+      same unique total order."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2178,6 +2203,45 @@ def q_advanced_queries(spark, sf_dir):
         ).not_containing(Iv.match(IV_NOT)),
         k=1_000_000, with_meta=False,
     ))
+    ex = s.explain_score(EXPLAIN_QUERY, EXPLAIN_DOC, mode="or").select(
+        F.lit("explain").alias("kind"),
+        F.col("term").alias("key"),
+        duck_round(F.col("contrib"), 3).alias("score3"),
+        F.col("tf").cast("long").alias("n"),
+    )
+    tset = s.terms_set_query(
+        TERMS_SET_TERMS, minimum_should_match=lambda n: (n + 1) // 2,
+        k=1_000_000, with_meta=False,
+    ).select(
+        F.lit("terms_set").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.col("rank").cast("long").alias("n"),
+    )
+    import pandas as pd  # local: driver-side page concat only
+
+    pages = []
+    for pg, page in enumerate(s.scroll(
+        SCROLL_QUERY, page_size=SCROLL_PAGE_SIZE, mode="or",
+        max_pages=SCROLL_PAGES,
+    )):
+        page = page.copy()
+        page["page"] = pg
+        pages.append(page)
+    if pages:
+        scr_pdf = pd.concat(pages, ignore_index=True)
+        scr = spark.createDataFrame(
+            scr_pdf[["doc_id", "score", "page"]]
+        ).select(
+            F.lit("scroll").alias("kind"),
+            F.col("doc_id").cast("string").alias("key"),
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+            F.col("page").cast("long").alias("n"),
+        )
+    else:  # pragma: no cover - SCROLL_QUERY always matches on this corpus
+        scr = spark.createDataFrame(
+            [], "kind string, key string, score3 double, n long"
+        )
     return (
         mlt.unionByName(sp).unionByName(hc)
         .unionByName(dm).unionByName(bo).unionByName(co).unionByName(mm)
@@ -2186,6 +2250,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(cf)
         .unionByName(so).unionByName(sn).unionByName(sc).unionByName(sw)
         .unionByName(iv).unionByName(mtv)
+        .unionByName(ex).unionByName(tset).unionByName(scr)
     )
 
 
@@ -2876,6 +2941,80 @@ _SQL_INTERVALS = _sql_span_family(
     [IV_ANY[0], IV_ANY[1], IV_NEXT],
 )
 
+def _sql_adv_cte(terms: list[str], engine_assoc: bool = False) -> str:
+    """Shared BM25 CTE block for the explain/terms_set/scroll kinds.
+    ``engine_assoc=True`` mirrors the engine's _explain expression
+    association EXACTLY (the explain kind emits the raw f64 contribution,
+    no f32 quantization margin); False keeps the _sql_bm25_allmatch
+    association the f32-rounded kinds already use."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    if engine_assoc:
+        contrib = ("1.0 * ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))"
+                   " * tf.tf * (1.2 + 1.0)"
+                   " / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / c.avgdl))")
+    else:
+        contrib = ("ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))"
+                   " * (tf.tf * 2.2)"
+                   " / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl))")
+    return f"""
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+    WHERE t.term IN ({term_list}) GROUP BY t.doc_id, t.term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, {contrib} AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  )
+"""
+
+
+_SQL_EXPLAIN = f"""
+SELECT 'explain' AS kind, term AS key, round(contrib, 3) AS score3,
+       CAST(tf AS BIGINT) AS n
+FROM (
+  {_sql_adv_cte(EXPLAIN_QUERY.split(), engine_assoc=True)}
+  SELECT term, tf, contrib FROM scored WHERE doc_id = {EXPLAIN_DOC}
+)
+"""
+
+_SQL_TERMS_SET = f"""
+SELECT 'terms_set' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC)
+            AS BIGINT) AS n
+FROM (
+  {_sql_adv_cte(TERMS_SET_TERMS)}
+  SELECT doc_id, sum(contrib ORDER BY term) AS score
+  FROM scored GROUP BY doc_id
+  HAVING count(DISTINCT term) >= {(len(TERMS_SET_TERMS) + 1) // 2}
+)
+"""
+
+_SQL_SCROLL = f"""
+SELECT 'scroll' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST((rnk - 1) // {SCROLL_PAGE_SIZE} AS BIGINT) AS n
+FROM (
+  SELECT row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk,
+         doc_id, score
+  FROM (
+    {_sql_adv_cte(SCROLL_QUERY.split())}
+    SELECT doc_id, sum(contrib ORDER BY term) AS score
+    FROM scored GROUP BY doc_id
+  )
+) WHERE rnk <= {SCROLL_PAGES * SCROLL_PAGE_SIZE}
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
@@ -2884,7 +3023,8 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_SYNONYMS, _SQL_PHRASE_PREFIX, _SQL_BOOL_PREFIX, _SQL_TERMVECTORS,
      _SQL_PINNED, _SQL_COMBINED_FIELDS,
      _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN,
-     _SQL_INTERVALS, _SQL_MTERMVECTORS]
+     _SQL_INTERVALS, _SQL_MTERMVECTORS,
+     _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL]
 )
 
 

@@ -76,3 +76,56 @@ def analyze_tokens(text: str, cfg: EngineConfig = DEFAULT) -> list[dict]:
         }
         for pos, m in enumerate(re.finditer(cfg.token_pattern, hay))
     ]
+
+
+def analyze_offsets(df, doc_col: str, text_col: str,
+                    cfg: EngineConfig = DEFAULT):
+    """Distributed ``_analyze``: one row per token of ``text_col`` with
+    ``position`` and character ``start_offset``/``end_offset`` — the
+    column-level face of :func:`analyze_tokens`, entirely JVM-side
+    (regexp_extract_all + split + posexplode + ``aggregate`` prefix
+    sums; whole-stage codegen, no Python in the path, so it scales to
+    the full corpus unlike the driver-side API).
+
+    Offset derivation (the trick that avoids per-row Python): with
+    ``toks = regexp_extract_all(t, pat)`` and ``seps = split(t, pat)``
+    (the non-token text AROUND the matches; ``len(seps) == len(toks)+1``
+    because the token pattern cannot match empty),
+
+        start(i) = sum(len(seps[0..i])) + sum(len(toks[0..i-1]))
+        end(i)   = start(i) + len(toks[i])
+
+    Lowercasing before the scan cannot shift offsets: the token pattern
+    is ASCII and ASCII case-folding is length-preserving (the same
+    argument analyze_tokens documents). Returns (doc_col, position,
+    token, start_offset, end_offset)."""
+    pat = cfg.token_pattern
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if cfg.lowercase:
+        t = F.lower(t)
+    base = df.select(
+        F.col(doc_col),
+        F.regexp_extract_all(t, F.lit(pat), 0).alias("_toks"),
+        F.split(t, pat, -1).alias("_seps"),
+    )
+    ex = base.select(
+        doc_col, "_toks", "_seps",
+        F.posexplode("_toks").alias("position", "token"),
+    )
+    def _len_sum(arr, n):
+        # sum of lengths of the first n elements (n may be 0)
+        return F.aggregate(
+            F.slice(arr, F.lit(1), n), F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        )
+    start = (
+        _len_sum(F.col("_seps"), F.col("position") + F.lit(1))
+        + _len_sum(F.col("_toks"), F.col("position"))
+    )
+    return ex.select(
+        doc_col,
+        F.col("position").cast("long").alias("position"),
+        "token",
+        start.cast("long").alias("start_offset"),
+        (start + F.length("token")).cast("long").alias("end_offset"),
+    )

@@ -72,6 +72,43 @@ def test_four_tokenizer_impls_agree(spark):
     assert arrow == expected
 
 
+def test_analyze_offsets_matches_driver_api(spark):
+    """Distributed _analyze (analyze_offsets, JVM prefix-sum offsets)
+    must agree row-for-row with the driver-side analyze_tokens on every
+    edge shape: leading/trailing separators, adjacent tokens, empty,
+    NULL, multi-char separators, token at string start and end."""
+    from bitcoin_ledger_2es_spark.functions.analyze import (
+        analyze_offsets,
+        analyze_tokens,
+    )
+
+    texts = [
+        "Hello, World!  foo_bar 42",
+        "",
+        None,
+        "  leading and trailing  ",
+        "tabs\tand\nnewlines",
+        "UPPER lower MiXeD_case",
+        "a--b__c  1.5e3",
+        "endsontoken",
+        ",,punct only!!",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = (
+        analyze_offsets(df, "doc_id", "text", DEFAULT)
+        .toPandas()
+        .sort_values(["doc_id", "position"])
+    )
+    exp = [
+        (i, tok["position"], tok["token"], tok["start_offset"], tok["end_offset"])
+        for i, t in enumerate(texts)
+        for tok in analyze_tokens(t, DEFAULT)
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+
 def test_doc_len_and_empty_turns(tiny_pdf):
     toks = tokenize_series(tiny_pdf["text"])
     lens = toks.str.len()
