@@ -1595,6 +1595,8 @@ class BM25Searcher:
         page_size: int = 10,
         mode: str = "or",
         max_pages: int | None = None,
+        slice_id: int | None = None,
+        slices: int = 1,
     ):
         """ES scroll / point-in-time analogue: a driver-side generator of
         result pages, each a pandas DataFrame of ``page_size`` hits,
@@ -1603,13 +1605,26 @@ class BM25Searcher:
         here the cursor IS the state, stateless like a PIT +
         search_after). The index frames are immutable for the searcher's
         lifetime, which is the point-in-time consistency ES's scroll
-        context pins."""
+        context pins.
+
+        ``slice_id``/``slices``: ES sliced scroll — ``slices`` parallel
+        consumers each scroll a DISJOINT doc subset whose union is the
+        full match set (ES slices on ``floorMod(hash(_id), max)``; here
+        the slice function is ``doc_id mod slices`` — doc_ids are already
+        uniformly dealt across shards by the engine's own id assignment,
+        and the mod keeps the slice a non-scoring docmap predicate the
+        pruned scan evaluates for free)."""
+        doc_filter = None
+        if slice_id is not None:
+            if not (0 <= slice_id < slices):
+                raise ValueError(f"slice_id must be in [0, {slices})")
+            doc_filter = F.pmod(F.col("doc_id"), F.lit(int(slices))) == int(slice_id)
         after = None
         pages = 0
         while max_pages is None or pages < max_pages:
             page = self.top_k(
                 query_text, k=page_size, mode=mode, with_meta=False,
-                search_after=after,
+                search_after=after, doc_filter=doc_filter,
             ).toPandas()
             if page.empty:
                 return
@@ -1617,6 +1632,18 @@ class BM25Searcher:
             pages += 1
             last = page.iloc[-1]
             after = (float(last["score"]), int(last["doc_id"]))
+
+    def search_template(self, source: str, params: dict | None = None, **kw) -> DataFrame:
+        """ES ``_search/template``: render a Mustache-subset template
+        (functions/template.py — ``{{var}}``, ``{{#toJson}}``,
+        ``{{#join}}``, ``{{^var}}default{{/var}}``) into a query_string
+        body and run it. ``kw`` passes through to :meth:`query_string`
+        (k, default_operator, syntax, ...). Rendering is driver-side
+        string work; the executed plan is identical to the equivalent
+        hand-written query_string — templates cost nothing at scale."""
+        from ..functions.template import render_template
+
+        return self.query_string(render_template(source, params), **kw)
 
     def span_first_query(
         self, term: str, end: int, k: int = 10, with_meta: bool = True

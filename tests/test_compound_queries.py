@@ -236,6 +236,50 @@ def test_scroll_pages_match_topk(searcher):
     assert flat_scores == ref["score"].tolist()
 
 
+def test_sliced_scroll_partitions_the_match_set(searcher):
+    """ES sliced scroll: the N slices are disjoint and their union is
+    exactly the full scroll's doc set; within a slice, ordering matches
+    a doc_filter'ed top_k."""
+    q, n_slices = "w0001 w0005", 3
+    full = searcher.top_k(q, k=1_000_000, with_meta=False).toPandas()
+    seen: list[int] = []
+    for sid in range(n_slices):
+        pages = list(searcher.scroll(q, page_size=50, slice_id=sid,
+                                     slices=n_slices))
+        ids = [d for p in pages for d in p["doc_id"].tolist()]
+        assert all(d % n_slices == sid for d in ids)
+        # within-slice order is the global (score desc, doc_id asc) order
+        ref = [d for d in full["doc_id"].tolist() if d % n_slices == sid]
+        assert ids == ref
+        seen += ids
+    assert sorted(seen) == sorted(full["doc_id"].tolist())
+    with pytest.raises(ValueError, match="slice_id"):
+        next(searcher.scroll(q, slice_id=3, slices=3))
+
+
+def test_search_template_renders_and_runs(searcher):
+    from bitcoin_ledger_2es_spark.functions.template import render_template
+
+    # ES default-value idiom + scalar + join
+    src = "{{q}} +{{must}}{{^must}}w0001{{/must}}"
+    assert render_template(src, {"q": "w0005", "must": "w0002"}) == "w0005 +w0002"
+    assert render_template(src, {"q": "w0005"}) == "w0005 +w0001"
+    assert render_template("{{#join}}ts{{/join}}", {"ts": ["a", "b"]}) == "a,b"
+    assert render_template("{{#toJson}}v{{/toJson}}", {"v": [1, "x"]}) == '[1,"x"]'
+    with pytest.raises(KeyError):
+        render_template("{{missing}}", {})
+    with pytest.raises(ValueError, match="unsupported"):
+        render_template("{{#url}}x{{/url}}", {})
+
+    got = searcher.search_template(
+        "{{q}} +{{must}}", {"q": "w0005", "must": "w0001"},
+        k=15, with_meta=False,
+    ).toPandas()
+    ref = searcher.query_string("w0005 +w0001", k=15, with_meta=False).toPandas()
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["score"].tolist() == ref["score"].tolist()
+
+
 def test_explain_score_matches_engine(searcher, oracle):
     q = "w0001 w0001 w0005"  # duplicate term -> weight 2 on w0001
     full = searcher.top_k(q, k=5, with_meta=False).toPandas()
