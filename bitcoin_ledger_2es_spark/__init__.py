@@ -13,8 +13,20 @@ from .oracle import PandasOracle
 from .plans.build import IndexFrames, build_index, read_index, write_index
 from .functions.rank_eval import rank_eval
 from .plans.query import BM25Searcher, combined_fields, multi_match, rrf_fuse
+from .plans.snapshot import (
+    open_alias,
+    put_alias,
+    restore_snapshot,
+    snapshot_index,
+    verify_snapshot,
+)
 
 __all__ = [
+    "snapshot_index",
+    "verify_snapshot",
+    "restore_snapshot",
+    "put_alias",
+    "open_alias",
     "rrf_fuse",
     "DEFAULT",
     "EngineConfig",

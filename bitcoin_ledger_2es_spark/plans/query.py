@@ -211,9 +211,19 @@ def _fold_tagged_scores(subs: "list[DataFrame]") -> DataFrame:
 
 class BM25Searcher:
     def __init__(
-        self, ix: IndexFrames, use_wand: bool = True, aligned: bool | None = None
+        self, ix: IndexFrames, use_wand: bool = True, aligned: bool | None = None,
+        default_doc_filter: Column | None = None,
     ):
-        """``aligned``: score shards inside the pruned postings SCAN itself
+        """``default_doc_filter``: a non-scoring docmap predicate applied
+        to EVERY query through this searcher (the ES filtered-alias
+        shape; plans/snapshot.py:open_alias builds searchers with it).
+        It composes through the same two choke points as delete_by_query
+        tombstones: the allowed-mask for the scored kernels and the
+        full-match-set exclusion for the compound surfaces; the
+        shard-capped phrase/span family raises rather than silently
+        ignoring it (same honesty contract as pending deletes).
+
+        ``aligned``: score shards inside the pruned postings SCAN itself
         — mapInPandas over the partition-aligned on-disk layout — instead
         of groupBy + applyInPandas, removing the only wide exchange on the
         query path. Results are identical either way (tests pin this).
@@ -255,6 +265,7 @@ class BM25Searcher:
         # surfaces; physically removed by expunge()
         self._deletes: DataFrame | None = None
         self._n_deleted = 0
+        self._default_filter = default_doc_filter
 
     def _docmap_allowed(self, doc_filter: Column | None) -> DataFrame | None:
         """docmap with the ``_allowed`` mask column for the cogroup
@@ -263,10 +274,12 @@ class BM25Searcher:
         callers keep the unfiltered fast path. The kernels treat docmap
         rows absent from the mask as excluded, so the left join below
         (which keeps every live row) composes correctly."""
-        if doc_filter is None and self._deletes is None:
+        if doc_filter is None and self._deletes is None and self._default_filter is None:
             return None
         dm = self.ix.docmap
         allowed = doc_filter if doc_filter is not None else F.lit(True)
+        if self._default_filter is not None:
+            allowed = allowed & self._default_filter
         if self._deletes is not None:
             dm = dm.join(
                 self._deletes.withColumn("_tomb", F.lit(True)), "doc_id", "left"
@@ -280,7 +293,14 @@ class BM25Searcher:
         """Anti-join pending tombstones out of a FULL-match-set candidate
         frame (the compound-query surfaces). Correct there because those
         frames carry every match (kernel cap = docs_per_shard), so the
-        exclusion happens before any selection edge."""
+        exclusion happens before any selection edge. The alias-level
+        ``default_doc_filter`` applies here too, as a semi join against
+        the filtered docmap — exact for the same full-set reason."""
+        if self._default_filter is not None:
+            cands = cands.join(
+                self.ix.docmap.filter(self._default_filter).select("doc_id"),
+                "doc_id", "left_semi",
+            )
         if self._deletes is None:
             return cands
         return cands.join(self._deletes, "doc_id", "left_anti")
@@ -293,6 +313,13 @@ class BM25Searcher:
         behind the live-docs bitset; here the honest contract is: expunge
         first (or use query_string, whose generalized kernel masks
         phrases too)."""
+        if self._default_filter is not None:
+            raise ValueError(
+                f"{surface} does not honor a filtered alias "
+                "(default_doc_filter): its kernel applies a shard-local "
+                "cap with no allowed-mask hook — query via query_string, "
+                "whose generalized kernel masks phrases too"
+            )
         if self._deletes is not None:
             raise ValueError(
                 f"{surface} does not serve with pending delete_by_query "
