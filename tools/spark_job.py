@@ -112,6 +112,39 @@ def cmd_compact(args) -> dict:
     }
 
 
+def cmd_snapshot(args) -> dict:
+    from bitcoin_ledger_2es_spark.plans.snapshot import (
+        restore_snapshot,
+        snapshot_index,
+        verify_snapshot,
+    )
+
+    t0 = time.time()
+    if args.restore_to:
+        restore_snapshot(args.snap, args.restore_to, overwrite=args.overwrite)
+        action, n = "restore", len(verify_snapshot(args.snap))
+    elif args.verify:
+        action, n = "verify", len(verify_snapshot(args.snap))
+    else:
+        action, n = "snapshot", len(snapshot_index(args.index, args.snap))
+    return {"cmd": "snapshot", "action": action, "files": n,
+            "sec": round(time.time() - t0, 3)}
+
+
+def cmd_alias(args) -> dict:
+    from bitcoin_ledger_2es_spark.plans.snapshot import (
+        delete_alias,
+        get_aliases,
+        put_alias,
+    )
+
+    if args.set:
+        put_alias(args.root, args.name, args.set, doc_filter_sql=args.filter)
+    elif args.delete:
+        delete_alias(args.root, args.name)
+    return {"cmd": "alias", "aliases": get_aliases(args.root)}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spark_job.py", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -139,6 +172,22 @@ def main(argv=None) -> int:
     c.add_argument("--root", required=True)
     c.add_argument("--docs-per-shard", type=int, default=0)
     c.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser("snapshot", help="take / verify / restore a snapshot")
+    s.add_argument("--index", help="index path (when taking a snapshot)")
+    s.add_argument("--snap", required=True, help="snapshot path")
+    s.add_argument("--verify", action="store_true", help="verify only")
+    s.add_argument("--restore-to", help="restore the snapshot to this path")
+    s.add_argument("--overwrite", action="store_true")
+    s.set_defaults(fn=cmd_snapshot)
+
+    a = sub.add_parser("alias", help="list / set / delete index aliases")
+    a.add_argument("--root", required=True, help="alias registry directory")
+    a.add_argument("--name", help="alias name (for --set/--delete)")
+    a.add_argument("--set", help="index path the alias should point at")
+    a.add_argument("--filter", help="optional docmap predicate (filtered alias)")
+    a.add_argument("--delete", action="store_true")
+    a.set_defaults(fn=cmd_alias)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))
