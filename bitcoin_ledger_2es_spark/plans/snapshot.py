@@ -34,10 +34,11 @@ from pathlib import Path
 
 MANIFEST = "MANIFEST.json"
 ALIASES = "aliases.json"
-_SKIP = {"_SUCCESS", ".part", ".crc"}  # Spark job markers / checksums
 
 
 def _data_files(root: Path) -> list[Path]:
+    # skipped: the manifest itself, dot-files (Hadoop .crc checksums,
+    # .tmp), and Spark's _SUCCESS job markers — everything else is data
     out = []
     for p in sorted(root.rglob("*")):
         if not p.is_file():
