@@ -169,6 +169,33 @@ def put_alias(root: str, name: str, index_path: str,
     _write_aliases(r, reg)
 
 
+def put_alias_multi(
+    root: str,
+    name: str,
+    indices: list[str],
+    write: str | None = None,
+    doc_filter_sql: str | None = None,
+) -> None:
+    """Point ``name`` at SEVERAL indexes (the ES multi-index alias, and
+    the shape rollover maintains). ``write`` marks the ES
+    ``is_write_index`` member (default: the last entry) — readers search
+    every member, ingest targets only the write member. The write member
+    may not exist on disk yet (a just-rolled-over, not-yet-written
+    index); every other member must."""
+    if not indices:
+        raise ValueError("multi alias needs at least one index")
+    write = write if write is not None else indices[-1]
+    if write not in indices:
+        raise ValueError(f"write index {write} not in indices")
+    r = Path(root)
+    reg = _read_aliases(r)
+    ent: dict = {"indices": [str(p) for p in indices], "write": str(write)}
+    if doc_filter_sql:
+        ent["filter"] = doc_filter_sql
+    reg[name] = ent
+    _write_aliases(r, reg)
+
+
 def delete_alias(root: str, name: str) -> None:
     r = Path(root)
     reg = _read_aliases(r)
@@ -184,9 +211,13 @@ def get_aliases(root: str) -> dict:
 
 
 def open_alias(spark, root: str, name: str, cfg=None):
-    """Open a BM25Searcher through an alias. The filter (if any) becomes
-    the searcher's default_doc_filter, AND-composed with any per-query
-    doc_filter."""
+    """Open a searcher through an alias. The filter (if any) becomes the
+    searcher's default_doc_filter, AND-composed with any per-query
+    doc_filter. A single-index alias opens a BM25Searcher; a multi-index
+    alias (put_alias_multi / rollover) opens a MultiSearcher over every
+    member — a missing member is tolerated ONLY when it is the write
+    index (just rolled over, nothing ingested yet), any other missing
+    member is an error, never a silent skip."""
     from pyspark.sql import functions as F
 
     from ..config import DEFAULT
@@ -197,6 +228,117 @@ def open_alias(spark, root: str, name: str, cfg=None):
     if name not in reg:
         raise KeyError(f"no such alias: {name}")
     ent = reg[name]
-    ix = read_index(spark, ent["path"], cfg or DEFAULT)
     flt = F.expr(ent["filter"]) if "filter" in ent else None
-    return BM25Searcher(ix, default_doc_filter=flt)
+    if "path" in ent:
+        ix = read_index(spark, ent["path"], cfg or DEFAULT)
+        return BM25Searcher(ix, default_doc_filter=flt)
+
+    from .multi import MultiSearcher
+
+    searchers = {}
+    for p in ent["indices"]:
+        if not (Path(p) / "corpus_stats").exists():
+            if p == ent["write"]:
+                continue  # empty write index — serves zero docs
+            raise ValueError(f"alias {name} member missing on disk: {p}")
+        ix = read_index(spark, p, cfg or DEFAULT)
+        searchers[p] = BM25Searcher(ix, default_doc_filter=flt)
+    if not searchers:
+        raise ValueError(f"alias {name} has no readable members yet")
+    if len(searchers) == 1:
+        return next(iter(searchers.values()))
+    return MultiSearcher(searchers)
+
+
+def write_index_of(root: str, name: str) -> str:
+    """The alias member ingest should target (ES is_write_index)."""
+    reg = _read_aliases(Path(root))
+    if name not in reg:
+        raise KeyError(f"no such alias: {name}")
+    ent = reg[name]
+    return ent["path"] if "path" in ent else ent["write"]
+
+
+def _index_stats(path: str) -> tuple[int, int]:
+    """(n_docs, bytes on disk) of an on-disk index, driver-side via the
+    parquet footer — no Spark job. A not-yet-written index is (0, 0)."""
+    p = Path(path)
+    if not (p / "corpus_stats").is_dir():
+        return 0, 0
+    import pyarrow.parquet as pq
+
+    n_docs = 0
+    for f in sorted((p / "corpus_stats").glob("*.parquet")):
+        t = pq.read_table(f, columns=["n_docs"])
+        if t.num_rows:
+            n_docs = int(t.column("n_docs")[0].as_py())
+            break
+    size = sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    return n_docs, size
+
+
+def _next_index_path(write: str) -> str:
+    """ES rollover naming: ``<base>-NNNNNN`` increments; anything else
+    gets ``-000002`` appended."""
+    import re
+
+    m = re.match(r"^(.*)-(\d{6})$", write)
+    if m:
+        return f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
+    return f"{write}-000002"
+
+
+def rollover(
+    root: str,
+    name: str,
+    max_docs: int | None = None,
+    max_size_bytes: int | None = None,
+    new_index_path: str | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """ES ``_rollover``: if the alias's write index satisfies any given
+    condition (``max_docs`` / ``max_size_bytes``; no conditions = roll
+    unconditionally, the ES default), atomically extend the alias with a
+    fresh write member. The new member starts as a NOT-yet-written index
+    (the ES empty index): ingest targets ``write_index_of`` and lands it
+    with write_index/reindex; readers via open_alias keep serving the
+    old members meanwhile. Returns the ES-shaped dict
+    ``{rolled_over, old_index, new_index, conditions}``."""
+    r = Path(root)
+    reg = _read_aliases(r)
+    if name not in reg:
+        raise KeyError(f"no such alias: {name}")
+    ent = reg[name]
+    if "path" in ent:  # promote single form to the rollover shape
+        ent = {"indices": [ent["path"]], "write": ent["path"],
+               **({"filter": ent["filter"]} if "filter" in ent else {})}
+    old_write = ent["write"]
+    n_docs, size = _index_stats(old_write)
+    conditions = {}
+    if max_docs is not None:
+        conditions["max_docs"] = n_docs >= max_docs
+    if max_size_bytes is not None:
+        conditions["max_size_bytes"] = size >= max_size_bytes
+    # ES ORs max_* conditions: rollover fires when ANY is satisfied.
+    met = any(conditions.values()) if conditions else True
+    new_path = new_index_path or _next_index_path(old_write)
+    out = {
+        "rolled_over": bool(met and not dry_run),
+        "old_index": old_write,
+        "new_index": new_path,
+        "conditions": conditions,
+        "n_docs": n_docs,
+        "size_bytes": size,
+    }
+    if not met or dry_run:
+        out["rolled_over"] = False
+        return out
+    if new_path in ent["indices"]:
+        raise FileExistsError(f"rollover target already an alias member: {new_path}")
+    if (Path(new_path) / "corpus_stats").exists():
+        raise FileExistsError(f"rollover target already written: {new_path}")
+    ent["indices"] = ent["indices"] + [new_path]
+    ent["write"] = new_path
+    reg[name] = ent
+    _write_aliases(r, reg)  # atomic — readers see old or new registry
+    return out
