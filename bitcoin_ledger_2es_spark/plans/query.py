@@ -1672,6 +1672,91 @@ class BM25Searcher:
 
         return self.query_string(render_template(source, params), **kw)
 
+    def msearch_template(
+        self,
+        templates: "list[tuple[str, dict | None]]",
+        k: int = 10,
+        default_operator: str = "or",
+    ) -> DataFrame:
+        """ES ``_msearch/template``: render every Mustache-subset
+        template driver-side (functions/template.py), then execute the
+        whole batch. Rendered bodies that are plain bag-of-words (no
+        query_string operator syntax) run through :meth:`top_k_batch` —
+        ONE dictionary lookup + ONE pruned scan for all of them; bodies
+        that use operators (phrases, +/-, wildcards, ``field:``
+        filters, ...) execute as one query_string plan each,
+        rank-identical to running them alone (asserted by
+        tests/test_msearch_template.py). Output: (query_id, rank,
+        doc_id, score) — query_id = position in ``templates``."""
+        import re as _re
+
+        from ..functions.template import render_template
+
+        mode = default_operator.lower()
+        rendered = [render_template(src, params) for src, params in templates]
+        # query_string operator markers; a body with none of these
+        # scores identically through the plain-match batch kernel
+        # (weight-1 should/must terms, same analyzer).
+        syntax = _re.compile(r'[+\-|"()*?~^:\[\]{}\\]|\b(AND|OR|NOT|TO)\b')
+        plain = [(i, q) for i, q in enumerate(rendered) if not syntax.search(q)]
+        cplx = [(i, q) for i, q in enumerate(rendered) if syntax.search(q)]
+        parts = []
+        if plain:
+            parts.append(self.top_k_batch(pd.DataFrame({
+                "query_id": [i for i, _ in plain],
+                "query_text": [q for _, q in plain],
+                "k": k, "mode": mode,
+            })))
+        for i, q in cplx:
+            parts.append(
+                self.query_string(
+                    q, k=k, default_operator=mode, with_meta=False
+                ).select(
+                    F.lit(i).cast("long").alias("query_id"),
+                    "rank", "doc_id", "score",
+                )
+            )
+        if not parts:
+            return self._spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score float"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("query_id", "rank")
+
+    def mget(self, doc_ids: list[int]) -> DataFrame:
+        """ES ``_mget``: batched fetch by id — request order preserved
+        (``req_idx``), every requested id answered (missing ids come
+        back ``found = false`` with null metadata, never dropped;
+        duplicates repeat). One docmap scan for the whole batch: the
+        <= len(ids) literal id frame broadcasts INTO the scan (inner,
+        BuildRight), so the fetch stays scan-only at any corpus size.
+        Pending delete_by_query tombstones read as not-found; a
+        filtered alias's default filter is deliberately IGNORED here —
+        ES applies alias filters to searches, not to GETs."""
+        if not doc_ids:
+            raise ValueError("mget needs at least one doc_id")
+        ids = self._spark.createDataFrame(
+            [(i, int(d)) for i, d in enumerate(doc_ids)],
+            "req_idx long, doc_id long",
+        )
+        hits = (
+            self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
+            .join(F.broadcast(ids.select("doc_id").distinct()), "doc_id", "inner")
+        )
+        if self._deletes is not None:
+            hits = hits.join(self._deletes, "doc_id", "left_anti")
+        return (
+            ids.join(hits.withColumn("found", F.lit(True)), "doc_id", "left")
+            .select(
+                "req_idx", "doc_id",
+                F.coalesce("found", F.lit(False)).alias("found"),
+                "conv_id", "turn_idx", "is_rollup",
+            )
+            .orderBy("req_idx")
+        )
+
     def span_first_query(
         self, term: str, end: int, k: int = 10, with_meta: bool = True
     ) -> DataFrame:
