@@ -1841,6 +1841,15 @@ TERMS_SET_TERMS = ["spark", "join", "scan", "merge"]
 SCROLL_QUERY = "data table"
 SCROLL_PAGE_SIZE = 10
 SCROLL_PAGES = 3
+# rrf: the ES 8.x reciprocal-rank-fusion retriever — two independently
+# RANKED retrievers fused by rank alone (rank_constant 60, window 20,
+# final top-10). Hybrid lexical+vector uses the identical combiner:
+# only ranks cross the fusion boundary, so two lexical retrievers pin
+# the exact same math the oracle can mirror.
+RRF_QUERIES = ("data row", "table spark")
+RRF_CONST = 60
+RRF_WINDOW = 20
+RRF_TOPK = 10
 PERCOLATE_QUERIES = [
     (0, "data row", "and", 0),
     (1, "data table window", "or", 2),
@@ -1992,7 +2001,12 @@ def q_advanced_queries(spark, sf_dir):
       search_after-advanced pages of 10 for SCROLL_QUERY, each page an
       O(k) job (no from/size rescan); key = doc_id, n = page index —
       the twin assigns pages via (row_number()-1)//page_size over the
-      same unique total order."""
+      same unique total order.
+    * ``rrf`` — the ES 8.x reciprocal-rank-fusion retriever
+      (plans/query.py rrf_fuse): two ranked top-RRF_WINDOW retrievers
+      fused by 1/(rank_constant+rank) alone, final top-RRF_TOPK ordered
+      on the pre-rounding f64 rrf (desc, doc_id asc); key = doc_id,
+      score3 = round(rrf, 3), n = fused rank."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2218,6 +2232,17 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.col("rank").cast("long").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.plans.query import rrf_fuse
+
+    rr = rrf_fuse(
+        [s.top_k(q, k=RRF_WINDOW, with_meta=False) for q in RRF_QUERIES],
+        rank_constant=RRF_CONST, rank_window=RRF_WINDOW, k=RRF_TOPK,
+    ).select(
+        F.lit("rrf").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("rrf"), 3).alias("score3"),
+        F.col("rank").cast("long").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2251,6 +2276,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(so).unionByName(sn).unionByName(sc).unionByName(sw)
         .unionByName(iv).unionByName(mtv)
         .unionByName(ex).unionByName(tset).unionByName(scr)
+        .unionByName(rr)
     )
 
 
@@ -3015,6 +3041,41 @@ FROM (
 ) WHERE rnk <= {SCROLL_PAGES * SCROLL_PAGE_SIZE}
 """
 
+def _sql_rrf_ranked(query: str) -> str:
+    """One retriever's ranked window for the rrf kind: the shared BM25
+    CTE ranked exactly like the engine's top_k (f32 score desc, doc_id
+    asc — the scroll kind's proven mirror), capped at RRF_WINDOW."""
+    return f"""(
+  SELECT doc_id,
+         row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk
+  FROM (
+    {_sql_adv_cte(query.split())}
+    SELECT doc_id, sum(contrib ORDER BY term) AS score
+    FROM scored GROUP BY doc_id
+  )
+  QUALIFY rnk <= {RRF_WINDOW}
+)"""
+
+
+# rrf contributions are 1/(60+rank) with integer ranks — exact f64 on
+# both sides; a doc missing from one retriever contributes 0.0, and
+# 0.0 + x is bit-exact x, so the two-term sum mirrors the engine's
+# retriever-index-order fold verbatim. Selection (top-10) orders on the
+# PRE-rounding f64 rrf, doc_id asc — the pinned-kind discipline.
+_SQL_RRF = f"""
+SELECT 'rrf' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(rrf, 3) AS score3,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS n
+FROM (
+  SELECT doc_id,
+         coalesce(1.0 / ({RRF_CONST} + a.rnk), 0.0)
+           + coalesce(1.0 / ({RRF_CONST} + b.rnk), 0.0) AS rrf
+  FROM {_sql_rrf_ranked(RRF_QUERIES[0])} a
+  FULL OUTER JOIN {_sql_rrf_ranked(RRF_QUERIES[1])} b USING (doc_id)
+)
+QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id ASC) <= {RRF_TOPK}
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
@@ -3024,7 +3085,7 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_PINNED, _SQL_COMBINED_FIELDS,
      _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN,
      _SQL_INTERVALS, _SQL_MTERMVECTORS,
-     _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL]
+     _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF]
 )
 
 
