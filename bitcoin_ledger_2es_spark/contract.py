@@ -344,23 +344,91 @@ GROUP BY event_type
 """
 
 
-def q_window_lag(spark, sf_dir):  # analytic window: per-user increase count
+EQL_STEPS = ("signup", "purchase", "error")
+EQL_MAXSPAN_S = 24 * 3600
+
+
+def q_window_lag(spark, sf_dir):
+    """Event analytics over `events` in ONE entry, tagged by kind:
+
+    * ``lag_increases`` — per-user count of value increases over the
+      (ts, event_id) order (analytic lag window); key = user_id,
+      n = count.
+    * ``eql_seq`` — the ES EQL ``sequence`` surface (plans/eql.py,
+      pinned earliest-continuation reading): ``sequence by user_id
+      [signup] [purchase] [error] with maxspan=24h``; key =
+      user:e1:e2:e3 event ids, n = span_us (integer microseconds —
+      unix_micros both sides, exact). The engine runs k-1 struct-min
+      window passes on one Exchange; the twin mirrors the semantics
+      with row_number + min-over-following-frame + self-joins."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
+    lag = (
         _t(spark, sf_dir, "events")
         .withColumn("prev", F.lag("value").over(w))
         .filter(F.col("prev").isNotNull() & (F.col("value") > F.col("prev")))
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_increases"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("lag_increases").alias("kind"),
+            F.col("user_id").cast("string").alias("key"),
+            "n",
+        )
     )
+    from bitcoin_ledger_2es_spark.plans.eql import eql_sequence
+
+    seq = eql_sequence(
+        _t(spark, sf_dir, "events"),
+        [F.col("event_type") == t for t in EQL_STEPS],
+        by="user_id", maxspan_s=EQL_MAXSPAN_S,
+    ).select(
+        F.lit("eql_seq").alias("kind"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            F.col("e1_id").cast("string"), F.col("e2_id").cast("string"),
+            F.col("e3_id").cast("string"),
+        ).alias("key"),
+        F.col("span_us").alias("n"),
+    )
+    return lag.unionByName(seq)
 
 
-SQL_WINDOW_LAG = """
-SELECT user_id, count(*) AS n_increases FROM (
+SQL_WINDOW_LAG = f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+-- earliest FOLLOWING match of the next step, per row (the twin of the
+-- engine's struct-min window pass): n3 = next step-3 row, n2 = next
+-- step-2 row; the chain walks n2 then that row's n3 — no backtracking.
+nx AS (
+  SELECT *, min(CASE WHEN event_type = '{EQL_STEPS[2]}' THEN rn END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n3
+  FROM ev
+),
+nx2 AS (
+  SELECT *, min(CASE WHEN event_type = '{EQL_STEPS[1]}' THEN rn END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n2
+  FROM nx
+)
+SELECT 'lag_increases' AS kind, CAST(user_id AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
   SELECT user_id, value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ) WHERE prev IS NOT NULL AND value > prev
 GROUP BY user_id
+UNION ALL
+SELECT 'eql_seq' AS kind,
+       concat_ws(':', s1.user_id, s1.event_id, s2.event_id, s3.event_id) AS key,
+       epoch_us(s3.ts) - epoch_us(s1.ts) AS n
+FROM nx2 s1
+JOIN nx2 s2 ON s2.user_id = s1.user_id AND s2.rn = s1.n2
+JOIN nx2 s3 ON s3.user_id = s2.user_id AND s3.rn = s2.n3
+WHERE s1.event_type = '{EQL_STEPS[0]}'
+  AND epoch_us(s3.ts) - epoch_us(s1.ts) <= CAST({EQL_MAXSPAN_S} AS BIGINT) * 1000000
 """
 
 
