@@ -1918,6 +1918,9 @@ RRF_QUERIES = ("data row", "table spark")
 RRF_CONST = 60
 RRF_WINDOW = 20
 RRF_TOPK = 10
+# linear retriever (ES 8.16 hybrid combiner #2): weighted minmax-
+# normalized score sum over the SAME two retriever windows
+LINEAR_WEIGHTS = (0.7, 0.3)
 PERCOLATE_QUERIES = [
     (0, "data row", "and", 0),
     (1, "data table window", "or", 2),
@@ -2074,7 +2077,12 @@ def q_advanced_queries(spark, sf_dir):
       (plans/query.py rrf_fuse): two ranked top-RRF_WINDOW retrievers
       fused by 1/(rank_constant+rank) alone, final top-RRF_TOPK ordered
       on the pre-rounding f64 rrf (desc, doc_id asc); key = doc_id,
-      score3 = round(rrf, 3), n = fused rank."""
+      score3 = round(rrf, 3), n = fused rank.
+    * ``linear`` — the ES ``linear`` retriever (plans/query.py
+      linear_fuse): the same two retriever windows fused by a WEIGHTED
+      SUM of minmax-normalized f64 scores (weights 0.7/0.3, degenerate
+      window -> 1.0, absent doc -> bit-neutral 0.0), top-RRF_TOPK on
+      the pre-rounding fused score; key = doc_id, n = fused rank."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2311,6 +2319,18 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("rrf"), 3).alias("score3"),
         F.col("rank").cast("long").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.plans.query import linear_fuse
+
+    ln = linear_fuse(
+        [s.top_k(q, k=RRF_WINDOW, with_meta=False) for q in RRF_QUERIES],
+        weights=list(LINEAR_WEIGHTS), normalizer="minmax",
+        rank_window=RRF_WINDOW, k=RRF_TOPK,
+    ).select(
+        F.lit("linear").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score"), 3).alias("score3"),
+        F.col("rank").cast("long").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2344,7 +2364,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(so).unionByName(sn).unionByName(sc).unionByName(sw)
         .unionByName(iv).unionByName(mtv)
         .unionByName(ex).unionByName(tset).unionByName(scr)
-        .unionByName(rr)
+        .unionByName(rr).unionByName(ln)
     )
 
 
@@ -3110,12 +3130,15 @@ FROM (
 """
 
 def _sql_rrf_ranked(query: str) -> str:
-    """One retriever's ranked window for the rrf kind: the shared BM25
-    CTE ranked exactly like the engine's top_k (f32 score desc, doc_id
-    asc — the scroll kind's proven mirror), capped at RRF_WINDOW."""
+    """One retriever's ranked window for the rrf/linear kinds: the
+    shared BM25 CTE ranked exactly like the engine's top_k (f32 score
+    desc, doc_id asc — the scroll kind's proven mirror), capped at
+    RRF_WINDOW. ``s`` is the f64-of-the-emitted-f32 score (REAL
+    round-trip) the linear kind normalizes; rrf ignores it."""
     return f"""(
   SELECT doc_id,
-         row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk
+         row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) AS rnk,
+         CAST(CAST(score AS REAL) AS DOUBLE) AS s
   FROM (
     {_sql_adv_cte(query.split())}
     SELECT doc_id, sum(contrib ORDER BY term) AS score
@@ -3144,6 +3167,34 @@ FROM (
 QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id ASC) <= {RRF_TOPK}
 """
 
+# linear retriever twin: minmax-normalize each retriever's windowed f32
+# scores in f64 ((s-mn)/(mx-mn), degenerate window -> 1.0), weighted sum
+# in retriever-index order (coalesce 0.0 is bit-neutral), top-10 on the
+# PRE-rounding f64 fused score — the same mirroring recipe as rrf.
+_SQL_LINEAR = f"""
+SELECT 'linear' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(score, 3) AS score3,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS n
+FROM (
+  SELECT doc_id,
+         coalesce({LINEAR_WEIGHTS[0]} * a.norm, 0.0)
+           + coalesce({LINEAR_WEIGHTS[1]} * b.norm, 0.0) AS score
+  FROM (
+    SELECT doc_id,
+           CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END AS norm
+    FROM (SELECT doc_id, s, min(s) OVER () AS mn, max(s) OVER () AS mx
+          FROM {_sql_rrf_ranked(RRF_QUERIES[0])})
+  ) a
+  FULL OUTER JOIN (
+    SELECT doc_id,
+           CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END AS norm
+    FROM (SELECT doc_id, s, min(s) OVER () AS mn, max(s) OVER () AS mx
+          FROM {_sql_rrf_ranked(RRF_QUERIES[1])})
+  ) b USING (doc_id)
+)
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= {RRF_TOPK}
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
@@ -3153,7 +3204,7 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_PINNED, _SQL_COMBINED_FIELDS,
      _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN,
      _SQL_INTERVALS, _SQL_MTERMVECTORS,
-     _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF]
+     _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF, _SQL_LINEAR]
 )
 
 

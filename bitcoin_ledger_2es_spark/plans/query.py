@@ -3688,3 +3688,81 @@ def rrf_fuse(
         .select("rank", F.col("_id").alias(id_col), "rrf")
         .orderBy("rank")
     )
+
+
+def linear_fuse(
+    results: "list[DataFrame]",
+    weights: "list[float] | None" = None,
+    normalizer: str = "minmax",
+    rank_window: int | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``linear`` retriever (the 8.16+ hybrid combiner alongside
+    ``rrf``): fuse N ranked result lists by a WEIGHTED SUM of per-
+    retriever NORMALIZED scores — ``linear(d) = sum_i w_i * norm_i(d)``.
+
+    ``normalizer='minmax'`` (the ES default for score-scale mixing):
+    ``(s - min) / (max - min)`` over the retriever's top-``rank_window``
+    scores, so each retriever's best doc contributes ``w_i`` and its
+    worst windowed doc 0 — a degenerate window (max == min) normalizes
+    to 1.0 (the single surviving doc IS the retriever's best).
+    ``'none'`` sums raw scores. A doc absent from a retriever
+    contributes 0.0 there (bit-neutral in the f64 fold).
+
+    Determinism contract (the rrf_fuse/dis_max discipline): per-doc
+    contributions fold in f64 in RETRIEVER-INDEX order via
+    array_sort(collect_list(struct)); normalization arithmetic is f64
+    over the emitted f32 scores (CAST to double — the oracle mirrors
+    with REAL round-trips); output ties (score desc, id asc), rank
+    1-based. Scale shape: inputs are <= rank_window rows each, the
+    min/max are per-retriever 1-row aggregates broadcast back — the
+    whole fusion is k-row work, no scan."""
+    if not results:
+        raise ValueError("linear_fuse requires at least one ranked input")
+    if normalizer not in ("minmax", "none"):
+        raise ValueError(f"unknown normalizer: {normalizer}")
+    w = [1.0] * len(results) if weights is None else [float(x) for x in weights]
+    if len(w) != len(results):
+        raise ValueError("weights must match results 1:1")
+    subs = []
+    for i, r in enumerate(results):
+        r = r.select(
+            F.col(id_col).alias("_id"),
+            F.col("rank").cast("long").alias("_rk"),
+            F.col("score").cast("double").alias("_s"),
+        )
+        if rank_window is not None:
+            r = r.filter(F.col("_rk") <= int(rank_window))
+        if normalizer == "minmax":
+            ext = r.agg(F.min("_s").alias("_mn"), F.max("_s").alias("_mx"))
+            r = r.crossJoin(F.broadcast(ext)).select(
+                "_id",
+                F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))
+                .otherwise(
+                    (F.col("_s") - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+                ).alias("_norm"),
+            )
+        else:
+            r = r.select("_id", F.col("_s").alias("_norm"))
+        subs.append(r.select(
+            "_id", F.lit(i).alias("_q"),
+            (F.lit(w[i]) * F.col("_norm")).alias("_c"),
+        ))
+    allr = subs[0]
+    for r in subs[1:]:
+        allr = allr.unionByName(r)
+    fused = allr.groupBy("_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_q", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("score")
+    )
+    win = Window.orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        fused.orderBy(F.desc("score"), F.asc("_id")).limit(k)
+        .withColumn("rank", F.row_number().over(win))
+        .select("rank", F.col("_id").alias(id_col), "score")
+        .orderBy("rank")
+    )

@@ -47,3 +47,59 @@ def test_rrf_fuse_tie_breaks_doc_id_asc(spark):
 def test_rrf_fuse_empty_input_list_raises(spark):
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_linear_fuse_minmax_weighted(spark):
+    from bitcoin_ledger_2es_spark.plans.query import linear_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 6.0), (3, 3, 2.0)],
+        "doc_id long, rank int, score float",
+    )
+    b = spark.createDataFrame(
+        [(3, 1, 0.9), (1, 2, 0.5), (9, 3, 0.1)],
+        "doc_id long, rank int, score float",
+    )
+    got = linear_fuse([a, b], weights=[0.7, 0.3], k=10).toPandas()
+    # minmax over each window: a -> (10,2), b -> (0.9,0.1)
+    import numpy as np
+
+    f32 = lambda x: float(np.float32(x))
+    na = lambda s: (f32(s) - f32(2.0)) / (f32(10.0) - f32(2.0))
+    nb = lambda s: (f32(s) - f32(0.1)) / (f32(0.9) - f32(0.1))
+    exp = {
+        1: (0.0 + 0.7 * na(10.0)) + 0.3 * nb(0.5),
+        2: 0.0 + 0.7 * na(6.0),
+        3: (0.0 + 0.7 * na(2.0)) + 0.3 * nb(0.9),
+        9: 0.0 + 0.3 * nb(0.1),
+    }
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert got["doc_id"].tolist() == order
+    assert got["score"].tolist() == [exp[d] for d in order]
+
+
+def test_linear_fuse_degenerate_window_and_rank_window(spark):
+    from bitcoin_ledger_2es_spark.plans.query import linear_fuse
+
+    a = spark.createDataFrame(
+        [(7, 1, 5.0), (8, 2, 1.0)], "doc_id long, rank int, score float"
+    )
+    # rank_window=1 leaves one row -> max==min -> norm 1.0
+    got = linear_fuse([a], rank_window=1, k=5).toPandas()
+    assert got["doc_id"].tolist() == [7]
+    assert got["score"].tolist() == [1.0]
+    # normalizer='none' sums raw scores
+    got2 = linear_fuse([a], normalizer="none", k=5).toPandas()
+    assert got2["score"].tolist() == [5.0, 1.0]
+
+
+def test_linear_fuse_validation(spark):
+    from bitcoin_ledger_2es_spark.plans.query import linear_fuse
+
+    a = spark.createDataFrame([(1, 1, 1.0)], "doc_id long, rank int, score float")
+    with pytest.raises(ValueError, match="at least one"):
+        linear_fuse([])
+    with pytest.raises(ValueError, match="normalizer"):
+        linear_fuse([a], normalizer="zscore")
+    with pytest.raises(ValueError, match="weights"):
+        linear_fuse([a], weights=[1.0, 2.0])
