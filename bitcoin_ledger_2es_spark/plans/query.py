@@ -976,6 +976,31 @@ class BM25Searcher:
             "aggregatable boolean, positions boolean",
         )
 
+    def terms_enum(
+        self,
+        prefix: str = "",
+        size: int = 10,
+        case_insensitive: bool = True,
+        search_after: str | None = None,
+    ) -> DataFrame:
+        """ES ``_terms_enum``: up to ``size`` index terms starting with
+        ``prefix``, ascending term order, resumable via ``search_after``
+        (strictly-greater continuation — the ES pagination shape). The
+        prefix becomes a pushed-down predicate on the sorted dictionary
+        parquet (range pruning, same path as prefix_query's expansion),
+        and the result is <= size rows — O(size) work at any vocabulary
+        size. Terms are indexed lowercase (the analyzer), so
+        ``case_insensitive=False`` only controls whether the PREFIX is
+        lowercased first: a cased prefix then matches nothing, exactly
+        like ES against a lowercased keyword field."""
+        t = self.ix.dictionary.select("term")
+        p = prefix.lower() if case_insensitive else prefix
+        if p:
+            t = t.filter(F.col("term").startswith(p))
+        if search_after is not None:
+            t = t.filter(F.col("term") > search_after)
+        return t.orderBy("term").limit(int(size))
+
     def term_freqs(self, terms: list[str]) -> DataFrame:
         """Raw (doc_id, term_id, tf) stream for the given analyzed terms
         from the SAME pruned postings scan as the scorers — the decode
