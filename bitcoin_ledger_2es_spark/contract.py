@@ -360,7 +360,12 @@ def q_window_lag(spark, sf_dir):
       user:e1:e2:e3 event ids, n = span_us (integer microseconds —
       unix_micros both sides, exact). The engine runs k-1 struct-min
       window passes on one Exchange; the twin mirrors the semantics
-      with row_number + min-over-following-frame + self-joins."""
+      with row_number + min-over-following-frame + self-joins.
+    * ``eql_sample`` — EQL ``sample by user_id`` over the same three
+      conditions (un-sequenced: earliest match per condition, key
+      emits iff all conditions match — ONE groupBy with struct-min
+      aggregates); key = user:e1:e2:e3, n = spread_us (max - min of
+      the bound timestamps)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag = (
         _t(spark, sf_dir, "events")
@@ -389,7 +394,22 @@ def q_window_lag(spark, sf_dir):
         ).alias("key"),
         F.col("span_us").alias("n"),
     )
-    return lag.unionByName(seq)
+    from bitcoin_ledger_2es_spark.plans.eql import eql_sample
+
+    smp = eql_sample(
+        _t(spark, sf_dir, "events"),
+        [F.col("event_type") == t for t in EQL_STEPS],
+        by="user_id",
+    ).select(
+        F.lit("eql_sample").alias("kind"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            F.col("e1_id").cast("string"), F.col("e2_id").cast("string"),
+            F.col("e3_id").cast("string"),
+        ).alias("key"),
+        F.col("spread_us").alias("n"),
+    )
+    return lag.unionByName(seq).unionByName(smp)
 
 
 SQL_WINDOW_LAG = f"""
@@ -429,6 +449,27 @@ JOIN nx2 s2 ON s2.user_id = s1.user_id AND s2.rn = s1.n2
 JOIN nx2 s3 ON s3.user_id = s2.user_id AND s3.rn = s2.n3
 WHERE s1.event_type = '{EQL_STEPS[0]}'
   AND epoch_us(s3.ts) - epoch_us(s1.ts) <= CAST({EQL_MAXSPAN_S} AS BIGINT) * 1000000
+UNION ALL
+SELECT 'eql_sample' AS kind,
+       concat_ws(':', a.user_id, a.event_id, b.event_id, c.event_id) AS key,
+       greatest(epoch_us(a.ts), epoch_us(b.ts), epoch_us(c.ts))
+         - least(epoch_us(a.ts), epoch_us(b.ts), epoch_us(c.ts)) AS n
+FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = '{EQL_STEPS[0]}'
+) a
+JOIN (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = '{EQL_STEPS[1]}'
+) b ON b.user_id = a.user_id AND b.rn = 1
+JOIN (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = '{EQL_STEPS[2]}'
+) c ON c.user_id = a.user_id AND c.rn = 1
+WHERE a.rn = 1
 """
 
 

@@ -112,3 +112,47 @@ def eql_sequence(
     if maxspan_s is not None:
         m = m.filter(F.col("span_us") <= int(maxspan_s * 1_000_000))
     return m.orderBy(by, "e1_ts", "e1_id")
+
+
+def eql_sample(
+    events: DataFrame,
+    conds: "list[Column]",
+    by: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """ES EQL ``sample by <key> [cond1] [cond2] ...``: one event per
+    condition sharing the join key, NO time ordering between them (the
+    un-sequenced sibling of ``sequence``). Deterministic reading pinned
+    here: each slot binds the key's EARLIEST matching event in
+    ``(ts, tiebreak)`` order; a key emits a sample iff every condition
+    has at least one match.
+
+    Spark shape: ONE groupBy(by) with a struct-min aggregate per
+    condition — partial (map-side) aggregation applies, one narrow
+    shuffle of <= n_keys * k rows, no window, no join. Output: ``by``,
+    per-slot ``e{i}_id``/``e{i}_ts``, and ``spread_us`` = max - min of
+    the bound timestamps (integer microseconds, exact both sides)."""
+    if not conds:
+        raise ValueError("eql_sample needs at least one condition")
+    aggs = [
+        F.min(
+            F.when(c, F.struct(F.col(ts).alias("ts"),
+                               F.col(tiebreak).alias("eid")))
+        ).alias(f"_m{i}")
+        for i, c in enumerate(conds)
+    ]
+    g = events.groupBy(by).agg(*aggs)
+    for i in range(len(conds)):
+        g = g.filter(F.col(f"_m{i}").isNotNull())
+    micros = [
+        F.unix_micros(F.col(f"_m{i}")["ts"].cast("timestamp"))
+        for i in range(len(conds))
+    ]
+    spread = F.greatest(*micros) - F.least(*micros) if len(micros) > 1 else F.lit(0).cast("long")
+    sel = [F.col(by)]
+    for i in range(len(conds)):
+        sel += [F.col(f"_m{i}")["eid"].alias(f"e{i + 1}_id"),
+                F.col(f"_m{i}")["ts"].alias(f"e{i + 1}_ts")]
+    sel.append(spread.alias("spread_us"))
+    return g.select(*sel).orderBy(by)

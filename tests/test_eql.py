@@ -131,3 +131,29 @@ def test_single_exchange_plan(spark):
     # final orderBy adds its range exchange; no join anywhere)
     assert plan.count("hashpartitioning") <= 1
     assert "Join" not in plan
+
+
+def test_sample_earliest_per_condition(spark):
+    rows = [
+        # user 1 has all three types -> sample of the earliest each
+        _ev(0, 5, 1, "a"), _ev(1, 1, 1, "a"), _ev(2, 3, 1, "b"), _ev(3, 2, 1, "c"),
+        # user 2 misses 'c' -> no sample
+        _ev(4, 0, 2, "a"), _ev(5, 1, 2, "b"),
+    ]
+    from bitcoin_ledger_2es_spark.plans.eql import eql_sample
+
+    df = spark.createDataFrame(rows, DDL)
+    got = eql_sample(df, _steps(), by="user_id").toPandas()
+    assert got["user_id"].tolist() == [1]
+    # earliest a is id 1 (minute 1), NOT id 0 (minute 5); no ordering
+    # between slots (c binds at minute 2 < b's minute 3)
+    assert got[["e1_id", "e2_id", "e3_id"]].values.tolist() == [[1, 2, 3]]
+    assert got["spread_us"].iloc[0] == 2 * 60 * 1_000_000  # minutes 1..3
+
+
+def test_sample_single_condition_spread_zero(spark):
+    from bitcoin_ledger_2es_spark.plans.eql import eql_sample
+
+    df = spark.createDataFrame([_ev(0, 0, 1, "a")], DDL)
+    got = eql_sample(df, [F.col("event_type") == "a"]).toPandas()
+    assert got["spread_us"].tolist() == [0]
