@@ -365,7 +365,12 @@ def q_window_lag(spark, sf_dir):
       conditions (un-sequenced: earliest match per condition, key
       emits iff all conditions match — ONE groupBy with struct-min
       aggregates); key = user:e1:e2:e3, n = spread_us (max - min of
-      the bound timestamps)."""
+      the bound timestamps).
+    * ``esql`` — the ES|QL piped language (plans/esql.py): a
+      WHERE/EVAL/STATS/SORT/LIMIT pipeline lowered onto
+      filter/withColumn/groupBy/top-n, integer-cents exact; key =
+      user_id:count, n = sum_cents — the twin is the literally
+      equivalent SQL."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag = (
         _t(spark, sf_dir, "events")
@@ -409,7 +414,24 @@ def q_window_lag(spark, sf_dir):
         ).alias("key"),
         F.col("spread_us").alias("n"),
     )
-    return lag.unionByName(seq).unionByName(smp)
+    from bitcoin_ledger_2es_spark.plans.esql import esql
+
+    eq = esql(
+        'FROM events'
+        ' | WHERE event_type == "purchase"'
+        ' | EVAL cents = TO_LONG(ROUND(value * 100))'
+        ' | STATS n = COUNT(*), sum_cents = SUM(cents) BY user_id'
+        ' | SORT sum_cents DESC, user_id ASC'
+        ' | LIMIT 10',
+        {"events": _t(spark, sf_dir, "events")},
+    ).select(
+        F.lit("esql").alias("kind"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("n").cast("string")
+        ).alias("key"),
+        F.col("sum_cents").alias("n"),
+    )
+    return lag.unionByName(seq).unionByName(smp).unionByName(eq)
 
 
 SQL_WINDOW_LAG = f"""
@@ -470,6 +492,16 @@ JOIN (
   FROM events WHERE event_type = '{EQL_STEPS[2]}'
 ) c ON c.user_id = a.user_id AND c.rn = 1
 WHERE a.rn = 1
+UNION ALL
+SELECT 'esql' AS kind, concat_ws(':', user_id, n) AS key, sum_cents AS n
+FROM (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+  ORDER BY sum_cents DESC, user_id ASC
+  LIMIT 10
+)
 """
 
 

@@ -1,0 +1,286 @@
+"""ES|QL: the ES 8.11+ piped query language (``POST /_query``), lowered
+onto the DataFrame API. Public syntax per the ES|QL reference; this
+module implements a DOCUMENTED SUBSET and raises loudly on anything
+outside it (the search_template discipline: unknown constructs are
+errors, never silent misreads).
+
+Supported pipeline stages::
+
+    FROM <table>
+    | WHERE <expr>
+    | EVAL name = <expr> [, name2 = <expr> ...]     (sequential: later
+                                                     ones see earlier)
+    | STATS alias = AGG(<expr>) [, ...] [BY col [, col ...]]
+    | SORT col [ASC|DESC] [, ...]
+    | LIMIT n
+    | KEEP col [, ...]
+    | DROP col [, ...]
+    | RENAME old AS new [, ...]
+
+Expressions: comparisons (``==`` ``!=`` ``<`` ``<=`` ``>`` ``>=``),
+boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
+``IS NOT NULL``, ``IN (...)``, ``LIKE``, double-quoted string literals,
+TRUE/FALSE/NULL, and the function whitelist below (ES|QL name -> Spark
+SQL): ROUND ABS LENGTH SUBSTRING CONCAT GREATEST LEAST COALESCE
+DATE_TRUNC TO_LOWER TO_UPPER TO_LONG TO_DOUBLE TO_STRING and variadic
+CASE(cond, val, ..., [default]). STATS aggregates: COUNT(*) COUNT
+COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE(field, p 0..100).
+
+How it lowers (why this is the right engine shape): every stage maps
+1:1 onto a declarative DataFrame op — WHERE -> filter (predicate
+pushdown reaches the scan), EVAL -> withColumn, STATS -> groupBy/agg
+(map-side partial aggregation), SORT+LIMIT -> a global top-n (Spark
+plans TakeOrderedAndProject, never a full sort, when LIMIT follows
+SORT). The translator emits Spark SQL expression strings consumed by
+``F.expr`` — everything stays inside Catalyst/codegen, no Python in
+the data path."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN = re.compile(
+    r'\s*(?:(?P<str>"(?:[^"\\]|\\.)*")'
+    r"|(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>==|!=|<=|>=|[<>+\-*/%(),=])"
+    r")"
+)
+
+_KEYWORDS = {
+    "AND", "OR", "NOT", "NULL", "IS", "IN", "LIKE", "TRUE", "FALSE",
+    "ASC", "DESC", "BY", "AS",
+}
+
+# ES|QL function -> Spark SQL function (None = same name)
+_FUNCS = {
+    "ROUND": "round", "ABS": "abs", "LENGTH": "length",
+    "SUBSTRING": "substring", "CONCAT": "concat",
+    "GREATEST": "greatest", "LEAST": "least", "COALESCE": "coalesce",
+    "DATE_TRUNC": "date_trunc",
+    "TO_LOWER": "lower", "TO_UPPER": "upper",
+}
+_CASTS = {"TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE", "TO_STRING": "STRING"}
+_AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
+         "MEDIAN", "PERCENTILE"}
+
+
+class ESQLError(ValueError):
+    pass
+
+
+def _tokenize(s: str) -> "list[tuple[str, str]]":
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            rest = s[pos:].strip()
+            if not rest:
+                break
+            raise ESQLError(f"cannot tokenize ES|QL at: {rest[:40]!r}")
+        pos = m.end()
+        for kind in ("str", "num", "id", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+def _split_top(tokens, sep=","):
+    """Split a token list on a top-level operator token (never inside
+    parens)."""
+    parts, cur, depth = [], [], 0
+    for t in tokens:
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+            if depth < 0:
+                raise ESQLError("unbalanced parens")
+        if depth == 0 and t == ("op", sep):
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if depth != 0:
+        raise ESQLError("unbalanced parens")
+    parts.append(cur)
+    return parts
+
+
+def _emit(tokens, aggs_ok: bool = False) -> str:
+    """Token list -> Spark SQL expression string. Recursive only for
+    CASE(...) (ES|QL's variadic conditional becomes CASE WHEN)."""
+    out, i = [], 0
+    while i < len(tokens):
+        kind, v = tokens[i]
+        if kind == "str":
+            body = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            out.append("'" + body.replace("'", "''") + "'")
+        elif kind == "num":
+            out.append(v)
+        elif kind == "op":
+            out.append("=" if v == "==" else v)
+        else:  # identifier
+            up = v.upper()
+            is_call = (
+                up not in _KEYWORDS
+                and i + 1 < len(tokens) and tokens[i + 1] == ("op", "(")
+            )
+            if is_call:
+                j, depth = i + 1, 0
+                while True:  # find the matching close paren
+                    if tokens[j] == ("op", "("):
+                        depth += 1
+                    elif tokens[j] == ("op", ")"):
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                    if j >= len(tokens):
+                        raise ESQLError("unbalanced parens in call")
+                args = _split_top(tokens[i + 2:j]) if j > i + 2 else []
+                if up == "CASE":
+                    if len(args) < 2:
+                        raise ESQLError("CASE needs cond, value, ...")
+                    pairs, dflt = args, None
+                    if len(args) % 2 == 1:
+                        pairs, dflt = args[:-1], args[-1]
+                    s = "CASE"
+                    for c, val in zip(pairs[0::2], pairs[1::2]):
+                        s += f" WHEN {_emit(c)} THEN {_emit(val)}"
+                    if dflt is not None:
+                        s += f" ELSE {_emit(dflt)}"
+                    out.append(s + " END")
+                elif up in _CASTS:
+                    if len(args) != 1:
+                        raise ESQLError(f"{up} takes one argument")
+                    out.append(f"CAST({_emit(args[0])} AS {_CASTS[up]})")
+                elif up in _FUNCS:
+                    inner = ", ".join(_emit(a) for a in args)
+                    out.append(f"{_FUNCS[up]}({inner})")
+                elif aggs_ok and up in _AGGS:
+                    if up == "COUNT" and args == [[("op", "*")]]:
+                        out.append("count(*)")
+                    elif up == "COUNT":
+                        out.append(f"count({_emit(args[0])})")
+                    elif up == "COUNT_DISTINCT":
+                        out.append(f"count(DISTINCT {_emit(args[0])})")
+                    elif up == "MEDIAN":
+                        out.append(f"percentile({_emit(args[0])}, 0.5)")
+                    elif up == "PERCENTILE":
+                        if len(args) != 2:
+                            raise ESQLError("PERCENTILE(field, p)")
+                        out.append(
+                            f"percentile({_emit(args[0])}, ({_emit(args[1])}) / 100.0)"
+                        )
+                    else:
+                        out.append(f"{up.lower()}({_emit(args[0])})")
+                else:
+                    raise ESQLError(f"unsupported ES|QL function: {v}")
+                i = j
+            elif up in _KEYWORDS:
+                out.append(up)
+            else:
+                out.append(f"`{v}`")  # column reference
+        i += 1
+    return " ".join(out)
+
+
+def _assignments(tokens):
+    """``name = expr [, name2 = expr2]`` -> [(name, expr_sql)]."""
+    out = []
+    for part in _split_top(tokens):
+        if len(part) < 3 or part[0][0] != "id" or part[1] != ("op", "="):
+            raise ESQLError("expected `name = expression`")
+        out.append((part[0][1], part[2:]))
+    return out
+
+
+def esql(query: str, tables: "dict[str, DataFrame]") -> DataFrame:
+    """Run an ES|QL pipeline against named DataFrames. ``tables`` maps
+    the FROM name to its frame (the Iceberg/parquet catalog stand-in).
+    Returns the lowered DataFrame — lazily planned like any other."""
+    # split stages on top-level | (never inside a string literal)
+    stages, cur, in_str = [], [], False
+    k = 0
+    while k < len(query):
+        ch = query[k]
+        if ch == '"' and (k == 0 or query[k - 1] != "\\"):
+            in_str = not in_str
+        if ch == "|" and not in_str:
+            stages.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        k += 1
+    stages.append("".join(cur))
+    stages = [s.strip() for s in stages if s.strip()]
+    if not stages:
+        raise ESQLError("empty ES|QL query")
+
+    m = re.match(r"^FROM\s+([A-Za-z_][A-Za-z0-9_]*)$", stages[0], re.I)
+    if not m:
+        raise ESQLError("ES|QL must start with `FROM <table>`")
+    name = m.group(1)
+    if name not in tables:
+        raise ESQLError(f"unknown table: {name}")
+    df = tables[name]
+
+    for stage in stages[1:]:
+        sm = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
+        if not sm:
+            raise ESQLError(f"cannot parse stage: {stage[:40]!r}")
+        op, rest = sm.group(1).upper(), sm.group(2).strip()
+        if op == "WHERE":
+            df = df.filter(F.expr(_emit(_tokenize(rest))))
+        elif op == "EVAL":
+            for col, expr_toks in _assignments(_tokenize(rest)):
+                df = df.withColumn(col, F.expr(_emit(expr_toks)))
+        elif op == "STATS":
+            toks = _tokenize(rest)
+            by_cols: list[str] = []
+            for idx, t in enumerate(toks):
+                if t == ("id", "BY") or (t[0] == "id" and t[1].upper() == "BY"):
+                    for part in _split_top(toks[idx + 1:]):
+                        if len(part) != 1 or part[0][0] != "id":
+                            raise ESQLError("STATS BY takes plain columns")
+                        by_cols.append(part[0][1])
+                    toks = toks[:idx]
+                    break
+            aggs = [
+                F.expr(_emit(expr_toks, aggs_ok=True)).alias(col)
+                for col, expr_toks in _assignments(toks)
+            ]
+            df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+        elif op == "SORT":
+            keys = []
+            for part in _split_top(_tokenize(rest)):
+                desc = False
+                if part and part[-1][0] == "id" and part[-1][1].upper() in ("ASC", "DESC"):
+                    desc = part[-1][1].upper() == "DESC"
+                    part = part[:-1]
+                e = F.expr(_emit(part))
+                keys.append(e.desc() if desc else e.asc())
+            df = df.orderBy(*keys)
+        elif op == "LIMIT":
+            if not re.match(r"^\d+$", rest):
+                raise ESQLError("LIMIT takes an integer")
+            df = df.limit(int(rest))
+        elif op == "KEEP":
+            df = df.select(*[p[0][1] for p in _split_top(_tokenize(rest))])
+        elif op == "DROP":
+            df = df.drop(*[p[0][1] for p in _split_top(_tokenize(rest))])
+        elif op == "RENAME":
+            for part in _split_top(_tokenize(rest)):
+                if (len(part) != 3 or part[1][0] != "id"
+                        or part[1][1].upper() != "AS"):
+                    raise ESQLError("RENAME takes `old AS new`")
+                df = df.withColumnRenamed(part[0][1], part[2][1])
+        else:
+            raise ESQLError(f"unsupported ES|QL stage: {op}")
+    return df

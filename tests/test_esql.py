@@ -1,0 +1,105 @@
+"""ES|QL subset (plans/esql.py): stage lowering differentials against
+hand-written Spark, error discipline for unsupported constructs, and a
+plan check that WHERE reaches the scan as a pushed filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_ledger_2es_spark.plans.esql import ESQLError, esql
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_where_eval_stats_sort_limit(spark, events):
+    q = (
+        'FROM events'
+        ' | WHERE event_type == "purchase" AND value > 50'
+        ' | EVAL cents = TO_LONG(ROUND(value * 100))'
+        ' | STATS n = COUNT(*), sum_cents = SUM(cents) BY user_id'
+        ' | SORT sum_cents DESC, user_id ASC'
+        ' | LIMIT 5'
+    )
+    got = esql(q, {"events": events}).toPandas()
+    exp = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy(F.desc("sum_cents"), F.asc("user_id"))
+        .limit(5)
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    assert list(got.columns) == ["user_id", "n", "sum_cents"]
+
+
+def test_case_in_like_median_keep_rename(spark, events):
+    q = (
+        'FROM events'
+        ' | WHERE event_type IN ("error", "signup") AND NOT (props LIKE "%87%")'
+        ' | EVAL sev = CASE(event_type == "error", 2, 1)'
+        ' | STATS med = MEDIAN(value), p90 = PERCENTILE(value, 90) BY sev'
+        ' | SORT sev ASC'
+        ' | RENAME med AS median_value'
+        ' | KEEP sev, median_value, p90'
+    )
+    got = esql(q, {"events": events}).toPandas()
+    exp = (
+        events.filter(
+            F.col("event_type").isin("error", "signup")
+            & ~F.col("props").like("%87%")
+        )
+        .withColumn("sev", F.when(F.col("event_type") == "error", 2).otherwise(1))
+        .groupBy("sev")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("median_value"),
+            F.expr("percentile(value, (90) / 100.0)").alias("p90"),
+        )
+        .orderBy("sev")
+        .select("sev", "median_value", "p90")
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_stats_without_by_and_drop(spark, events):
+    q = 'FROM events | STATS total = COUNT(*), users = COUNT_DISTINCT(user_id)'
+    got = esql(q, {"events": events}).toPandas()
+    assert got["total"].iloc[0] == events.count()
+    assert got["users"].iloc[0] == events.select("user_id").distinct().count()
+    q2 = 'FROM events | DROP props, value | LIMIT 1'
+    assert "props" not in esql(q2, {"events": events}).columns
+
+
+def test_string_escapes_and_pipe_in_literal(spark, events):
+    q = 'FROM events | EVAL tag = CONCAT(event_type, "|x\\"y") | LIMIT 1 | KEEP tag'
+    got = esql(q, {"events": events}).toPandas()
+    assert got["tag"].iloc[0].endswith('|x"y')
+
+
+def test_unsupported_constructs_raise(spark, events):
+    t = {"events": events}
+    with pytest.raises(ESQLError, match="must start with"):
+        esql("WHERE x == 1", t)
+    with pytest.raises(ESQLError, match="unknown table"):
+        esql("FROM nope", t)
+    with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
+        esql('FROM events | EVAL x = MV_EXPAND(value)', t)
+    with pytest.raises(ESQLError, match="unsupported ES\\|QL stage"):
+        esql("FROM events | ENRICH policy", t)
+    with pytest.raises(ESQLError, match="unbalanced"):
+        esql("FROM events | WHERE ROUND(value > 1", t)
+
+
+def test_where_pushdown_reaches_scan(spark, events):
+    df = esql('FROM events | WHERE value > 100 | KEEP event_id, value',
+              {"events": events})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "value" in plan.split("PushedFilters")[1][:120]
+    # column pruning: the scan reads only the two kept columns + filter col
+    assert "props" not in plan.split("ReadSchema")[1][:200]
