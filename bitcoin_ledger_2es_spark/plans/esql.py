@@ -16,6 +16,8 @@ Supported pipeline stages::
     | KEEP col [, ...]
     | DROP col [, ...]
     | RENAME old AS new [, ...]
+    | DISSECT col "pattern with %{keys}"
+    | GROK col "pattern with %{SYNTAX:name[:type]}"
 
 Expressions: comparisons (``==`` ``!=`` ``<`` ``<=`` ``>`` ``>=``),
 boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
@@ -70,6 +72,97 @@ _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
 
 class ESQLError(ValueError):
     pass
+
+
+# GROK syntax patterns (the Logstash core subset; regexes are RE2-safe
+# and anchored by the surrounding literal text). DATA is non-greedy,
+# GREEDYDATA greedy — the documented Logstash semantics.
+_GROK = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+_GROK_TYPES = {"int": "BIGINT", "long": "BIGINT", "float": "DOUBLE",
+               "double": "DOUBLE"}
+
+
+def _parse_extract_stage(rest: str, op: str):
+    """Shared DISSECT/GROK argument parse: ``col "pattern"``."""
+    m = re.match(r'^([A-Za-z_][A-Za-z0-9_]*)\s+"((?:[^"\\]|\\.)*)"$', rest)
+    if not m:
+        raise ESQLError(f'{op} takes `column "pattern"`')
+    return m.group(1), m.group(2).replace('\\"', '"')
+
+
+def _dissect_columns(col: str, pattern: str):
+    """ES|QL DISSECT: literal-delimited ``%{key}`` captures. Keys become
+    string columns extracted by ONE anchored regex (codegen
+    regexp_extract per key); ``%{}`` skips. Non-matching rows yield
+    nulls — the ES behavior."""
+    parts = [p for p in
+             re.split(r"(%\{[A-Za-z_][A-Za-z0-9_]*\}|%\{\})", pattern) if p]
+    rx, keys = "^", []
+    for idx, p in enumerate(parts):
+        if p.startswith("%{"):
+            name = p[2:-1]
+            # a trailing key takes the rest of the line (greedy); inner
+            # keys stop at the next literal delimiter (non-greedy)
+            rx += "(.*)" if idx == len(parts) - 1 else "(.*?)"
+            keys.append(name or None)
+        else:
+            rx += re.escape(p)
+    rx += "$"
+    if not any(keys):
+        raise ESQLError("DISSECT pattern needs at least one %{key}")
+    out = []
+    for gi, name in enumerate(keys, start=1):
+        if name is None:
+            continue
+        out.append((name, f"nullif(regexp_extract(`{col}`, '{_sqlq(rx)}', {gi}), '')", None))
+    return out
+
+
+def _grok_columns(col: str, pattern: str):
+    """ES|QL GROK: ``%{SYNTAX:name[:type]}`` captures over the Logstash
+    core pattern subset (_GROK). Unknown SYNTAX raises; unnamed
+    captures match without extracting; int/long/float/double types
+    cast. Non-matching rows yield nulls."""
+    rx, keys = "", []
+    pos = 0
+    for m in re.finditer(r"%\{([A-Z0-9_]+)(?::([A-Za-z_][A-Za-z0-9_]*))?(?::([a-z]+))?\}", pattern):
+        rx += re.escape(pattern[pos:m.start()])
+        pos = m.end()
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in _GROK:
+            raise ESQLError(f"unsupported GROK syntax pattern: {syntax}")
+        if typ is not None and typ not in _GROK_TYPES:
+            raise ESQLError(f"unsupported GROK type: {typ}")
+        if name:
+            rx += f"({_GROK[syntax]})"
+            keys.append((name, typ))
+        else:
+            rx += f"(?:{_GROK[syntax]})"
+    rx += re.escape(pattern[pos:])
+    if not keys:
+        raise ESQLError("GROK pattern needs at least one named capture")
+    out = []
+    for gi, (name, typ) in enumerate(keys, start=1):
+        expr = f"nullif(regexp_extract(`{col}`, '{_sqlq(rx)}', {gi}), '')"
+        out.append((name, expr, _GROK_TYPES.get(typ) if typ else None))
+    return out
+
+
+def _sqlq(s: str) -> str:
+    """Escape a regex for embedding in a single-quoted Spark SQL string
+    literal (F.expr parses standard SQL, so backslashes double)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
 def _tokenize(s: str) -> "list[tuple[str, str]]":
@@ -275,6 +368,15 @@ def esql(query: str, tables: "dict[str, DataFrame]") -> DataFrame:
             df = df.select(*[p[0][1] for p in _split_top(_tokenize(rest))])
         elif op == "DROP":
             df = df.drop(*[p[0][1] for p in _split_top(_tokenize(rest))])
+        elif op in ("DISSECT", "GROK"):
+            col, pat = _parse_extract_stage(rest, op)
+            cols = (_dissect_columns(col, pat) if op == "DISSECT"
+                    else _grok_columns(col, pat))
+            for cname, expr, cast_t in cols:
+                e = F.expr(expr)
+                if cast_t:
+                    e = e.cast(cast_t)
+                df = df.withColumn(cname, e)
         elif op == "RENAME":
             for part in _split_top(_tokenize(rest)):
                 if (len(part) != 3 or part[1][0] != "id"

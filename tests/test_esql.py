@@ -103,3 +103,49 @@ def test_where_pushdown_reaches_scan(spark, events):
     assert "PushedFilters" in plan and "value" in plan.split("PushedFilters")[1][:120]
     # column pruning: the scan reads only the two kept columns + filter col
     assert "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_dissect_extracts_delimited_fields(spark):
+    rows = [(1, "GET /index.html 200"), (2, "POST /api/v1 503"),
+            (3, "garbage-without-spaces",)]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = esql(
+        'FROM logs | DISSECT line "%{method} %{path} %{status}"'
+        ' | KEEP id, method, path, status | SORT id ASC',
+        {"logs": df},
+    ).toPandas()
+    assert got.loc[0].tolist() == [1, "GET", "/index.html", "200"]
+    assert got.loc[1].tolist() == [2, "POST", "/api/v1", "503"]
+    assert got.loc[2, "method"] is None  # non-match -> nulls
+
+
+def test_dissect_skip_key_and_trailing_greedy(spark):
+    df = spark.createDataFrame([(1, "a|b|c d e")], "id long, line string")
+    got = esql(
+        'FROM logs | DISSECT line "%{}|%{x}|%{rest}" | KEEP x, rest',
+        {"logs": df},
+    ).toPandas()
+    assert got.loc[0].tolist() == ["b", "c d e"]
+
+
+def test_grok_typed_captures(spark):
+    rows = [(1, "2024-03-01T10:00:00 10.0.0.1 alice took 42 ms"),
+            (2, "not a log line")]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = esql(
+        'FROM logs | GROK line "%{TIMESTAMP_ISO8601:t} %{IP:addr}'
+        ' %{USERNAME:user} took %{INT:ms:int} ms"'
+        ' | KEEP id, t, addr, user, ms | SORT id ASC',
+        {"logs": df},
+    ).toPandas()
+    assert got.loc[0, "addr"] == "10.0.0.1"
+    assert got.loc[0, "user"] == "alice"
+    assert got.loc[0, "ms"] == 42 and str(got["ms"].dtype) in ("Int64", "float64", "object")
+    assert got.loc[1, "addr"] is None
+
+
+def test_grok_unknown_syntax_raises(spark, events):
+    with pytest.raises(ESQLError, match="GROK syntax"):
+        esql('FROM events | GROK props "%{NOPE:x}"', {"events": events})
+    with pytest.raises(ESQLError, match="GROK type"):
+        esql('FROM events | GROK props "%{INT:x:hex}"', {"events": events})
