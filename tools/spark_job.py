@@ -145,6 +145,38 @@ def cmd_alias(args) -> dict:
     return {"cmd": "alias", "aliases": get_aliases(args.root)}
 
 
+def cmd_rollover(args) -> dict:
+    from bitcoin_ledger_2es_spark.plans.snapshot import rollover
+
+    out = rollover(
+        args.root, args.name,
+        max_docs=args.max_docs, max_size_bytes=args.max_size_bytes,
+        new_index_path=args.new_index, dry_run=args.dry_run,
+    )
+    return {"cmd": "rollover", **out}
+
+
+def cmd_esql(args) -> dict:
+    from bitcoin_ledger_2es_spark.plans.esql import esql
+
+    spark = _spark()
+    fmt = args.format
+    tables = {}
+    for spec in args.table:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--table takes name=path, got {spec!r}")
+        reader = spark.read.format(fmt)
+        tables[name] = reader.load(path)
+    t0 = time.time()
+    rows = esql(args.q, tables).limit(args.max_rows).collect()
+    return {
+        "cmd": "esql",
+        "sec": round(time.time() - t0, 3),
+        "rows": [r.asDict(recursive=True) for r in rows],
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spark_job.py", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -188,6 +220,24 @@ def main(argv=None) -> int:
     a.add_argument("--filter", help="optional docmap predicate (filtered alias)")
     a.add_argument("--delete", action="store_true")
     a.set_defaults(fn=cmd_alias)
+
+    r = sub.add_parser("rollover", help="ES _rollover an alias's write index")
+    r.add_argument("--root", required=True, help="alias registry directory")
+    r.add_argument("--name", required=True)
+    r.add_argument("--max-docs", type=int, default=None)
+    r.add_argument("--max-size-bytes", type=int, default=None)
+    r.add_argument("--new-index", default=None)
+    r.add_argument("--dry-run", action="store_true")
+    r.set_defaults(fn=cmd_rollover)
+
+    e = sub.add_parser("esql", help="run an ES|QL pipeline over tables")
+    e.add_argument("--q", required=True, help="the ES|QL query string")
+    e.add_argument("--table", action="append", required=True,
+                   metavar="NAME=PATH", help="repeatable table binding")
+    e.add_argument("--format", default="parquet")
+    e.add_argument("--max-rows", type=int, default=100,
+                   help="cap on rows collected to the driver")
+    e.set_defaults(fn=cmd_esql)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))
