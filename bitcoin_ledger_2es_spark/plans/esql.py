@@ -284,6 +284,45 @@ def _emit(tokens, aggs_ok: bool = False) -> str:
     return " ".join(out)
 
 
+def _split_top_and(tokens):
+    """Split on top-level AND keywords (never inside parens)."""
+    parts, cur, depth = [], [], 0
+    for t in tokens:
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if depth == 0 and t[0] == "id" and t[1].upper() == "AND":
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    parts.append(cur)
+    return parts
+
+
+def _match_conjunct(toks):
+    """If the conjunct is exactly ``MATCH(field, "query")`` (the ES|QL
+    8.16 full-text function), return (field, query_text); else None."""
+    if (len(toks) < 4 or toks[0][0] != "id"
+            or toks[0][1].upper() != "MATCH" or toks[1] != ("op", "(")
+            or toks[-1] != ("op", ")")):
+        return None
+    depth = 0
+    for i, t in enumerate(toks[1:], start=1):  # the call must span it all
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+            if depth == 0 and i != len(toks) - 1:
+                return None
+    args = _split_top(toks[2:-1])
+    if (len(args) != 2 or len(args[0]) != 1 or args[0][0][0] != "id"
+            or len(args[1]) != 1 or args[1][0][0] != "str"):
+        raise ESQLError('MATCH takes `MATCH(field, "query text")`')
+    return args[0][0][1], args[1][0][1][1:-1]
+
+
 def _assignments(tokens):
     """``name = expr [, name2 = expr2]`` -> [(name, expr_sql)]."""
     out = []
@@ -294,10 +333,24 @@ def _assignments(tokens):
     return out
 
 
-def esql(query: str, tables: "dict[str, DataFrame]") -> DataFrame:
-    """Run an ES|QL pipeline against named DataFrames. ``tables`` maps
-    the FROM name to its frame (the Iceberg/parquet catalog stand-in).
-    Returns the lowered DataFrame — lazily planned like any other."""
+def esql(
+    query: str,
+    tables: "dict[str, DataFrame] | None" = None,
+    indexes: "dict | None" = None,
+) -> DataFrame:
+    """Run an ES|QL pipeline against named DataFrames and/or indexes.
+    ``tables`` maps a FROM name to a frame (the Iceberg/parquet catalog
+    stand-in); ``indexes`` maps a FROM name to a BM25Searcher — the
+    frame is then the index's docmap (doc_id, conv_id, turn_idx,
+    doc_len, is_rollup) and WHERE may use the ES|QL 8.16 full-text
+    function ``MATCH(text, "query")``: filter context (no scoring, ES
+    match semantics — OR of analyzed terms), lowered as a left-semi
+    join against the engine's pruned match set (match_docs — one
+    postings scan, never a full-text scan of stored source). MATCH
+    must be a TOP-LEVEL AND conjunct of its WHERE (nesting under
+    OR/NOT would need per-row scoring context — raises); MATCH against
+    a plain table raises. Returns the lowered DataFrame — lazily
+    planned like any other."""
     # split stages on top-level | (never inside a string literal)
     stages, cur, in_str = [], [], False
     k = 0
@@ -320,9 +373,17 @@ def esql(query: str, tables: "dict[str, DataFrame]") -> DataFrame:
     if not m:
         raise ESQLError("ES|QL must start with `FROM <table>`")
     name = m.group(1)
-    if name not in tables:
+    tables, indexes = tables or {}, indexes or {}
+    searcher = None
+    if name in tables:
+        df = tables[name]
+    elif name in indexes:
+        searcher = indexes[name]
+        df = searcher.ix.docmap.select(
+            "doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"
+        )
+    else:
         raise ESQLError(f"unknown table: {name}")
-    df = tables[name]
 
     for stage in stages[1:]:
         sm = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
@@ -330,7 +391,34 @@ def esql(query: str, tables: "dict[str, DataFrame]") -> DataFrame:
             raise ESQLError(f"cannot parse stage: {stage[:40]!r}")
         op, rest = sm.group(1).upper(), sm.group(2).strip()
         if op == "WHERE":
-            df = df.filter(F.expr(_emit(_tokenize(rest))))
+            residual = []
+            for conj in _split_top_and(_tokenize(rest)):
+                mc = _match_conjunct(conj)
+                if mc is not None:
+                    field, qtext = mc
+                    if searcher is None:
+                        raise ESQLError(
+                            "MATCH needs a FROM over an index (pass it "
+                            "via the `indexes` mapping)")
+                    if field != "text":
+                        raise ESQLError(
+                            f"MATCH field must be `text` (the indexed "
+                            f"field), got {field!r}")
+                    df = df.join(
+                        searcher.match_docs(qtext, mode="or")
+                        .select("doc_id"),
+                        "doc_id", "left_semi",
+                    )
+                elif any(t[0] == "id" and t[1].upper() in ("MATCH", "QSTR")
+                         for t in conj):
+                    raise ESQLError(
+                        "MATCH/QSTR must be a top-level AND conjunct of "
+                        "WHERE (filter context)")
+                else:
+                    residual.append(conj)
+            if residual:
+                pred = " AND ".join(f"({_emit(c)})" for c in residual)
+                df = df.filter(F.expr(pred))
         elif op == "EVAL":
             for col, expr_toks in _assignments(_tokenize(rest)):
                 df = df.withColumn(col, F.expr(_emit(expr_toks)))

@@ -149,3 +149,47 @@ def test_grok_unknown_syntax_raises(spark, events):
         esql('FROM events | GROK props "%{NOPE:x}"', {"events": events})
     with pytest.raises(ESQLError, match="GROK type"):
         esql('FROM events | GROK props "%{INT:x:hex}"', {"events": events})
+
+
+@pytest.fixture(scope="module")
+def doc_searcher(spark, tiny_df):
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    return BM25Searcher(build_index(
+        tiny_df, DEFAULT.with_(docs_per_shard=512, block_size=32)))
+
+
+def test_match_over_index_equals_match_docs(spark, doc_searcher):
+    got = esql(
+        'FROM ix | WHERE MATCH(text, "w0001 w0005") AND NOT is_rollup'
+        ' | STATS n = COUNT(*), dl = SUM(doc_len)',
+        indexes={"ix": doc_searcher},
+    ).toPandas()
+    exp = (
+        doc_searcher.match_docs("w0001 w0005", mode="or")
+        .filter("NOT is_rollup")
+        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("dl"))
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist() and got["n"].iloc[0] > 0
+
+
+def test_two_match_conjuncts_intersect(spark, doc_searcher):
+    got = esql(
+        'FROM ix | WHERE MATCH(text, "w0001") AND MATCH(text, "w0005")'
+        ' | STATS n = COUNT(*)',
+        indexes={"ix": doc_searcher},
+    ).toPandas()
+    exp = doc_searcher.match_docs("w0001 w0005", mode="and").count()
+    assert got["n"].iloc[0] == exp
+
+
+def test_match_misuse_raises(spark, events, doc_searcher):
+    with pytest.raises(ESQLError, match="top-level AND"):
+        esql('FROM ix | WHERE MATCH(text, "w0001") OR is_rollup',
+             indexes={"ix": doc_searcher})
+    with pytest.raises(ESQLError, match="needs a FROM over an index"):
+        esql('FROM events | WHERE MATCH(text, "w0001")', {"events": events})
+    with pytest.raises(ESQLError, match="field must be"):
+        esql('FROM ix | WHERE MATCH(conv_id, "x")', indexes={"ix": doc_searcher})
