@@ -369,10 +369,13 @@ def esql(
     if not stages:
         raise ESQLError("empty ES|QL query")
 
-    m = re.match(r"^FROM\s+([A-Za-z_][A-Za-z0-9_]*)$", stages[0], re.I)
+    m = re.match(
+        r"^FROM\s+([A-Za-z_][A-Za-z0-9_]*)(\s+METADATA\s+_score)?$",
+        stages[0], re.I,
+    )
     if not m:
         raise ESQLError("ES|QL must start with `FROM <table>`")
-    name = m.group(1)
+    name, with_score = m.group(1), bool(m.group(2))
     tables, indexes = tables or {}, indexes or {}
     searcher = None
     if name in tables:
@@ -384,14 +387,22 @@ def esql(
         )
     else:
         raise ESQLError(f"unknown table: {name}")
+    if with_score:
+        # ES|QL `METADATA _score` (8.18): MATCH conjuncts score. The
+        # fold is well-defined only when every scoring MATCH sits in
+        # the FIRST stage — enforced below; pure filters score 0.0.
+        if searcher is None:
+            raise ESQLError("METADATA _score needs a FROM over an index")
+        df = df.withColumn("_score", F.lit(0.0).cast("float"))
 
+    first_where = True
     for stage in stages[1:]:
         sm = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
         if not sm:
             raise ESQLError(f"cannot parse stage: {stage[:40]!r}")
         op, rest = sm.group(1).upper(), sm.group(2).strip()
         if op == "WHERE":
-            residual = []
+            residual, score_parts = [], []
             for conj in _split_top_and(_tokenize(rest)):
                 mc = _match_conjunct(conj)
                 if mc is not None:
@@ -404,11 +415,20 @@ def esql(
                         raise ESQLError(
                             f"MATCH field must be `text` (the indexed "
                             f"field), got {field!r}")
-                    df = df.join(
-                        searcher.match_docs(qtext, mode="or")
-                        .select("doc_id"),
-                        "doc_id", "left_semi",
-                    )
+                    if with_score:
+                        if not first_where:
+                            raise ESQLError(
+                                "with METADATA _score every MATCH must "
+                                "live in the FIRST WHERE stage (the "
+                                "score fold is defined there)")
+                        score_parts.append(
+                            searcher._all_match_scores(qtext, mode="or"))
+                    else:
+                        df = df.join(
+                            searcher.match_docs(qtext, mode="or")
+                            .select("doc_id"),
+                            "doc_id", "left_semi",
+                        )
                 elif any(t[0] == "id" and t[1].upper() in ("MATCH", "QSTR")
                          for t in conj):
                     raise ESQLError(
@@ -416,9 +436,32 @@ def esql(
                         "WHERE (filter context)")
                 else:
                     residual.append(conj)
+            if score_parts:
+                if any(p is None for p in score_parts):
+                    df = df.filter(F.lit(False))  # an OOV MATCH: no hits
+                else:
+                    # every conjunct must match (AND): inner-join fold;
+                    # f64 accumulate in CONJUNCT order, f32 emit — the
+                    # engine's dis_max/compound determinism contract.
+                    sc = score_parts[0].select(
+                        "doc_id", F.col("score").cast("double").alias("_s0"))
+                    for i, p in enumerate(score_parts[1:], start=1):
+                        sc = sc.join(
+                            p.select("doc_id",
+                                     F.col("score").cast("double")
+                                     .alias(f"_s{i}")),
+                            "doc_id", "inner")
+                    total = F.col("_s0")
+                    for i in range(1, len(score_parts)):
+                        total = total + F.col(f"_s{i}")
+                    df = df.drop("_score").join(
+                        sc.select("doc_id",
+                                  total.cast("float").alias("_score")),
+                        "doc_id", "inner")
             if residual:
                 pred = " AND ".join(f"({_emit(c)})" for c in residual)
                 df = df.filter(F.expr(pred))
+            first_where = False
         elif op == "EVAL":
             for col, expr_toks in _assignments(_tokenize(rest)):
                 df = df.withColumn(col, F.expr(_emit(expr_toks)))

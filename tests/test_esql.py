@@ -193,3 +193,58 @@ def test_match_misuse_raises(spark, events, doc_searcher):
         esql('FROM events | WHERE MATCH(text, "w0001")', {"events": events})
     with pytest.raises(ESQLError, match="field must be"):
         esql('FROM ix | WHERE MATCH(conv_id, "x")', indexes={"ix": doc_searcher})
+
+
+def test_metadata_score_matches_engine_topk(spark, doc_searcher):
+    import numpy as np
+
+    got = esql(
+        'FROM ix METADATA _score'
+        ' | WHERE MATCH(text, "w0001 w0005") AND NOT is_rollup'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 10 | KEEP doc_id, _score',
+        indexes={"ix": doc_searcher},
+    ).toPandas()
+    exp = doc_searcher.top_k(
+        "w0001 w0005", k=10, mode="or",
+        doc_filter=~F.col("is_rollup"), with_meta=False,
+    ).toPandas()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert np.array_equal(
+        got["_score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+    )
+
+
+def test_metadata_score_two_matches_sum(spark, doc_searcher):
+    got = esql(
+        'FROM ix METADATA _score'
+        ' | WHERE MATCH(text, "w0001") AND MATCH(text, "w0005")'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 5 | KEEP doc_id, _score',
+        indexes={"ix": doc_searcher},
+    ).toPandas()
+    # conjunct-order f64 fold == the engine's single AND query (same
+    # terms, weight 1 each, same statistics)
+    import numpy as np
+
+    exp = doc_searcher.top_k("w0001 w0005", k=5, mode="and",
+                             with_meta=False).toPandas()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert np.array_equal(
+        got["_score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+    )
+
+
+def test_metadata_score_misuse(spark, events, doc_searcher):
+    with pytest.raises(ESQLError, match="needs a FROM over an index"):
+        esql("FROM events METADATA _score | LIMIT 1", {"events": events})
+    with pytest.raises(ESQLError, match="FIRST WHERE"):
+        esql(
+            'FROM ix METADATA _score | WHERE NOT is_rollup'
+            ' | WHERE MATCH(text, "w0001")',
+            indexes={"ix": doc_searcher},
+        )
+    # OOV match under scoring -> zero rows, schema intact
+    out = esql(
+        'FROM ix METADATA _score | WHERE MATCH(text, "zzzzqq")',
+        indexes={"ix": doc_searcher},
+    )
+    assert out.count() == 0 and "_score" in out.columns
