@@ -342,3 +342,69 @@ def rollover(
     reg[name] = ent
     _write_aliases(r, reg)  # atomic — readers see old or new registry
     return out
+
+
+def lifecycle_tick(
+    root: str,
+    name: str,
+    max_docs: int | None = None,
+    max_size_bytes: int | None = None,
+    retention_members: int | None = None,
+    delete_from_disk: bool = False,
+    new_index_path: str | None = None,
+) -> dict:
+    """One ILM-style policy pass over an alias (the ES index-lifecycle
+    hot->delete loop, reduced to its deterministic core): first
+    ``rollover`` if any condition is met, then RETIRE the oldest
+    members beyond ``retention_members`` (write index always retained;
+    retention must keep >= 1 member). Retired members leave the alias
+    in one atomic registry write — readers see the old or the new
+    member list, never a half state. ``delete_from_disk`` then removes
+    retired index directories, but ONLY after the registry write
+    committed and ONLY if no other alias still references them
+    (a referenced member is retired from THIS alias but kept on disk,
+    reported under ``kept_referenced``)."""
+    import shutil
+
+    if max_docs is None and max_size_bytes is None:
+        # ES ILM's rollover action requires conditions — a tick must
+        # never roll unconditionally (use rollover() directly for that)
+        raise ValueError("lifecycle_tick needs max_docs or max_size_bytes")
+    out = rollover(
+        root, name, max_docs=max_docs, max_size_bytes=max_size_bytes,
+        new_index_path=new_index_path,
+    )
+    removed: list[str] = []
+    kept_referenced: list[str] = []
+    deleted: list[str] = []
+    if retention_members is not None:
+        if retention_members < 1:
+            raise ValueError("retention_members must keep at least one member")
+        r = Path(root)
+        reg = _read_aliases(r)
+        ent = reg[name]
+        if "indices" in ent and len(ent["indices"]) > retention_members:
+            cut = len(ent["indices"]) - retention_members
+            retire = [p for p in ent["indices"][:cut] if p != ent["write"]]
+            ent["indices"] = [
+                p for p in ent["indices"] if p not in retire
+            ]
+            reg[name] = ent
+            _write_aliases(r, reg)  # atomic commit BEFORE any disk delete
+            removed = retire
+            if delete_from_disk:
+                still_referenced = set()
+                for other in reg.values():
+                    for p in other.get("indices", []) + (
+                        [other["path"]] if "path" in other else []
+                    ):
+                        still_referenced.add(p)
+                for p in retire:
+                    if p in still_referenced:
+                        kept_referenced.append(p)
+                    elif Path(p).exists():
+                        shutil.rmtree(p)
+                        deleted.append(p)
+    out.update(removed=removed, deleted=deleted,
+               kept_referenced=kept_referenced)
+    return out
