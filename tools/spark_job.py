@@ -156,6 +156,17 @@ def cmd_rollover(args) -> dict:
     return {"cmd": "rollover", **out}
 
 
+def cmd_lifecycle(args) -> dict:
+    from bitcoin_ledger_2es_spark.plans.snapshot import lifecycle_tick
+
+    out = lifecycle_tick(
+        args.root, args.name,
+        max_docs=args.max_docs, max_size_bytes=args.max_size_bytes,
+        retention_members=args.retention, delete_from_disk=args.delete,
+    )
+    return {"cmd": "lifecycle", **out}
+
+
 def cmd_esql(args) -> dict:
     from bitcoin_ledger_2es_spark.plans.esql import esql
 
@@ -229,6 +240,17 @@ def main(argv=None) -> int:
     r.add_argument("--new-index", default=None)
     r.add_argument("--dry-run", action="store_true")
     r.set_defaults(fn=cmd_rollover)
+
+    il = sub.add_parser("lifecycle", help="ILM tick: rollover + retention")
+    il.add_argument("--root", required=True)
+    il.add_argument("--name", required=True)
+    il.add_argument("--max-docs", type=int, default=None)
+    il.add_argument("--max-size-bytes", type=int, default=None)
+    il.add_argument("--retention", type=int, default=None,
+                    help="members to keep after the tick")
+    il.add_argument("--delete", action="store_true",
+                    help="rmtree retired members no alias references")
+    il.set_defaults(fn=cmd_lifecycle)
 
     e = sub.add_parser("esql", help="run an ES|QL pipeline over tables")
     e.add_argument("--q", required=True, help="the ES|QL query string")
