@@ -18,6 +18,8 @@ Supported pipeline stages::
     | RENAME old AS new [, ...]
     | DISSECT col "pattern with %{keys}"
     | GROK col "pattern with %{SYNTAX:name[:type]}"
+    | ENRICH policy ON key [WITH [alias =] field [, ...]]
+    | MV_EXPAND col
 
 Expressions: comparisons (``==`` ``!=`` ``<`` ``<=`` ``>`` ``>=``),
 boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
@@ -337,6 +339,7 @@ def esql(
     query: str,
     tables: "dict[str, DataFrame] | None" = None,
     indexes: "dict | None" = None,
+    enrich: "dict[str, tuple[DataFrame, str]] | None" = None,
 ) -> DataFrame:
     """Run an ES|QL pipeline against named DataFrames and/or indexes.
     ``tables`` maps a FROM name to a frame (the Iceberg/parquet catalog
@@ -349,8 +352,11 @@ def esql(
     postings scan, never a full-text scan of stored source). MATCH
     must be a TOP-LEVEL AND conjunct of its WHERE (nesting under
     OR/NOT would need per-row scoring context — raises); MATCH against
-    a plain table raises. Returns the lowered DataFrame — lazily
-    planned like any other."""
+    a plain table raises. ``enrich`` maps ENRICH policy names to
+    (lookup_frame, match_field) — ES enrich indexes are small lookup
+    tables by design, so the join BROADCASTS the policy side (left
+    join: non-matching rows keep nulls, the ES behavior). Returns the
+    lowered DataFrame — lazily planned like any other."""
     # split stages on top-level | (never inside a string literal)
     stages, cur, in_str = [], [], False
     k = 0
@@ -499,6 +505,45 @@ def esql(
             df = df.select(*[p[0][1] for p in _split_top(_tokenize(rest))])
         elif op == "DROP":
             df = df.drop(*[p[0][1] for p in _split_top(_tokenize(rest))])
+        elif op == "ENRICH":
+            em = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)"
+                r"(?:\s+WITH\s+(.+))?$", rest, re.I | re.S)
+            if not em:
+                raise ESQLError("ENRICH takes `policy ON key [WITH ...]`")
+            pol, key, with_part = em.group(1), em.group(2), em.group(3)
+            if pol not in (enrich or {}):
+                raise ESQLError(f"unknown ENRICH policy: {pol}")
+            lk, match_field = enrich[pol]
+            if with_part:
+                sel = [F.col(match_field)]
+                for part in _split_top(_tokenize(with_part)):
+                    if len(part) == 1 and part[0][0] == "id":
+                        sel.append(F.col(part[0][1]))
+                    elif (len(part) == 3 and part[0][0] == "id"
+                          and part[1] == ("op", "=") and part[2][0] == "id"):
+                        sel.append(F.col(part[2][1]).alias(part[0][1]))
+                    else:
+                        raise ESQLError("WITH takes `[alias =] field`")
+                lk = lk.select(*sel)
+            added = [c for c in lk.columns if c != match_field]
+            clash = [c for c in added if c in df.columns]
+            if clash:
+                raise ESQLError(
+                    f"ENRICH fields already exist: {clash} (alias them "
+                    "via WITH new_name = field)")
+            df = df.join(
+                F.broadcast(lk.withColumnRenamed(match_field, key)),
+                key, "left",
+            )
+        elif op == "MV_EXPAND":
+            cm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)$", rest)
+            if not cm:
+                raise ESQLError("MV_EXPAND takes one column")
+            c = cm.group(1)
+            # explode_outer: a null/empty multivalue keeps its row with
+            # a null value — the ES|QL MV_EXPAND null behavior
+            df = df.withColumn(c, F.explode_outer(c))
         elif op in ("DISSECT", "GROK"):
             col, pat = _parse_extract_stage(rest, op)
             cols = (_dissect_columns(col, pat) if op == "DISSECT"

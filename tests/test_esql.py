@@ -91,6 +91,8 @@ def test_unsupported_constructs_raise(spark, events):
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
         esql('FROM events | EVAL x = MV_EXPAND(value)', t)
     with pytest.raises(ESQLError, match="unsupported ES\\|QL stage"):
+        esql("FROM events | INLINESTATS n = COUNT(*)", t)
+    with pytest.raises(ESQLError, match="ENRICH takes"):
         esql("FROM events | ENRICH policy", t)
     with pytest.raises(ESQLError, match="unbalanced"):
         esql("FROM events | WHERE ROUND(value > 1", t)
@@ -248,3 +250,50 @@ def test_metadata_score_misuse(spark, events, doc_searcher):
         indexes={"ix": doc_searcher},
     )
     assert out.count() == 0 and "_score" in out.columns
+
+
+def test_enrich_broadcast_lookup(spark, events):
+    dim = spark.createDataFrame(
+        [(i, f"name{i}", i % 2 == 0) for i in range(8)],
+        "uid long, uname string, even boolean",
+    )
+    got = esql(
+        'FROM events | WHERE user_id < 10'
+        ' | ENRICH users ON user_id WITH uname, is_even = even'
+        ' | STATS n = COUNT(*) BY uname | SORT n DESC, uname ASC | LIMIT 3',
+        {"events": events}, enrich={"users": (dim, "uid")},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pdf = got.toPandas()
+    assert len(pdf) == 3 and pdf["n"].iloc[0] > 0
+    # users 8,9 have no dim row -> null uname bucket exists upstream
+    full = esql(
+        'FROM events | WHERE user_id < 10'
+        ' | ENRICH users ON user_id WITH uname | STATS n = COUNT(*) BY uname',
+        {"events": events}, enrich={"users": (dim, "uid")},
+    ).toPandas()
+    assert full["uname"].isna().any()  # left-join nulls preserved
+
+
+def test_enrich_clash_and_unknown_policy(spark, events):
+    dim = spark.createDataFrame([(1, "x")], "uid long, value string")
+    with pytest.raises(ESQLError, match="already exist"):
+        esql('FROM events | ENRICH u ON user_id',
+             {"events": events}, enrich={"u": (dim, "uid")})
+    with pytest.raises(ESQLError, match="unknown ENRICH policy"):
+        esql('FROM events | ENRICH nope ON user_id', {"events": events})
+
+
+def test_mv_expand(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None)],
+        "id long, vals array<long>",
+    )
+    got = esql('FROM t | MV_EXPAND vals | SORT id ASC, vals ASC',
+               {"t": df}).toPandas()
+    import pandas as pd
+
+    assert got["id"].tolist() == [1, 1, 2, 3]
+    assert got["vals"].tolist()[:2] == [10, 20]
+    assert pd.isna(got["vals"].iloc[2]) and pd.isna(got["vals"].iloc[3])
