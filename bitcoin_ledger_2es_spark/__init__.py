@@ -12,11 +12,23 @@ from .config import DEFAULT, EngineConfig
 from .oracle import PandasOracle
 from .plans.build import IndexFrames, build_index, read_index, write_index
 from .functions.rank_eval import rank_eval
-from .plans.query import BM25Searcher, combined_fields, multi_match, rrf_fuse
+from .plans.eql import eql_sample, eql_sequence
+from .plans.esql import esql
+from .plans.multi import MultiSearcher
+from .plans.query import (
+    BM25Searcher,
+    combined_fields,
+    linear_fuse,
+    multi_match,
+    rrf_fuse,
+)
 from .plans.snapshot import (
+    lifecycle_tick,
     open_alias,
     put_alias,
+    put_alias_multi,
     restore_snapshot,
+    rollover,
     snapshot_index,
     verify_snapshot,
 )
@@ -26,8 +38,16 @@ __all__ = [
     "verify_snapshot",
     "restore_snapshot",
     "put_alias",
+    "put_alias_multi",
     "open_alias",
+    "rollover",
+    "lifecycle_tick",
+    "MultiSearcher",
+    "eql_sequence",
+    "eql_sample",
+    "esql",
     "rrf_fuse",
+    "linear_fuse",
     "DEFAULT",
     "EngineConfig",
     "PandasOracle",
