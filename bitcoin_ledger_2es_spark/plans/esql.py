@@ -482,10 +482,25 @@ def esql(
                         by_cols.append(part[0][1])
                     toks = toks[:idx]
                     break
-            aggs = [
-                F.expr(_emit(expr_toks, aggs_ok=True)).alias(col)
-                for col, expr_toks in _assignments(toks)
-            ]
+            aggs = []
+            for col, expr_toks in _assignments(toks):
+                # ES|QL 8.16 per-aggregate filter: `alias = AGG(...)
+                # WHERE cond` -> SQL `AGG(...) FILTER (WHERE cond)`
+                cond_toks = None
+                depth = 0
+                for idx, t in enumerate(expr_toks):
+                    if t == ("op", "("):
+                        depth += 1
+                    elif t == ("op", ")"):
+                        depth -= 1
+                    elif (depth == 0 and t[0] == "id"
+                          and t[1].upper() == "WHERE"):
+                        expr_toks, cond_toks = expr_toks[:idx], expr_toks[idx + 1:]
+                        break
+                e = _emit(expr_toks, aggs_ok=True)
+                if cond_toks is not None:
+                    e = f"{e} FILTER (WHERE {_emit(cond_toks)})"
+                aggs.append(F.expr(e).alias(col))
             df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
         elif op == "SORT":
             keys = []

@@ -297,3 +297,26 @@ def test_mv_expand(spark):
     assert got["id"].tolist() == [1, 1, 2, 3]
     assert got["vals"].tolist()[:2] == [10, 20]
     assert pd.isna(got["vals"].iloc[2]) and pd.isna(got["vals"].iloc[3])
+
+
+def test_stats_per_agg_where_filter(spark, events):
+    q = (
+        'FROM events'
+        ' | STATS purchases = COUNT(*) WHERE event_type == "purchase",'
+        '         errors = COUNT(*) WHERE event_type == "error",'
+        '         total = COUNT(*)'
+        ' BY user_id | SORT user_id ASC'
+    )
+    got = esql(q, {"events": events}).toPandas()
+    exp = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+            F.count("*").alias("total"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    assert (got["purchases"] + got["errors"] <= got["total"]).all()
