@@ -3838,6 +3838,33 @@ def q_agg_extras(spark, sf_dir):
         F.lit("categorize_text").alias("agg"), "key", "doc_count",
         F.col("doc_count").cast("double").alias("metric"),
     )
+    from .operators.aggs import frequent_item_sets
+
+    # frequent_item_sets over (basket = user-DAY, items = event types —
+    # per-user baskets are degenerate on this corpus, every user shows
+    # every type): exact a-priori (ES's agg is approximate; this pins
+    # the exact answer), support = doc_count / n_baskets — one f64
+    # division of exact integers, identical expression in the twin;
+    # selection (top-10) on the engine's (doc_count desc, BARE itemset
+    # key asc) unique total order, the set_size| prefix composed AFTER.
+    # min_support 0.12 keeps all singles (~0.4) and pairs (~0.15) but
+    # prunes triples — the a-priori frontier actually discriminates.
+    fis = frequent_item_sets(
+        ev.withColumn(
+            "ud",
+            F.concat_ws(
+                "@", F.col("user_id").cast("string"),
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+            ),
+        ),
+        "event_type", "ud", min_support=0.12, max_size=3, size=10,
+    ).select(
+        F.lit("frequent_item_sets").alias("agg"),
+        F.concat(F.col("set_size").cast("string"), F.lit("|"),
+                 F.col("key")).alias("key"),
+        "doc_count",
+        duck_round(F.col("support"), 6).alias("metric"),
+    )
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
@@ -3849,6 +3876,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(nz).unionByName(cc).unionByName(gt)
         .unionByName(gh).unionByName(gc).unionByName(gb)
         .unionByName(dr).unionByName(ipq).unionByName(vw).unionByName(ct)
+        .unionByName(fis)
     )
 
 
@@ -4116,6 +4144,51 @@ SELECT 'auto_dh', key, doc_count, 0.0 FROM (
          END AS key,
          count(*) AS doc_count
   FROM events e, pick p GROUP BY 1
+)
+UNION ALL
+-- frequent_item_sets: exact a-priori, basket = user, items = event
+-- types; threshold 0.3 * n_baskets compared in f64 on BOTH sides
+-- (identical literal product), support = doc_count / n_baskets in one
+-- f64 division of exact integers; top-10 on (doc_count desc, key asc)
+SELECT 'frequent_item_sets' AS agg, key, doc_count,
+       round(CAST(doc_count AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS metric
+FROM (
+  WITH items AS (
+    SELECT DISTINCT
+      CAST(user_id AS VARCHAR) || '@'
+        || strftime(date_trunc('day', ts), '%Y-%m-%d') AS b,
+      event_type AS i
+    FROM events),
+  nbt AS (SELECT count(DISTINCT b) AS n FROM items),
+  l1 AS (
+    SELECT i, count(*) AS doc_count FROM items GROUP BY i
+    HAVING count(*) >= 0.12 * (SELECT n FROM nbt)
+  ),
+  fitems AS (SELECT * FROM items WHERE i IN (SELECT i FROM l1)),
+  l2 AS (
+    SELECT a.i AS i1, c.i AS i2, count(*) AS doc_count
+    FROM fitems a JOIN fitems c USING (b) WHERE a.i < c.i
+    GROUP BY 1, 2 HAVING count(*) >= 0.12 * (SELECT n FROM nbt)
+  ),
+  l3 AS (
+    SELECT p.i1, p.i2, d.i AS i3, count(*) AS doc_count
+    FROM (SELECT a.b, a.i AS i1, c.i AS i2
+          FROM fitems a JOIN fitems c USING (b) WHERE a.i < c.i) p
+    JOIN fitems d ON d.b = p.b AND d.i > p.i2
+    GROUP BY 1, 2, 3 HAVING count(*) >= 0.12 * (SELECT n FROM nbt)
+  )
+  -- selection edge mirrors the ENGINE: top-10 on the BARE itemset key
+  -- (the set_size| prefix is display-composed AFTER selection there)
+  SELECT CAST(set_size AS VARCHAR) || '|' || bare AS key, doc_count,
+         (SELECT n FROM nbt) AS nb FROM (
+    SELECT i AS bare, 1 AS set_size, doc_count FROM l1
+    UNION ALL
+    SELECT i1 || ',' || i2 AS bare, 2 AS set_size, doc_count FROM l2
+    UNION ALL
+    SELECT i1 || ',' || i2 || ',' || i3 AS bare, 3 AS set_size, doc_count FROM l3
+  )
+  ORDER BY doc_count DESC, bare ASC
+  LIMIT 10
 )
 """
 

@@ -1207,3 +1207,88 @@ def composite_pages(
         .orderBy(*[F.asc(c) for c in sources])
         .limit(size)
     )
+
+
+def frequent_item_sets(
+    df: DataFrame,
+    item_col: str,
+    basket_col: str,
+    min_support: float = 0.1,
+    max_size: int = 3,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` agg, computed EXACTLY (ES uses a
+    sampled/ECLAT approximation; exact a-priori gives the same answer
+    deterministically and an oracle can mirror it): itemsets of up to
+    ``max_size`` items that co-occur in at least ``min_support`` of the
+    baskets (a basket = the DISTINCT items of one ``basket_col`` value).
+    Returns the top ``size`` rows of (key = comma-joined sorted itemset,
+    set_size, doc_count, support) under the unique total order
+    (doc_count desc, key asc) — support = doc_count / n_baskets in ONE
+    f64 division of exact integers, oracle-mirrorable.
+
+    Scale shape (a-priori): level k+1 candidates join level-k winners
+    with frequent singles INSIDE the same basket — every join keys on
+    the basket column (co-partitioned, narrow per-basket work), and the
+    support filter after each level bounds the candidate set before the
+    next, which is what makes a-priori tractable at 10^9 baskets. The
+    per-basket distinct-items list is never collected or exploded into
+    cross products wider than the surviving candidate frontier."""
+    if max_size < 1 or max_size > 3:
+        raise ValueError("frequent_item_sets supports max_size 1..3")
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = items.select("b").distinct().count()
+    floor = min_support * n_baskets
+    lvl1 = (
+        items.groupBy("i").agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= floor)
+    )
+    out = lvl1.select(
+        F.col("i").alias("key"), F.lit(1).alias("set_size"), "doc_count"
+    )
+    # a-priori prune: only baskets' items that are frequent alone can
+    # appear in any larger frequent itemset
+    fitems = items.join(lvl1.select("i"), "i", "left_semi")
+    if max_size >= 2:
+        pairs = (
+            fitems.alias("a")
+            .join(fitems.alias("c"), "b")
+            .filter(F.col("a.i") < F.col("c.i"))
+            .groupBy(F.col("a.i").alias("i1"), F.col("c.i").alias("i2"))
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") >= floor)
+        )
+        out = out.unionByName(pairs.select(
+            F.concat_ws(",", "i1", "i2").alias("key"),
+            F.lit(2).alias("set_size"), "doc_count",
+        ))
+    if max_size >= 3:
+        pair_baskets = (
+            fitems.alias("a")
+            .join(fitems.alias("c"), "b")
+            .filter(F.col("a.i") < F.col("c.i"))
+            .select("b", F.col("a.i").alias("i1"), F.col("c.i").alias("i2"))
+            .join(pairs.select("i1", "i2"), ["i1", "i2"], "left_semi")
+        )
+        triples = (
+            pair_baskets
+            .join(fitems.alias("d"), "b")
+            .filter(F.col("d.i") > F.col("i2"))
+            .groupBy("i1", "i2", F.col("d.i").alias("i3"))
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") >= floor)
+        )
+        out = out.unionByName(triples.select(
+            F.concat_ws(",", "i1", "i2", "i3").alias("key"),
+            F.lit(3).alias("set_size"), "doc_count",
+        ))
+    return (
+        out.withColumn(
+            "support",
+            F.col("doc_count").cast("double") / F.lit(float(n_baskets)),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )

@@ -855,3 +855,53 @@ def test_composite_after_key_pagination(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         composite_pages(df, ["lang", "source"], after=("en",))
+
+
+def test_frequent_item_sets_vs_bruteforce(spark):
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    from bitcoin_ledger_2es_spark.operators.aggs import frequent_item_sets
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for b in range(40):
+        for it in rng.choice(list("abcdef"), size=rng.integers(1, 5), replace=False):
+            rows.append((b, it))
+            if rng.random() < 0.3:
+                rows.append((b, it))  # duplicates must not inflate support
+    pdf = pd.DataFrame(rows, columns=["basket", "item"])
+    df = spark.createDataFrame(pdf)
+    got = frequent_item_sets(
+        df, "item", "basket", min_support=0.2, max_size=3, size=100
+    ).toPandas()
+
+    baskets = pdf.groupby("basket")["item"].agg(lambda s: frozenset(s))
+    n = len(baskets)
+    exp = {}
+    for k in (1, 2, 3):
+        for combo in combinations(sorted(set(pdf["item"])), k):
+            c = sum(1 for bs in baskets if set(combo) <= bs)
+            if c >= 0.2 * n:
+                exp[",".join(combo)] = c
+    got_map = dict(zip(got["key"], got["doc_count"]))
+    assert got_map == exp and len(exp) > 6
+    # support = doc_count / n exactly
+    for _, r in got.iterrows():
+        assert r["support"] == r["doc_count"] / n
+    # unique total order (doc_count desc, key asc)
+    order = sorted(got_map, key=lambda k2: (-got_map[k2], k2))
+    assert got["key"].tolist() == order
+
+
+def test_frequent_item_sets_max_size_bounds(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import frequent_item_sets
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "basket long, item string")
+    assert frequent_item_sets(df, "item", "basket", max_size=1).count() == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_size"):
+        frequent_item_sets(df, "item", "basket", max_size=4)
