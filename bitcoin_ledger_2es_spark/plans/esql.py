@@ -505,12 +505,25 @@ def esql(
         elif op == "SORT":
             keys = []
             for part in _split_top(_tokenize(rest)):
+                nulls = None  # ES|QL `SORT col [ASC|DESC] [NULLS FIRST|LAST]`
+                if (len(part) >= 2 and part[-2][0] == "id"
+                        and part[-2][1].upper() == "NULLS"
+                        and part[-1][0] == "id"
+                        and part[-1][1].upper() in ("FIRST", "LAST")):
+                    nulls = part[-1][1].upper()
+                    part = part[:-2]
                 desc = False
                 if part and part[-1][0] == "id" and part[-1][1].upper() in ("ASC", "DESC"):
                     desc = part[-1][1].upper() == "DESC"
                     part = part[:-1]
                 e = F.expr(_emit(part))
-                keys.append(e.desc() if desc else e.asc())
+                if nulls == "FIRST":
+                    e = e.desc_nulls_first() if desc else e.asc_nulls_first()
+                elif nulls == "LAST":
+                    e = e.desc_nulls_last() if desc else e.asc_nulls_last()
+                else:
+                    e = e.desc() if desc else e.asc()
+                keys.append(e)
             df = df.orderBy(*keys)
         elif op == "LIMIT":
             if not re.match(r"^\d+$", rest):

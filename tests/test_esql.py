@@ -320,3 +320,13 @@ def test_stats_per_agg_where_filter(spark, events):
     )
     assert got.values.tolist() == exp.values.tolist()
     assert (got["purchases"] + got["errors"] <= got["total"]).all()
+
+
+def test_sort_nulls_first_last(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "id long, v double"
+    )
+    first = esql("FROM t | SORT v ASC NULLS FIRST | KEEP id", {"t": df}).toPandas()
+    last = esql("FROM t | SORT v DESC NULLS LAST | KEEP id", {"t": df}).toPandas()
+    assert first["id"].tolist() == [2, 3, 1]
+    assert last["id"].tolist() == [1, 3, 2]
