@@ -4146,8 +4146,8 @@ SELECT 'auto_dh', key, doc_count, 0.0 FROM (
   FROM events e, pick p GROUP BY 1
 )
 UNION ALL
--- frequent_item_sets: exact a-priori, basket = user, items = event
--- types; threshold 0.3 * n_baskets compared in f64 on BOTH sides
+-- frequent_item_sets: exact a-priori, basket = user-DAY, items = event
+-- types; threshold 0.12 * n_baskets compared in f64 on BOTH sides
 -- (identical literal product), support = doc_count / n_baskets in one
 -- f64 division of exact integers; top-10 on (doc_count desc, key asc)
 SELECT 'frequent_item_sets' AS agg, key, doc_count,

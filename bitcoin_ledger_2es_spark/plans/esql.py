@@ -215,7 +215,11 @@ def _emit(tokens, aggs_ok: bool = False) -> str:
         kind, v = tokens[i]
         if kind == "str":
             body = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
-            out.append("'" + body.replace("'", "''") + "'")
+            # Spark's SQL parser also backslash-escapes inside single
+            # quotes — double them (like _sqlq) or a literal like
+            # "C:\\dir" silently corrupts instead of raising.
+            out.append(
+                "'" + body.replace("\\", "\\\\").replace("'", "''") + "'")
         elif kind == "num":
             out.append(v)
         elif kind == "op":
@@ -391,6 +395,17 @@ def esql(
         df = searcher.ix.docmap.select(
             "doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"
         )
+        # One consistent live-doc set for EVERY pipeline shape: a filtered
+        # alias (default_doc_filter) and pending delete_by_query tombstones
+        # must constrain plain pipelines (FROM ix | STATS ...) and the
+        # unscored MATCH semi-join exactly like the METADATA _score path
+        # (whose _all_match_scores already folds them via _apply_deletes).
+        # Composing at the base frame fixes both: every downstream stage —
+        # semi-join, score inner-join, WHERE, STATS — intersects with it.
+        if searcher._default_filter is not None:
+            df = df.filter(searcher._default_filter)
+        if searcher._deletes is not None:
+            df = df.join(searcher._deletes, "doc_id", "left_anti")
     else:
         raise ESQLError(f"unknown table: {name}")
     if with_score:
@@ -474,8 +489,18 @@ def esql(
         elif op == "STATS":
             toks = _tokenize(rest)
             by_cols: list[str] = []
+            depth = 0
             for idx, t in enumerate(toks):
-                if t == ("id", "BY") or (t[0] == "id" and t[1].upper() == "BY"):
+                if t == ("op", "("):
+                    depth += 1
+                    continue
+                if t == ("op", ")"):
+                    depth -= 1
+                    continue
+                # only a depth-0 BY splits the stage — an identifier named
+                # `by` inside an aggregate's parens (CASE arg, column) is
+                # an ordinary token, matching the per-agg WHERE scan below
+                if depth == 0 and t[0] == "id" and t[1].upper() == "BY":
                     for part in _split_top(toks[idx + 1:]):
                         if len(part) != 1 or part[0][0] != "id":
                             raise ESQLError("STATS BY takes plain columns")

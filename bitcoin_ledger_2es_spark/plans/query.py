@@ -1711,7 +1711,7 @@ class BM25Searcher:
         that use operators (phrases, +/-, wildcards, ``field:``
         filters, ...) execute as one query_string plan each,
         rank-identical to running them alone (asserted by
-        tests/test_msearch_template.py). Output: (query_id, rank,
+        tests/test_mget_msearch_template.py). Output: (query_id, rank,
         doc_id, score) — query_id = position in ``templates``."""
         import re as _re
 
@@ -1971,8 +1971,14 @@ class BM25Searcher:
         scan_tids = sorted(set(req_tids) | not_tids)
         dps = cfg.docs_per_shard
         req_list, n_req = list(req_tids), len(req_tids)
-        # pending delete_by_query tombstones ride the same _allowed mask
-        has_filter = doc_filter is not None or self._deletes is not None
+        # pending delete_by_query tombstones AND the alias-level
+        # default_doc_filter ride the same _allowed mask — ES applies
+        # alias filters to _count and filter-context matches alike
+        has_filter = (
+            doc_filter is not None
+            or self._deletes is not None
+            or self._default_filter is not None
+        )
 
         def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             out = right[out_cols]
@@ -2016,6 +2022,8 @@ class BM25Searcher:
 
         dm = ix.docmap
         allowed_expr = doc_filter if doc_filter is not None else F.lit(True)
+        if self._default_filter is not None:
+            allowed_expr = allowed_expr & self._default_filter
         if self._deletes is not None:
             dm = dm.join(
                 self._deletes.withColumn("_tomb", F.lit(True)), "doc_id", "left"

@@ -330,3 +330,72 @@ def test_sort_nulls_first_last(spark):
     last = esql("FROM t | SORT v DESC NULLS LAST | KEEP id", {"t": df}).toPandas()
     assert first["id"].tolist() == [2, 3, 1]
     assert last["id"].tolist() == [1, 3, 2]
+
+
+def test_backslash_literal_survives_emission(spark):
+    # _emit doubles backslashes (like _sqlq): a Windows-path literal
+    # must round-trip through Spark's backslash-escaping SQL parser.
+    df = spark.createDataFrame(
+        [("C:\\dir\\file", 1), ("other", 2)], "path string, id long"
+    )
+    got = esql(
+        'FROM t | WHERE path == "C:\\\\dir\\\\file" | KEEP id', {"t": df}
+    ).toPandas()
+    assert got["id"].tolist() == [1]
+    tagged = esql(
+        'FROM t | EVAL tag = CONCAT(path, "\\\\x") | SORT id ASC | KEEP tag',
+        {"t": df},
+    ).toPandas()
+    assert tagged["tag"].tolist() == ["C:\\dir\\file\\x", "other\\x"]
+
+
+def test_stats_by_identifier_inside_agg_parens(spark):
+    # a column literally named `by` inside an aggregate's parens must NOT
+    # split the stage — only a depth-0 BY token does.
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (0, 99, "a"), (1, 5, "b")], "flag int, by long, g string"
+    )
+    got = esql(
+        'FROM t | STATS s = SUM(CASE(flag == 1, by, 0)) BY g | SORT g ASC',
+        {"t": df},
+    ).toPandas()
+    assert got["g"].tolist() == ["a", "b"]
+    assert got["s"].tolist() == [10, 5]
+
+
+def test_esql_filtered_alias_and_tombstones_one_live_set(spark, doc_searcher):
+    """A filtered alias's default_doc_filter and pending delete_by_query
+    tombstones constrain EVERY pipeline shape identically: plain
+    FROM|STATS, unscored MATCH, and METADATA _score (ADVICE r4 #1)."""
+    from bitcoin_ledger_2es_spark import BM25Searcher
+
+    flt = BM25Searcher(doc_searcher.ix,
+                       default_doc_filter=~F.col("is_rollup"))
+    n_live = doc_searcher.ix.docmap.filter("NOT is_rollup").count()
+    got = esql("FROM ix | STATS n = COUNT(*)", indexes={"ix": flt}).toPandas()
+    assert got["n"].iloc[0] == n_live
+    # count() -> match_docs composes the filter too (ES: alias filters
+    # apply to _count)
+    assert flt.count("w0001", mode="or") == (
+        doc_searcher.match_docs("w0001", mode="or")
+        .filter("NOT is_rollup").count()
+    )
+    # unscored MATCH and METADATA _score agree on the doc set
+    unscored = esql(
+        'FROM ix | WHERE MATCH(text, "w0001 w0005") | STATS n = COUNT(*)',
+        indexes={"ix": flt},
+    ).toPandas()["n"].iloc[0]
+    scored = esql(
+        'FROM ix METADATA _score | WHERE MATCH(text, "w0001 w0005")'
+        " | STATS n = COUNT(*)",
+        indexes={"ix": flt},
+    ).toPandas()["n"].iloc[0]
+    assert unscored == scored > 0
+    # tombstones: a fresh searcher over the same index, delete, recount
+    fresh = BM25Searcher(doc_searcher.ix)
+    before = esql("FROM ix | STATS n = COUNT(*)",
+                  indexes={"ix": fresh}).toPandas()["n"].iloc[0]
+    ndel = fresh.delete_by_query("w0001", mode="or")
+    after = esql("FROM ix | STATS n = COUNT(*)",
+                 indexes={"ix": fresh}).toPandas()["n"].iloc[0]
+    assert ndel > 0 and after == before - ndel
