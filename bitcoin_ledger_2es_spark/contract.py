@@ -370,7 +370,20 @@ def q_window_lag(spark, sf_dir):
       WHERE/EVAL/STATS/SORT/LIMIT pipeline lowered onto
       filter/withColumn/groupBy/top-n, integer-cents exact; key =
       user_id:count, n = sum_cents — the twin is the literally
-      equivalent SQL."""
+      equivalent SQL.
+    * ``esql_inline`` — ES|QL ``INLINESTATS`` (8.x): per-user purchase
+      totals APPENDED to every purchase row (groupBy/agg + equi-join
+      back on the BY key — NOT a window, which would shuffle the full
+      row payload and can't express DISTINCT aggs), then rows whose
+      cents exceed half their user's total; integer-cents exact, the
+      LIMIT edge orders on the unique (cents DESC, event_id ASC); the
+      twin is a window-sum + QUALIFY.
+    * ``esql_mv`` — ES|QL multivalue functions MV_COUNT/MV_MAX/MV_MIN
+      over the embeddings array column; the selection edge orders on
+      the RAW float MV_MAX (never rounded — both engines compare the
+      identical f32 values; vec_id breaks ties), emission is the
+      integer MV_COUNT, so the entry is bit-exact with zero float
+      emission."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag = (
         _t(spark, sf_dir, "events")
@@ -431,7 +444,38 @@ def q_window_lag(spark, sf_dir):
         ).alias("key"),
         F.col("sum_cents").alias("n"),
     )
-    return lag.unionByName(seq).unionByName(smp).unionByName(eq)
+    inl = esql(
+        'FROM events'
+        ' | WHERE event_type == "purchase"'
+        ' | EVAL cents = TO_LONG(ROUND(value * 100))'
+        ' | INLINESTATS user_cents = SUM(cents) BY user_id'
+        ' | WHERE cents * 2 > user_cents'
+        ' | SORT cents DESC, event_id ASC'
+        ' | LIMIT 20',
+        {"events": _t(spark, sf_dir, "events")},
+    ).select(
+        F.lit("esql_inline").alias("kind"),
+        F.concat_ws(
+            ":", F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"), F.col("cents").cast("string"),
+        ).alias("key"),
+        F.col("user_cents").alias("n"),
+    )
+    mv = esql(
+        'FROM embeddings'
+        ' | EVAL n = TO_LONG(MV_COUNT(embedding)), mx = MV_MAX(embedding),'
+        '        mn = MV_MIN(embedding)'
+        ' | WHERE mn < 0'
+        ' | SORT mx DESC, vec_id ASC'
+        ' | LIMIT 15',
+        {"embeddings": _t(spark, sf_dir, "embeddings")},
+    ).select(
+        F.lit("esql_mv").alias("kind"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("n"),
+    )
+    return (lag.unionByName(seq).unionByName(smp).unionByName(eq)
+            .unionByName(inl).unionByName(mv))
 
 
 SQL_WINDOW_LAG = f"""
@@ -501,6 +545,35 @@ FROM (
   GROUP BY user_id
   ORDER BY sum_cents DESC, user_id ASC
   LIMIT 10
+)
+UNION ALL
+-- esql_inline: INLINESTATS twin = window-sum appended per row + QUALIFY;
+-- integer cents both sides, selection edge = unique (cents, event_id)
+SELECT 'esql_inline' AS kind,
+       concat_ws(':', event_id, user_id, cents) AS key,
+       user_cents AS n
+FROM (
+  SELECT event_id, user_id, cents,
+         CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS user_cents
+  FROM (
+    SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+  )
+  QUALIFY cents * 2 > user_cents
+  ORDER BY cents DESC, event_id ASC
+  LIMIT 20
+)
+UNION ALL
+-- esql_mv: MV_COUNT/MV_MAX/MV_MIN; order on the RAW f32 list_max (no
+-- rounding — identical float values compare identically), emit the
+-- integer count only
+SELECT 'esql_mv' AS kind, key, n
+FROM (
+  SELECT CAST(vec_id AS VARCHAR) AS key, CAST(len(embedding) AS BIGINT) AS n
+  FROM embeddings
+  WHERE list_min(embedding) < 0
+  ORDER BY list_max(embedding) DESC, vec_id ASC
+  LIMIT 15
 )
 """
 

@@ -1216,6 +1216,8 @@ def frequent_item_sets(
     min_support: float = 0.1,
     max_size: int = 3,
     size: int = 10,
+    max_basket_items: int = 1024,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """ES ``frequent_item_sets`` agg, computed EXACTLY (ES uses a
     sampled/ECLAT approximation; exact a-priori gives the same answer
@@ -1233,7 +1235,16 @@ def frequent_item_sets(
     support filter after each level bounds the candidate set before the
     next, which is what makes a-priori tractable at 10^9 baskets. The
     per-basket distinct-items list is never collected or exploded into
-    cross products wider than the surviving candidate frontier."""
+    cross products wider than the surviving candidate frontier.
+
+    ``max_basket_items`` is the explicit per-basket skew guard: the level-2
+    self-join emits F^2/2 pair rows for a basket holding F frequent
+    singletons, so a basket whose frequent-item count exceeds the cap is
+    dropped from the size>=2 candidate generation entirely (singleton
+    counts are unaffected) rather than quadratically exploding one task.
+    Pass ``metrics_out={}`` to make the truncation OBSERVABLE — it is
+    filled with dropped_baskets / dropped_basket_item_rows (one tiny extra
+    aggregation job), same discipline as minhash_lsh_pairs' max_bucket."""
     if max_size < 1 or max_size > 3:
         raise ValueError("frequent_item_sets supports max_size 1..3")
     items = df.select(
@@ -1251,6 +1262,23 @@ def frequent_item_sets(
     # a-priori prune: only baskets' items that are frequent alone can
     # appear in any larger frequent itemset
     fitems = items.join(lvl1.select("i"), "i", "left_semi")
+    if max_size >= 2:
+        bsizes = fitems.groupBy("b").agg(F.count("*").alias("_n"))
+        if metrics_out is not None:
+            row = (
+                bsizes.filter(F.col("_n") > max_basket_items)
+                .agg(
+                    F.count("*").alias("b"),
+                    F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]
+            )
+            metrics_out["dropped_baskets"] = int(row["b"])
+            metrics_out["dropped_basket_item_rows"] = int(row["r"])
+        fitems = fitems.join(
+            bsizes.filter(F.col("_n") <= max_basket_items).select("b"),
+            "b", "left_semi",
+        )
     if max_size >= 2:
         pairs = (
             fitems.alias("a")

@@ -10,7 +10,8 @@ Supported pipeline stages::
     | WHERE <expr>
     | EVAL name = <expr> [, name2 = <expr> ...]     (sequential: later
                                                      ones see earlier)
-    | STATS alias = AGG(<expr>) [, ...] [BY col [, col ...]]
+    | STATS alias = AGG(<expr>) [WHERE cond] [, ...] [BY col [, ...]]
+    | INLINESTATS alias = AGG(<expr>) [WHERE cond] [, ...] [BY col ...]
     | SORT col [ASC|DESC] [, ...]
     | LIMIT n
     | KEEP col [, ...]
@@ -26,9 +27,11 @@ boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
 ``IS NOT NULL``, ``IN (...)``, ``LIKE``, double-quoted string literals,
 TRUE/FALSE/NULL, and the function whitelist below (ES|QL name -> Spark
 SQL): ROUND ABS LENGTH SUBSTRING CONCAT GREATEST LEAST COALESCE
-DATE_TRUNC TO_LOWER TO_UPPER TO_LONG TO_DOUBLE TO_STRING and variadic
-CASE(cond, val, ..., [default]). STATS aggregates: COUNT(*) COUNT
-COUNT_DISTINCT SUM AVG MIN MAX MEDIAN PERCENTILE(field, p 0..100).
+DATE_TRUNC TO_LOWER TO_UPPER TO_LONG TO_DOUBLE TO_STRING, multivalue
+MV_COUNT MV_MAX MV_MIN (over array columns, null-in-null-out), and
+variadic CASE(cond, val, ..., [default]). STATS/INLINESTATS
+aggregates: COUNT(*) COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN
+PERCENTILE(field, p 0..100).
 
 How it lowers (why this is the right engine shape): every stage maps
 1:1 onto a declarative DataFrame op — WHERE -> filter (predicate
@@ -66,6 +69,10 @@ _FUNCS = {
     "GREATEST": "greatest", "LEAST": "least", "COALESCE": "coalesce",
     "DATE_TRUNC": "date_trunc",
     "TO_LOWER": "lower", "TO_UPPER": "upper",
+    # multivalue functions: ES|QL MV_* over array columns. Spark's
+    # size/array_max/array_min are null-in-null-out (ES semantics) under
+    # the default spark.sql.legacy.sizeOfNull=false.
+    "MV_COUNT": "size", "MV_MAX": "array_max", "MV_MIN": "array_min",
 }
 _CASTS = {"TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE", "TO_STRING": "STRING"}
 _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
@@ -339,6 +346,52 @@ def _assignments(tokens):
     return out
 
 
+def _parse_stats(rest: str):
+    """Shared STATS / INLINESTATS argument parse:
+    ``alias = AGG(expr) [WHERE cond] [, ...] [BY col [, ...]]`` ->
+    (by_cols, [(alias, Column)])."""
+    toks = _tokenize(rest)
+    by_cols: list[str] = []
+    depth = 0
+    for idx, t in enumerate(toks):
+        if t == ("op", "("):
+            depth += 1
+            continue
+        if t == ("op", ")"):
+            depth -= 1
+            continue
+        # only a depth-0 BY splits the stage — an identifier named
+        # `by` inside an aggregate's parens (CASE arg, column) is
+        # an ordinary token, matching the per-agg WHERE scan below
+        if depth == 0 and t[0] == "id" and t[1].upper() == "BY":
+            for part in _split_top(toks[idx + 1:]):
+                if len(part) != 1 or part[0][0] != "id":
+                    raise ESQLError("STATS BY takes plain columns")
+                by_cols.append(part[0][1])
+            toks = toks[:idx]
+            break
+    named = []
+    for col, expr_toks in _assignments(toks):
+        # ES|QL 8.16 per-aggregate filter: `alias = AGG(...)
+        # WHERE cond` -> SQL `AGG(...) FILTER (WHERE cond)`
+        cond_toks = None
+        depth = 0
+        for idx, t in enumerate(expr_toks):
+            if t == ("op", "("):
+                depth += 1
+            elif t == ("op", ")"):
+                depth -= 1
+            elif (depth == 0 and t[0] == "id"
+                  and t[1].upper() == "WHERE"):
+                expr_toks, cond_toks = expr_toks[:idx], expr_toks[idx + 1:]
+                break
+        e = _emit(expr_toks, aggs_ok=True)
+        if cond_toks is not None:
+            e = f"{e} FILTER (WHERE {_emit(cond_toks)})"
+        named.append((col, F.expr(e)))
+    return by_cols, named
+
+
 def esql(
     query: str,
     tables: "dict[str, DataFrame] | None" = None,
@@ -487,46 +540,30 @@ def esql(
             for col, expr_toks in _assignments(_tokenize(rest)):
                 df = df.withColumn(col, F.expr(_emit(expr_toks)))
         elif op == "STATS":
-            toks = _tokenize(rest)
-            by_cols: list[str] = []
-            depth = 0
-            for idx, t in enumerate(toks):
-                if t == ("op", "("):
-                    depth += 1
-                    continue
-                if t == ("op", ")"):
-                    depth -= 1
-                    continue
-                # only a depth-0 BY splits the stage — an identifier named
-                # `by` inside an aggregate's parens (CASE arg, column) is
-                # an ordinary token, matching the per-agg WHERE scan below
-                if depth == 0 and t[0] == "id" and t[1].upper() == "BY":
-                    for part in _split_top(toks[idx + 1:]):
-                        if len(part) != 1 or part[0][0] != "id":
-                            raise ESQLError("STATS BY takes plain columns")
-                        by_cols.append(part[0][1])
-                    toks = toks[:idx]
-                    break
-            aggs = []
-            for col, expr_toks in _assignments(toks):
-                # ES|QL 8.16 per-aggregate filter: `alias = AGG(...)
-                # WHERE cond` -> SQL `AGG(...) FILTER (WHERE cond)`
-                cond_toks = None
-                depth = 0
-                for idx, t in enumerate(expr_toks):
-                    if t == ("op", "("):
-                        depth += 1
-                    elif t == ("op", ")"):
-                        depth -= 1
-                    elif (depth == 0 and t[0] == "id"
-                          and t[1].upper() == "WHERE"):
-                        expr_toks, cond_toks = expr_toks[:idx], expr_toks[idx + 1:]
-                        break
-                e = _emit(expr_toks, aggs_ok=True)
-                if cond_toks is not None:
-                    e = f"{e} FILTER (WHERE {_emit(cond_toks)})"
-                aggs.append(F.expr(e).alias(col))
+            by_cols, named = _parse_stats(rest)
+            aggs = [c.alias(n) for n, c in named]
             df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+        elif op == "INLINESTATS":
+            # ES|QL INLINESTATS (8.x): like STATS but the aggregates are
+            # APPENDED to every input row instead of collapsing it.
+            # Lowered as groupBy/agg + an equi-join back on the BY keys
+            # (window functions would shuffle the full row payload AND
+            # cannot express DISTINCT aggregates; the agg side is one row
+            # per group, so with no BY it broadcasts, and with BY keys AQE
+            # picks broadcast when the group count is small).
+            by_cols, named = _parse_stats(rest)
+            aggs = [c.alias(n) for n, c in named]
+            # ES|QL semantics: a same-named pre-existing column is shadowed
+            new_names = {n for n, _ in named}
+            keep = [c for c in df.columns if c not in new_names]
+            if clash := new_names & set(by_cols):
+                raise ESQLError(f"INLINESTATS alias shadows its BY key: "
+                                f"{sorted(clash)}")
+            if by_cols:
+                df = df.select(*keep).join(
+                    df.groupBy(*by_cols).agg(*aggs), by_cols, "left")
+            else:
+                df = df.select(*keep).crossJoin(F.broadcast(df.agg(*aggs)))
         elif op == "SORT":
             keys = []
             for part in _split_top(_tokenize(rest)):

@@ -905,3 +905,52 @@ def test_frequent_item_sets_max_size_bounds(spark):
 
     with _pt.raises(ValueError, match="max_size"):
         frequent_item_sets(df, "item", "basket", max_size=4)
+
+
+def test_frequent_item_sets_basket_skew_cap(spark):
+    """Degenerate basket (10^3 frequent singletons in ONE basket): the
+    max_basket_items guard must keep the level-2 self-join off it —
+    completing under the cap, with drops observable via metrics_out —
+    while singleton counts and uncapped-normal baskets are unaffected."""
+    from bitcoin_ledger_2es_spark.operators.aggs import frequent_item_sets
+
+    # basket 0: 1000 distinct items (all frequent at min_support<=0.5 with
+    # 2 baskets); basket 1: 3 of those items -> a normal pair source
+    rows = [(0, f"i{j:04d}") for j in range(1000)]
+    rows += [(1, "i0001"), (1, "i0002"), (1, "i0003")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+
+    metrics: dict = {}
+    got = frequent_item_sets(
+        df, "item", "basket", min_support=0.5, max_size=3, size=10_000,
+        max_basket_items=100, metrics_out=metrics,
+    ).toPandas()
+
+    # the wide basket was dropped from pair generation, observably
+    assert metrics == {
+        "dropped_baskets": 1,
+        "dropped_basket_item_rows": 1000,
+    }
+    # singletons unaffected: i0001..i0003 appear in 2/2 baskets
+    singles = got[got["set_size"] == 1]
+    assert len(singles) == 1000
+    top = dict(zip(singles["key"], singles["doc_count"]))
+    assert top["i0001"] == top["i0002"] == top["i0003"] == 2
+    # no pair reaches support 0.5*2=1... pairs from basket 1 alone have
+    # doc_count 1 >= floor 1 -> present; pairs involving ONLY basket 0
+    # items are gone (capped), so exactly C(3,2)=3 pairs + 1 triple
+    pairs = got[got["set_size"] == 2]
+    assert sorted(pairs["key"]) == [
+        "i0001,i0002", "i0001,i0003", "i0002,i0003"
+    ]
+    assert (pairs["doc_count"] == 1).all()
+    triples = got[got["set_size"] == 3]
+    assert triples["key"].tolist() == ["i0001,i0002,i0003"]
+
+    # default cap (1024) leaves this corpus uncapped: metrics report zero
+    m2: dict = {}
+    frequent_item_sets(
+        df, "item", "basket", min_support=0.5, max_size=2, size=5,
+        metrics_out=m2,
+    ).collect()
+    assert m2 == {"dropped_baskets": 0, "dropped_basket_item_rows": 0}

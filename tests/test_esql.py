@@ -91,7 +91,7 @@ def test_unsupported_constructs_raise(spark, events):
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
         esql('FROM events | EVAL x = MV_EXPAND(value)', t)
     with pytest.raises(ESQLError, match="unsupported ES\\|QL stage"):
-        esql("FROM events | INLINESTATS n = COUNT(*)", t)
+        esql("FROM events | CHANGE_POINT value ON ts", t)
     with pytest.raises(ESQLError, match="ENRICH takes"):
         esql("FROM events | ENRICH policy", t)
     with pytest.raises(ESQLError, match="unbalanced"):
@@ -399,3 +399,115 @@ def test_esql_filtered_alias_and_tombstones_one_live_set(spark, doc_searcher):
     after = esql("FROM ix | STATS n = COUNT(*)",
                  indexes={"ix": fresh}).toPandas()["n"].iloc[0]
     assert ndel > 0 and after == before - ndel
+
+
+def test_inlinestats_by_appends_group_aggs(spark, events):
+    """INLINESTATS (ES|QL 8.x): aggregates APPEND to every row instead
+    of collapsing — lowered as groupBy/agg + equi-join on the BY keys.
+    Differential vs a hand-built window-sum."""
+    q = (
+        'FROM events'
+        ' | WHERE event_type == "purchase"'
+        ' | EVAL cents = TO_LONG(ROUND(value * 100))'
+        ' | INLINESTATS user_cents = SUM(cents), user_n = COUNT(*) BY user_id'
+        ' | WHERE cents * 2 > user_cents'
+        ' | SORT cents DESC, event_id ASC'
+        ' | LIMIT 20'
+        ' | KEEP event_id, user_id, cents, user_cents, user_n'
+    )
+    got = esql(q, {"events": events}).toPandas()
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id")
+    exp = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn("user_cents", F.sum("cents").over(w))
+        .withColumn("user_n", F.count("*").over(w))
+        .filter(F.col("cents") * 2 > F.col("user_cents"))
+        .orderBy(F.desc("cents"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", "cents", "user_cents", "user_n")
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    assert list(got.columns) == list(exp.columns)
+
+
+def test_inlinestats_no_by_broadcasts_and_shadows(spark, events):
+    """No BY -> one global agg row cross-joined (broadcast) onto every
+    input row; a same-named pre-existing column is shadowed (ES|QL)."""
+    n = events.count()
+    got = esql(
+        'FROM events | INLINESTATS total = COUNT(*), mx = MAX(value)'
+        ' | LIMIT 3 | KEEP event_id, total, mx',
+        {"events": events},
+    ).toPandas()
+    assert len(got) == 3
+    assert (got["total"] == n).all()
+    mx = events.agg(F.max("value")).collect()[0][0]
+    assert (got["mx"] == mx).all()
+    # shadowing: alias `value` replaces the input column of that name
+    got2 = esql(
+        'FROM events | INLINESTATS value = AVG(value) | LIMIT 2 | KEEP value',
+        {"events": events},
+    ).toPandas()
+    avg = events.agg(F.avg("value")).collect()[0][0]
+    assert got2["value"].tolist() == [avg, avg]
+    # alias colliding with its own BY key is nonsense -> raise
+    with pytest.raises(ESQLError, match="shadows its BY key"):
+        esql('FROM events | INLINESTATS user_id = COUNT(*) BY user_id',
+             {"events": events})
+
+
+def test_inlinestats_per_agg_where_filter(spark, events):
+    """Per-aggregate WHERE inside INLINESTATS lowers to FILTER (WHERE)
+    exactly like STATS."""
+    got = esql(
+        'FROM events'
+        ' | INLINESTATS n_err = COUNT(*) WHERE event_type == "error" BY user_id'
+        ' | STATS mx = MAX(n_err)',
+        {"events": events},
+    ).toPandas()
+    exp = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert got["mx"].iloc[0] == exp
+
+
+def test_mv_functions_over_array_column(spark):
+    """MV_COUNT/MV_MAX/MV_MIN over the embeddings array column; ES
+    null-in-null-out semantics (Spark size() would give -1 only under
+    legacy sizeOfNull)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = esql(
+        'FROM embeddings'
+        ' | EVAL n = TO_LONG(MV_COUNT(embedding)), mx = MV_MAX(embedding),'
+        '        mn = MV_MIN(embedding)'
+        ' | WHERE mn < 0'
+        ' | SORT mx DESC, vec_id ASC'
+        ' | LIMIT 15 | KEEP vec_id, n, mx, mn',
+        {"embeddings": emb},
+    ).toPandas()
+    exp = (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n"),
+            F.array_max("embedding").alias("mx"),
+            F.array_min("embedding").alias("mn"),
+        )
+        .filter(F.col("mn") < 0)
+        .orderBy(F.desc("mx"), F.asc("vec_id"))
+        .limit(15)
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    # null-in-null-out
+    df = spark.createDataFrame([(1, [1, 5, 3]), (2, None)],
+                               "id long, a array<int>")
+    g = esql('FROM t | EVAL c = MV_COUNT(a), m = MV_MAX(a)'
+             ' | SORT id ASC | KEEP id, c, m', {"t": df}).toPandas()
+    assert g.loc[0, "c"] == 3 and g.loc[0, "m"] == 5
+    import pandas as pd
+    assert pd.isna(g.loc[1, "c"]) and pd.isna(g.loc[1, "m"])
