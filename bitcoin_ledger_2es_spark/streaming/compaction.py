@@ -249,6 +249,18 @@ def merge_segments(
         seg_ids = sorted(by_size[:k_smallest])
     if len(seg_ids) < 2:
         raise ValueError("need at least two segments to merge")
+    from .incremental import _tombstone_dirs
+
+    dirty = [sid for sid in seg_ids if _tombstone_dirs(dirs[sid])]
+    if dirty:
+        # the posting-level merge would carry soft-deleted docs' postings
+        # forward into the merged segment (and remap their doc ids) —
+        # resurrection, not merge. expunge_store() rewrites exactly these
+        # segments clean first.
+        raise ValueError(
+            f"segments {dirty} have pending soft-delete tombstones: "
+            "run expunge_store() before merge_segments()"
+        )
     from ..config import DEFAULT
 
     segs = [read_index(spark, str(dirs[sid] / "index"), cfg or DEFAULT) for sid in seg_ids]

@@ -49,6 +49,17 @@ def _seg_dirs(root: str) -> list[Path]:
     return sorted(d for d in p.iterdir() if d.is_dir() and d.name.startswith("seg_"))
 
 
+def _tombstone_dirs(seg: Path) -> list[Path]:
+    """Committed per-doc tombstone sidecars of one segment: parquet dirs
+    ``<seg>/deletes/del_<tag>`` holding a single ``doc_id`` column. Each
+    sidecar is written to a staging dir and atomically renamed into place,
+    so a listed dir is always a complete, readable delete set."""
+    p = seg / "deletes"
+    if not p.is_dir():
+        return []
+    return sorted(d for d in p.iterdir() if d.is_dir() and d.name.startswith("del_"))
+
+
 def build_segment(
     spark: SparkSession, batch_df: DataFrame, root: str, seg_id: int, cfg: EngineConfig
 ) -> None:
@@ -190,7 +201,18 @@ def compact(
     sources, so retained micro-batch transcripts can be dropped after
     segment build. ``from_postings=False``: legacy raw rebuild (re-reads
     and re-tokenizes every retained transcripts/ dir) — the fallback when
-    a conversation spans segments."""
+    a conversation spans segments.
+
+    Refuses with pending soft-delete sidecars: the posting-level merge
+    would carry dead postings forward and the raw rebuild would resurrect
+    tombstoned rows — run :func:`expunge_store` first (it rewrites only
+    the affected segments)."""
+    dirty = [d.name for d in _seg_dirs(root) if _tombstone_dirs(d)]
+    if dirty:
+        raise ValueError(
+            f"segments with pending soft-delete tombstones ({dirty}): "
+            "run expunge_store() before compact()"
+        )
     if from_postings:
         from .compaction import merge_postings_frames, recover_merges
 
@@ -240,6 +262,11 @@ def recover_rewrites(root: str) -> None:
         aside.rename(tgt)
     for tmp in sorted(seg_root.glob("_rewrite_src_*")):
         shutil.rmtree(tmp)
+    # uncommitted soft-delete sidecar staging (soft_delete_by_query writes
+    # here, then renames per-segment): anything left means the write never
+    # committed for those segments — discard it
+    for tmp in sorted(seg_root.glob("_deletes_tmp_*")):
+        shutil.rmtree(tmp)
 
 
 def _rewrite_by_query(
@@ -267,42 +294,69 @@ def _rewrite_by_query(
         if n == 0:
             continue  # untouched segments are never rewritten
         total += n
-        seg_root, digits = d.parent, d.name.split("_", 1)[1]
-        seg_id = int(digits)
-        raw = spark.read.parquet(str(d / "transcripts"))
-        if transform is None:
-            new_raw = raw.join(hits, ["conv_id", "turn_idx"], "left_anti")
-        else:
-            new_raw = (
-                raw.join(
-                    hits.withColumn("_m", F.lit(True)),
-                    ["conv_id", "turn_idx"],
-                    "left",
-                )
-                .withColumn(
-                    "text",
-                    F.when(F.col("_m"), transform).otherwise(F.col("text")),
-                )
-                .drop("_m")
-            )
-        aside = seg_root / f"_rewriting_{digits}"
-        if transform is None and new_raw.limit(1).count() == 0:
-            # every row deleted: retire the whole segment (rename-first)
-            d.rename(aside)
-            shutil.rmtree(aside)
-            continue
-        # stage the rewritten source OUTSIDE the segment dir first — the
-        # lazily-read input must survive the rename + rebuild below
-        tmp = seg_root / f"_rewrite_src_{digits}"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        new_raw.write.mode("overwrite").parquet(str(tmp / "transcripts"))
-        staged = spark.read.parquet(str(tmp / "transcripts"))
-        d.rename(aside)  # old content safe until the commit point
-        build_segment(spark, staged, root, seg_id, ix.cfg)
-        shutil.rmtree(aside)  # COMMIT: rewrite is now the durable state
-        shutil.rmtree(tmp)
+        _rewrite_segment(spark, root, d, hits, transform, ix.cfg)
     return total
+
+
+def _rewrite_segment(spark, root, d: Path, hits, transform, cfg) -> None:
+    """Crash-safe rewrite of ONE segment: drop (transform=None) or rewrite
+    the raw rows keyed by ``hits`` (conv_id, turn_idx; None = no extra
+    hits), rebuild the segment deterministically, commit via the
+    rename-aside protocol (see update_by_query). Any soft-delete sidecar
+    (soft_delete_by_query) is FOLDED IN — its tombstoned turns are dropped
+    from the rebuilt raw, never resurrected nor transformed — and consumed
+    by the rebuild: the sidecar travels with the aside copy (restored on
+    crash-rollback), and the committed segment is clean."""
+    seg_root, digits = d.parent, d.name.split("_", 1)[1]
+    seg_id = int(digits)
+    raw = spark.read.parquet(str(d / "transcripts"))
+    tpaths = _tombstone_dirs(d)
+    if tpaths:
+        ix_seg = read_index(spark, str(d / "index"), cfg)
+        dead = (
+            ix_seg.docmap.join(
+                spark.read.parquet(*[str(p) for p in tpaths]).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .filter(~F.col("is_rollup"))
+            .select("conv_id", "turn_idx")
+        )
+        raw = raw.join(dead, ["conv_id", "turn_idx"], "left_anti")
+    if transform is None:
+        new_raw = (
+            raw if hits is None else raw.join(hits, ["conv_id", "turn_idx"], "left_anti")
+        )
+    else:
+        new_raw = (
+            raw.join(
+                hits.withColumn("_m", F.lit(True)),
+                ["conv_id", "turn_idx"],
+                "left",
+            )
+            .withColumn(
+                "text",
+                F.when(F.col("_m"), transform).otherwise(F.col("text")),
+            )
+            .drop("_m")
+        )
+    aside = seg_root / f"_rewriting_{digits}"
+    if transform is None and new_raw.limit(1).count() == 0:
+        # every row deleted: retire the whole segment (rename-first)
+        d.rename(aside)
+        shutil.rmtree(aside)
+        return
+    # stage the rewritten source OUTSIDE the segment dir first — the
+    # lazily-read input must survive the rename + rebuild below
+    tmp = seg_root / f"_rewrite_src_{digits}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    new_raw.write.mode("overwrite").parquet(str(tmp / "transcripts"))
+    staged = spark.read.parquet(str(tmp / "transcripts"))
+    d.rename(aside)  # old content safe until the commit point
+    build_segment(spark, staged, root, seg_id, cfg)
+    shutil.rmtree(aside)  # COMMIT: rewrite is now the durable state
+    shutil.rmtree(tmp)
 
 
 def update_by_query(
@@ -370,6 +424,142 @@ def delete_by_query(
     return _rewrite_by_query(spark, root, filter_text, None, mode, must_not, cfg)
 
 
+def soft_delete_by_query(
+    spark: SparkSession,
+    root: str,
+    filter_text: str,
+    mode: str = "and",
+    must_not: str = "",
+    cfg: EngineConfig = DEFAULT,
+) -> int:
+    """ES/Lucene-model ``_delete_by_query`` over the durable segment
+    store: per-DOC tombstone sidecars, ZERO segment rewrites. This is the
+    actual ES behavior — deletes are soft (live-docs bitset per segment),
+    searches exclude them immediately, and disk space is reclaimed only at
+    merge/expunge — where ``delete_by_query`` above is the force-merge-
+    style physical rewrite.
+
+    Mechanics: matching docs are resolved by one ``SegmentedSearcher.
+    match_docs`` pass — which composes PRIOR tombstones, so repeated
+    calls accumulate without double-counting — cascaded to the matched
+    turns' conversation ROLLUP docs (their indexed text contains the
+    deleted content; same rule as BM25Searcher.delete_by_query), then
+    written per segment as a parquet sidecar ``<seg>/deletes/del_<tag>``
+    via one partitioned job + atomic directory renames. Per segment the
+    sidecar is complete-or-absent; across segments a crash mid-rename
+    leaves a prefix applied (the call never returned, and re-running
+    re-matches the remainder) — the same non-atomicity ES documents for
+    ``_delete_by_query``.
+
+    Read-side: ``SegmentedSearcher`` merges all sidecars at open and
+    excludes tombstoned docs from ``top_k``/``match_docs``/``count``;
+    corpus statistics (df/idf/avgdl) keep counting tombstones until
+    ``expunge_store`` — the Lucene deleted-docs model, so surviving
+    scores are bit-unchanged. ``expunge_store`` then rebuilds affected
+    segments from surviving raw rows, which re-derives each surviving
+    conversation's rollup WITHOUT the deleted turns' text — the
+    tombstoned rollup returns refreshed, exactly like the physical
+    ``delete_by_query``'s immediate rewrite.
+
+    Caveat: an at-least-once replay of a segment's source micro-batch
+    (crash between segment build and stream checkpoint commit) rebuilds
+    the segment dir and drops its sidecars with it — tombstones written
+    against a not-yet-checkpointed segment share its durability, no less
+    and no more. Returns the number of newly tombstoned docs (matched
+    docs + cascaded rollups, the ES response's ``deleted``)."""
+    import uuid
+
+    searcher = SegmentedSearcher(spark, root, cfg)
+    hits = searcher.match_docs(filter_text, mode=mode, must_not=must_not)
+    convs = hits.filter(~F.col("is_rollup")).select("conv_id").distinct()
+    rolls = (
+        searcher._docmap_all.filter(F.col("is_rollup"))
+        .join(convs, "conv_id")
+        .select("doc_id")
+    )
+    tombs = hits.select("doc_id").unionByName(rolls).distinct()
+    if searcher._tombs is not None:
+        # cascaded rollups may already be tombstoned (match_docs already
+        # excludes prior turn tombstones): count/write only NEW docs
+        tombs = tombs.join(searcher._tombs, "doc_id", "left_anti")
+    tombs = tombs.persist()
+    n = int(tombs.count())
+    if n == 0:
+        tombs.unpersist()
+        return 0
+    tag = uuid.uuid4().hex[:12]
+    seg_root = Path(root) / "segments"
+    tmp = seg_root / f"_deletes_tmp_{tag}"
+    # ONE job whatever the segment count: partition the delete set by the
+    # owning segment (doc_id bases are multiples of SEG_BASE), then move
+    # each partition into its segment with an atomic same-fs rename
+    (
+        tombs.withColumn("_seg", F.expr(f"doc_id DIV {SEG_BASE}"))
+        .write.mode("overwrite")
+        .partitionBy("_seg")
+        .parquet(str(tmp))
+    )
+    tombs.unpersist()
+    for part in sorted(tmp.glob("_seg=*")):
+        sid = int(part.name.split("=", 1)[1])
+        seg = seg_root / f"seg_{sid:06d}"
+        if not seg.is_dir():  # segment retired since the match — skip
+            continue
+        (seg / "deletes").mkdir(exist_ok=True)
+        part.rename(seg / "deletes" / f"del_{tag}")
+    shutil.rmtree(tmp)
+    return n
+
+
+def expunge_store(
+    spark: SparkSession,
+    root: str,
+    cfg: EngineConfig = DEFAULT,
+) -> int:
+    """Physically remove soft-deleted docs (``_forcemerge?only_expunge_
+    deletes`` for the durable store): every segment holding tombstone
+    sidecars is rewritten WITHOUT the tombstoned turns through the same
+    crash-safe rename-aside protocol as ``delete_by_query`` — the sidecar
+    travels with the aside copy, so a crash rolls back to tombstoned-but-
+    live and a commit leaves a clean segment with live-only statistics
+    and freshly derived rollups (a tombstoned rollup whose conversation
+    still has surviving turns comes back with refreshed text). Segments
+    without sidecars are untouched. Requires the affected segments' raw
+    transcripts (postings-only retention cannot re-derive rollups; raise
+    rather than resurrect). Returns the number of physically removed
+    turns."""
+    recover_rewrites(root)
+    total = 0
+    for d in _seg_dirs(root):
+        tpaths = _tombstone_dirs(d)
+        if not tpaths:
+            continue
+        if not (d / "transcripts").exists():
+            raise ValueError(
+                f"{d.name}: raw transcripts were dropped (postings-only "
+                "retention) — cannot expunge soft deletes by rewrite"
+            )
+        ix = read_index(spark, str(d / "index"), cfg)
+        tombs = (
+            spark.read.parquet(*[str(p) for p in tpaths])
+            .select("doc_id")
+            .distinct()
+        )
+        n = int(
+            ix.docmap.join(tombs, "doc_id", "left_semi")
+            .filter(~F.col("is_rollup"))
+            .count()
+        )
+        if n == 0:  # stale sidecar (only already-gone docs): drop it
+            for p in tpaths:
+                shutil.rmtree(p)
+            continue
+        total += n
+        # _rewrite_segment folds the sidecar itself (no extra hits)
+        _rewrite_segment(spark, root, d, None, None, ix.cfg)
+    return total
+
+
 class SegmentedSearcher:
     """Exact BM25 top-k over the union of segments with global stats.
 
@@ -434,6 +624,33 @@ class SegmentedSearcher:
         # union preserves file boundaries — bin-packing merges only whole
         # files, and the kernel keys everything off shard_id)
         self._aligned = all(aligned_layout_ok(seg) for seg in self.segments)
+        # per-doc soft-delete sidecars (soft_delete_by_query): ONE lazy
+        # union across all segments, anti-masked into every serving
+        # surface below. Lucene live-docs model — corpus statistics
+        # (n_docs/avgdl/df) keep counting tombstones until expunge_store,
+        # so surviving docs' scores are bit-unchanged across a soft delete.
+        tpaths = [p for s in dirs for p in _tombstone_dirs(s)]
+        self._tombs = (
+            spark.read.parquet(*[str(p) for p in tpaths])
+            .select("doc_id")
+            .distinct()
+            if tpaths
+            else None
+        )
+
+    def _docmap_allowed(self, doc_filter, cols: list[str]) -> DataFrame:
+        """Unioned docmap carrying the ``_allowed`` serving mask: the
+        optional filter-context predicate AND not-soft-deleted (tombstone
+        anti-mask via a distributed join — the delete set is never
+        collected to the driver, however large)."""
+        dm = self._docmap_all
+        allowed = doc_filter if doc_filter is not None else F.lit(True)
+        if self._tombs is not None:
+            dm = dm.join(
+                self._tombs.withColumn("_tomb", F.lit(True)), "doc_id", "left"
+            )
+            allowed = allowed & F.col("_tomb").isNull()
+        return dm.withColumn("_allowed", allowed).select(*cols, "_allowed")
 
     def _lookup_all(self, terms: list[str]):
         """ONE dictionary job for every (segment, term) pair.
@@ -573,9 +790,7 @@ class SegmentedSearcher:
             keep = allowed[right["doc_id"].to_numpy(np.int64) - base]
             return out[keep]
 
-        docmap_lite = self._docmap_all.withColumn(
-            "_allowed", doc_filter if doc_filter is not None else F.lit(True)
-        ).select("shard_id", "_allowed", *out_cols)
+        docmap_lite = self._docmap_allowed(doc_filter, ["shard_id", *out_cols])
         pruned = self._postings_all.filter(
             self._scan_filter(seg_scan) if seg_scan else F.lit(False)
         )
@@ -612,6 +827,14 @@ class SegmentedSearcher:
 
         from ..operators.phrase import score_shard_phrase, score_shard_phrase_unordered
 
+        if self._tombs is not None:
+            raise ValueError(
+                "phrase_query does not serve with pending soft-delete "
+                "tombstones: its shard kernel applies a local top-k cap "
+                "with no allowed-mask hook (same contract as "
+                "BM25Searcher._no_pending_deletes) — run expunge_store() "
+                "first"
+            )
         unordered = not ordered and slop > 0
         freq_t = "double" if unordered else "long"
         freq_np = np.float64 if unordered else np.int64
@@ -766,13 +989,16 @@ class SegmentedSearcher:
             return score_shard_exact(blocks, base, dps, allowed, kk, md, avgdl, k1, b)
 
         pruned = self._postings_all.filter(self._scan_filter(seg_scan))
-        if doc_filter is not None:
-            # ES filter context on the NRT path: the shard's docmap slice
-            # carries the allowed-mask, applied in-kernel BEFORE the
-            # shard-local top-k cap (docs absent from the mask never score)
-            docmap_lite = self._docmap_all.withColumn(
-                "_allowed", doc_filter
-            ).select("shard_id", "doc_id", "_allowed")
+        if doc_filter is not None or self._tombs is not None:
+            # ES filter context / soft-delete tombstones on the NRT path:
+            # the shard's docmap slice carries the allowed-mask, applied
+            # in-kernel BEFORE the shard-local top-k cap (docs absent from
+            # the mask never score) — so a tombstone can never under-fill
+            # the top-k, and survivors' scores are bit-identical to the
+            # unfiltered ranking restricted to live docs
+            docmap_lite = self._docmap_allowed(
+                doc_filter, ["shard_id", "doc_id"]
+            )
 
             def kernel_f(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 if left.empty or right.empty:
