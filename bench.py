@@ -49,9 +49,25 @@ def corpus_path(n_conv: int) -> str:
     return str(p)
 
 
+def _probe_host() -> dict:
+    """Host-noise probe reading (tools/dram_probe.py): embedded in every
+    recorded JSON so each run carries its own cleanliness evidence —
+    steady <= ~0.35 s/iter means the numbers measure the engine, not a
+    hypervisor noise window (BENCH/host_noise_r4.md)."""
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        from dram_probe import probe
+
+        ts = probe(iters=4)
+        return {"probe_iters_sec": ts, "probe_steady_sec": min(ts)}
+    finally:
+        sys.path.pop(0)
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     n_conv = max(200, int(1_000_000 * sf))
+    host = {} if os.environ.get("BENCH_NO_PROBE") else _probe_host()
 
     t_gen0 = time.monotonic()
     tpath = corpus_path(n_conv)
@@ -112,6 +128,7 @@ def main() -> None:
         env = dict(os.environ)
         env.update({
             "BENCH_BUILD_ONLY": "1",
+            "BENCH_NO_PROBE": "1",  # the parent already probed this run
             "BENCH_WRITE_INDEX": ix_path,
             "SPARK_GRAFT_DPS": str(dps),
             # target ~8 concurrent build workers (the DRAM ceiling):
@@ -172,6 +189,7 @@ def main() -> None:
                 "n_docs_indexed": ix.n_docs,
                 "build_turns_per_sec": round(turns_per_sec, 1),
                 "cpus": CPUS,
+                **host,
             }
             print(json.dumps(out))
             spark.stop()
@@ -270,6 +288,7 @@ def main() -> None:
         "build_reps": build_reps,
         "cpus": CPUS,
         "gen_sec": round(t_gen, 3),
+        **host,
     }
     print(json.dumps(out))
     spark.stop()

@@ -21,6 +21,7 @@ from .plans.query import (
     linear_fuse,
     multi_match,
     rrf_fuse,
+    runtime_search,
 )
 from .plans.snapshot import (
     lifecycle_tick,
@@ -47,6 +48,7 @@ __all__ = [
     "eql_sample",
     "esql",
     "rrf_fuse",
+    "runtime_search",
     "linear_fuse",
     "DEFAULT",
     "EngineConfig",

@@ -2228,7 +2228,14 @@ def q_advanced_queries(spark, sf_dir):
       linear_fuse): the same two retriever windows fused by a WEIGHTED
       SUM of minmax-normalized f64 scores (weights 0.7/0.3, degenerate
       window -> 1.0, absent doc -> bit-neutral 0.0), top-RRF_TOPK on
-      the pre-rounding fused score; key = doc_id, n = fused rank."""
+      the pre-rounding fused score; key = doc_id, n = fused rank.
+    * ``runtime`` — ES runtime_mappings (plans/query.py runtime_search):
+      two query-time computed fields over _source (size_bucket =
+      floor(n_chars/100), src_num = the numeric tail of source) used in
+      FILTER context over the scored full match set of 'data row' — a
+      runtime filter never alters scores (Lucene filter context), so
+      survivors' score3 equal the plain all-match twin's; key = doc_id,
+      n = size_bucket, k unbounded (no selection edge)."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2477,6 +2484,27 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score"), 3).alias("score3"),
         F.col("rank").cast("long").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.plans.query import runtime_search
+
+    rt_src = _t(spark, sf_dir, "documents").select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "lang", "source", "n_chars",
+    )
+    rt = runtime_search(
+        s, rt_src,
+        {
+            "size_bucket": "CAST(floor(n_chars / 100.0) AS BIGINT)",
+            "src_num": "CAST(substring(source, 4) AS BIGINT)",
+        },
+        query_text="data row", mode="or",
+        runtime_filter="size_bucket >= 2 AND src_num % 2 = 0",
+    ).select(
+        F.lit("runtime").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.col("size_bucket").cast("long").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2510,7 +2538,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(so).unionByName(sn).unionByName(sc).unionByName(sw)
         .unionByName(iv).unionByName(mtv)
         .unionByName(ex).unionByName(tset).unionByName(scr)
-        .unionByName(rr).unionByName(ln)
+        .unionByName(rr).unionByName(ln).unionByName(rt)
     )
 
 
@@ -3341,6 +3369,15 @@ FROM (
 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= {RRF_TOPK}
 """
 
+_SQL_RUNTIME = f"""
+SELECT 'runtime' AS kind, CAST(doc_id AS VARCHAR) AS key, score3,
+       CAST(floor(n_chars / 100.0) AS BIGINT) AS n
+FROM ({_sql_bm25_allmatch(0, ["data", "row"], "or")}) b
+JOIN documents USING (doc_id)
+WHERE CAST(floor(n_chars / 100.0) AS BIGINT) >= 2
+  AND CAST(substring(source, 4) AS BIGINT) % 2 = 0
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
@@ -3350,7 +3387,8 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_PINNED, _SQL_COMBINED_FIELDS,
      _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN,
      _SQL_INTERVALS, _SQL_MTERMVECTORS,
-     _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF, _SQL_LINEAR]
+     _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF, _SQL_LINEAR,
+     _SQL_RUNTIME]
 )
 
 

@@ -1225,8 +1225,14 @@ class BM25Searcher:
         returning the representative HIT (doc_id, turn_idx), not a
         parent-side fold. Rollup docs are excluded (a conv's own
         concatenation must not represent it). Shape: all-match kernel ->
-        docmap join -> per-conv window (shuffle keyed on conv_id, same
-        fan-in ES pays per collapse bucket) -> k-row merge. Returns
+        docmap join -> per-conv struct-min HASH AGGREGATION (a partial
+        max-per-group combines map-side BEFORE the conv_id exchange, so
+        a conversation holding most of the match set costs each task
+        one accumulator, never a single hot sort partition — the skew
+        case a row_number window would serialize) -> k-row merge.
+        Representative selection order is (score f32 desc, doc_id asc),
+        encoded as min of struct(-score, doc_id, turn_idx): float
+        negation is a sign flip, bit-exact both ways. Returns
         (rank, conv_id, doc_id, turn_idx, score, inner_hits)."""
         cands = self._all_match_scores(query_text, mode)
         empty_ddl = ("rank int, conv_id string, doc_id long, turn_idx int, "
@@ -1238,12 +1244,25 @@ class BM25Searcher:
             .join(cands, "doc_id", "inner")
             .filter(~F.col("is_rollup"))
         )
-        wg = Window.partitionBy("conv_id").orderBy(F.desc("score"), F.asc("doc_id"))
         reps = (
-            hits.withColumn("_r", F.row_number().over(wg))
-            .withColumn("inner_hits", F.count("*").over(Window.partitionBy("conv_id")))
-            .filter(F.col("_r") == 1)
-            .drop("_r", "is_rollup")
+            hits.groupBy("conv_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("_ns"),
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("turn_idx").alias("turn_idx"),
+                    )
+                ).alias("_rep"),
+                F.count("*").alias("inner_hits"),
+            )
+            .select(
+                "conv_id",
+                F.col("_rep.doc_id").alias("doc_id"),
+                F.col("_rep.turn_idx").alias("turn_idx"),
+                (-F.col("_rep._ns")).alias("score"),
+                "inner_hits",
+            )
         )
         top = reps.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3797,5 +3816,106 @@ def linear_fuse(
         fused.orderBy(F.desc("score"), F.asc("_id")).limit(k)
         .withColumn("rank", F.row_number().over(win))
         .select("rank", F.col("_id").alias(id_col), "score")
+        .orderBy("rank")
+    )
+
+
+def runtime_search(
+    searcher: "BM25Searcher",
+    source_df: DataFrame,
+    runtime_mappings: "dict[str, str]",
+    query_text: str = "",
+    mode: str = "or",
+    runtime_filter: "str | None" = None,
+    k: "int | None" = None,
+    sort: "list[tuple[str, bool]] | None" = None,
+    fields: "list[str] | None" = None,
+) -> DataFrame:
+    """ES ``runtime_mappings``: search-request-scoped computed fields
+    (public ES semantics: runtime fields are evaluated at QUERY time from
+    ``_source``, never indexed, and are filterable / sortable /
+    aggregatable exactly like mapped fields; scores come from the query,
+    which runtime filters never alter — Lucene filter context).
+
+    Spark-first lowering: each mapping is a Spark SQL expression
+    (``F.expr``) over the columns of ``source_df`` — the engine's
+    source-of-truth frame keyed by ``(conv_id, turn_idx)`` — plus the
+    docmap columns (``doc_id``, ``doc_len``, ``is_rollup``). The plan is
+
+      1. scored full match set (``_all_match_scores`` — the compound-
+         layer kernel, per-shard cap = docs_per_shard, tombstones and
+         alias filters applied) when ``query_text`` is non-empty, else
+         the live docmap (``match_all``, score 0.0 — the ES convention
+         for filter-only searches);
+      2. ONE equi-join to ``source_df`` on (conv_id, turn_idx) — for a
+         scored search the join input is already restricted to the match
+         set, so source I/O is proportional to matches, the ES fetch-
+         phase shape (Catalyst broadcasts whichever side is small);
+      3. runtime columns via ``F.expr`` (JVM-side, whole-stage codegen —
+         never a Python UDF), then the optional ``runtime_filter``
+         predicate and ``sort``/``k`` selection.
+
+    Because step 1 emits the FULL match set, post-hoc filtering and
+    sorting are exact (no per-shard cap can drop a doc the filter would
+    have kept — the same argument as dis_max/boosting). Returns columns
+    ``(rank, doc_id, score, conv_id, turn_idx, *fields)``; ``sort``
+    entries are ``(column, ascending)`` over runtime/docmap/source
+    columns or ``_score``, always tie-broken by ``doc_id`` asc;
+    ``fields`` defaults to all runtime fields (ES ``fields`` retrieval).
+
+    Aggregations over runtime fields: call with ``k=None`` and compose
+    operators/aggs.py on the returned frame — it carries every matching
+    (or live) doc with its runtime columns and map-side partial
+    aggregation applies as usual.
+    """
+    reserved = set(searcher.ix.docmap.columns) | set(source_df.columns) | {
+        "_score", "score", "rank"
+    }
+    for name, script in runtime_mappings.items():
+        if name in reserved:
+            raise ValueError(
+                f"runtime field {name!r} shadows an existing column"
+            )
+    dm = searcher.ix.docmap.select(
+        "doc_id", "conv_id", "turn_idx", "doc_len", "is_rollup"
+    )
+    if query_text.strip():
+        scores = searcher._all_match_scores(query_text, mode=mode)
+        if scores is None:
+            base = searcher._spark.createDataFrame(
+                [], "doc_id long, score float"
+            )
+        else:
+            base = scores
+        frame = base.join(dm, "doc_id")
+    else:
+        # filter-only search: every LIVE doc, constant score (ES gives
+        # match_all inside filter context score 0/boost; 0.0 here)
+        frame = searcher._apply_deletes(dm).withColumn(
+            "score", F.lit(0.0).cast("float")
+        )
+    frame = frame.join(source_df, ["conv_id", "turn_idx"], "left")
+    for name, script in runtime_mappings.items():
+        frame = frame.withColumn(name, F.expr(script))
+    if runtime_filter:
+        frame = frame.filter(F.expr(runtime_filter))
+    out_fields = list(runtime_mappings) if fields is None else list(fields)
+    frame = frame.select(
+        "doc_id", "score", "conv_id", "turn_idx", *out_fields
+    )
+    if k is None and sort is None:
+        return frame  # aggregation shape: full set, no selection edge
+    keys = []
+    for col, asc in (sort or [("_score", False)]):
+        c = F.col("score") if col == "_score" else F.col(col)
+        keys.append(c.asc() if asc else c.desc())
+    keys.append(F.col("doc_id").asc())  # unique total order
+    win = Window.orderBy(*keys)
+    out = frame.orderBy(*keys)
+    if k is not None:
+        out = out.limit(k)
+    return (
+        out.withColumn("rank", F.row_number().over(win))
+        .select("rank", "doc_id", "score", "conv_id", "turn_idx", *out_fields)
         .orderBy("rank")
     )

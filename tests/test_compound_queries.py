@@ -516,3 +516,67 @@ def test_dis_max_jobs_independent_of_subquery_count(searcher):
     n2 = len(sc.statusTracker().getJobIdsForGroup("dm2"))
     n4 = len(sc.statusTracker().getJobIdsForGroup("dm4"))
     assert n4 == n2, f"dis_max jobs grew with subquery count: {n2} -> {n4}"
+
+
+def test_collapse_skewed_key_partial_agg(spark):
+    """The 100x-scale watch item from round 4: one conversation holding
+    >=50% of the match set. The per-conv representative is now a
+    struct-min HASH AGGREGATION — the hot key combines map-side
+    (partial_min/partial_count before the conv_id exchange), so no
+    single sort partition serializes the skewed bucket the old
+    row_number window would have. Semantics pinned against pandas on
+    the skewed corpus; plan pinned on the partial aggregation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        ("cbig", t, "user", f"skewq w{t % 7:04d}", None, ts)
+        for t in range(300)
+    ]
+    for c in range(100):
+        for t in range(2):
+            rows.append((f"c{c:04d}", t, "user", f"skewq plain{c}", None, ts))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+    from bitcoin_ledger_2es_spark.sources.synth import TRANSCRIPTS_DDL
+
+    df = spark.createDataFrame(pdf, TRANSCRIPTS_DDL)
+    ix = build_index(df, CFG)
+    s = BM25Searcher(ix)
+    got_df = s.collapse_topk("skewq", k=120)  # > n_convs: every rep visible
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan and "partial_count" in plan
+    got = got_df.toPandas()
+    # first principles: every turn matches; rep = (score desc, doc_id asc).
+    # The oracle corpus must be the FULL doc set (rollups included — they
+    # shape n_docs/avgdl/df); only the HIT set is restricted to turns.
+    docs, _ = tokenized_documents(df, CFG)
+    all_pdf = docs.select(
+        "doc_id", "conv_id", "turn_idx", "is_rollup", "text"
+    ).toPandas()
+    oracle = PandasOracle(all_pdf[["doc_id", "text"]], CFG)
+    sc = {
+        int(d): float(v)
+        for d, v in oracle.top_k("skewq", k=10_000, mode="or")[
+            ["doc_id", "score"]
+        ].itertuples(index=False)
+    }
+    dm = all_pdf[~all_pdf["is_rollup"]]
+    hits = dm[dm["doc_id"].isin(sc)].copy()
+    hits["score"] = hits["doc_id"].map(sc)
+    reps = []
+    for cid, g in hits.groupby("conv_id"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        r = g.iloc[0]
+        reps.append((cid, int(r.doc_id), float(r.score), len(g)))
+    reps.sort(key=lambda t: (-t[2], t[1]))
+    reps = reps[:120]
+    assert got["conv_id"].tolist() == [r[0] for r in reps]
+    assert got["doc_id"].tolist() == [r[1] for r in reps]
+    assert got["score"].tolist() == [r[2] for r in reps]
+    assert got["inner_hits"].tolist() == [r[3] for r in reps]
+    assert got.loc[got["conv_id"] == "cbig", "inner_hits"].iloc[0] == 300
