@@ -993,9 +993,12 @@ def q_bm25_nrt_compaction(spark, sf_dir):
     full-corpus twin filtered by the delete set); (d) ``expunged`` —
     after ``expunge()`` statistics are recomputed over live docs only
     (oracle = the same BM25 twin with the corpus src replaced by the
-    live subset). Segment doc_ids are internal (offset by seg base);
-    the stable external id is recovered from conv_id on the segmented
-    side."""
+    live subset). Round 5 adds the DURABLE per-doc soft-delete path on
+    a copy of the store: (e) ``soft_deleted`` — sidecar tombstones,
+    zero segment rewrites, segmented scores minus deleted docs;
+    (f) ``soft_expunged`` — expunge_store rewrite, live-corpus stats.
+    Segment doc_ids are internal (offset by seg base); the stable
+    external id is recovered from conv_id on the segmented side."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -1030,6 +1033,48 @@ def q_bm25_nrt_compaction(spark, sf_dir):
         )
         out = r if out is None else out.unionByName(r)
     out = out.localCheckpoint()  # materialize BEFORE the raws are deleted
+
+    # Round 5 extends the lifecycle with the DURABLE per-doc soft-delete
+    # path, on a COPY of the store (the main lifecycle below must keep
+    # its full corpus): (e) ``soft_deleted`` — soft_delete_by_query
+    # writes tombstone SIDECARS (zero segment rewrites); a fresh
+    # SegmentedSearcher must serve the segmented scores MINUS the
+    # deleted docs, stats unchanged (same twin shape as ``tombstoned``);
+    # (f) ``soft_expunged`` — expunge_store rewrites only the affected
+    # segments; statistics recompute over live docs (same twin as
+    # ``expunged``, ids recovered from conv_id because a rebuild
+    # renumbers internal doc_ids).
+    from bitcoin_ledger_2es_spark.streaming.incremental import (
+        expunge_store,
+        soft_delete_by_query,
+    )
+
+    root2 = root + "_soft"
+    shutil.copytree(root, root2)
+    soft_delete_by_query(spark, root2, NRT_DELETE_TERM, cfg=cfg)
+    seg_soft = SegmentedSearcher(spark, root2, cfg)
+    for qid, text, mode in ENGINE_QUERIES:
+        r = seg_soft.top_k(text, k=1_000_000, mode=mode).select(
+            F.lit("soft_deleted").alias("variant"),
+            F.lit(qid).cast("long").alias("query_id"),
+            F.substring("conv_id", 2, 8).cast("long").alias("doc_id"),
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = out.unionByName(r)
+    # materialize: expunge_store REPLACES segment files; lazy frames over
+    # the pre-expunge store would read dead part files
+    out = out.localCheckpoint()
+    expunge_store(spark, root2, cfg)
+    seg_clean = SegmentedSearcher(spark, root2, cfg)
+    for qid, text, mode in ENGINE_QUERIES:
+        r = seg_clean.top_k(text, k=1_000_000, mode=mode).select(
+            F.lit("soft_expunged").alias("variant"),
+            F.lit(qid).cast("long").alias("query_id"),
+            F.substring("conv_id", 2, 8).cast("long").alias("doc_id"),
+            duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        )
+        out = out.unionByName(r)
+
     for d in (Path(root) / "segments").iterdir():  # postings-only merge
         t = d / "transcripts"
         if t.exists():
@@ -1085,6 +1130,17 @@ SQL_BM25_NRT_COMPACTION = "\nUNION ALL\n".join(
         f"({SQL_BM25_INDEXED_ENGINE}) WHERE doc_id NOT IN ({_SQL_NRT_DELSET})",
         # expunged: statistics recomputed over the LIVE corpus only
         "SELECT 'expunged' AS variant, * FROM ("
+        + "\nUNION ALL\n".join(
+            _sql_bm25_allmatch(qid, text.split(), mode, src=_SQL_NRT_LIVE)
+            for qid, text, mode in ENGINE_QUERIES
+        )
+        + ")",
+        # durable soft-delete sidecar era: same statistics model as the
+        # in-memory tombstone era (full-corpus stats, live rows only)
+        "SELECT 'soft_deleted' AS variant, * FROM "
+        f"({SQL_BM25_INDEXED_ENGINE}) WHERE doc_id NOT IN ({_SQL_NRT_DELSET})",
+        # after expunge_store: live-corpus statistics, like 'expunged'
+        "SELECT 'soft_expunged' AS variant, * FROM ("
         + "\nUNION ALL\n".join(
             _sql_bm25_allmatch(qid, text.split(), mode, src=_SQL_NRT_LIVE)
             for qid, text, mode in ENGINE_QUERIES
