@@ -112,6 +112,45 @@ def cmd_compact(args) -> dict:
     }
 
 
+def cmd_soft_delete(args) -> dict:
+    """ES _delete_by_query over the NRT segment store, soft (sidecar
+    tombstones, zero segment rewrites) by default; --physical runs the
+    rename-aside segment rewrite instead."""
+    from bitcoin_ledger_2es_spark.streaming.incremental import (
+        delete_by_query,
+        soft_delete_by_query,
+    )
+
+    spark = _spark()
+    t0 = time.time()
+    fn = delete_by_query if args.physical else soft_delete_by_query
+    n = fn(spark, args.root, args.q, cfg=_cfg(args))
+    return {
+        "cmd": "delete-by-query",
+        "root": args.root,
+        "physical": bool(args.physical),
+        "deleted": int(n),
+        "sec": round(time.time() - t0, 3),
+    }
+
+
+def cmd_expunge(args) -> dict:
+    """ES _forcemerge?only_expunge_deletes for the durable store:
+    physically remove soft-deleted docs by rewriting ONLY the segments
+    that hold tombstone sidecars."""
+    from bitcoin_ledger_2es_spark.streaming.incremental import expunge_store
+
+    spark = _spark()
+    t0 = time.time()
+    n = expunge_store(spark, args.root, _cfg(args))
+    return {
+        "cmd": "expunge",
+        "root": args.root,
+        "removed": int(n),
+        "sec": round(time.time() - t0, 3),
+    }
+
+
 def cmd_snapshot(args) -> dict:
     from bitcoin_ledger_2es_spark.plans.snapshot import (
         restore_snapshot,
@@ -215,6 +254,20 @@ def main(argv=None) -> int:
     c.add_argument("--root", required=True)
     c.add_argument("--docs-per-shard", type=int, default=0)
     c.set_defaults(fn=cmd_compact)
+
+    dq = sub.add_parser(
+        "delete-by-query", help="soft (sidecar) or --physical delete over a segment store"
+    )
+    dq.add_argument("--root", required=True)
+    dq.add_argument("--q", required=True)
+    dq.add_argument("--physical", action="store_true")
+    dq.add_argument("--docs-per-shard", type=int, default=0)
+    dq.set_defaults(fn=cmd_soft_delete)
+
+    ex = sub.add_parser("expunge", help="rewrite segments holding soft-delete sidecars")
+    ex.add_argument("--root", required=True)
+    ex.add_argument("--docs-per-shard", type=int, default=0)
+    ex.set_defaults(fn=cmd_expunge)
 
     s = sub.add_parser("snapshot", help="take / verify / restore a snapshot")
     s.add_argument("--index", help="index path (when taking a snapshot)")
