@@ -1955,6 +1955,213 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def has_parent(
+        self,
+        query_text: str,
+        mode: str = "or",
+        score: bool = True,
+        k: "int | None" = None,
+    ) -> DataFrame:
+        """ES ``has_parent`` query over the engine's native hierarchy:
+        the inner query matches PARENT documents — here the rollup docs
+        (a conversation's turns concatenated in turn order, indexed
+        alongside the turns exactly like ES keeps parents and children
+        in one index with SHARED statistics) — and the result is the
+        matching parents' CHILD turn docs. Public ES semantics: with
+        ``score=True`` every child carries its parent's relevance score
+        verbatim (score_mode=score); with ``score=False`` a constant
+        1.0 (filter-context containment, the ES default). Returns
+        ``(doc_id, conv_id, turn_idx, score)`` — the FULL result set
+        when ``k`` is None, else the top-k under (score desc, doc_id
+        asc) with a ``rank`` column.
+
+        Determinism: the parent's f32 score propagates bit-verbatim
+        (no fold), so children of one parent tie exactly. Scale shape:
+        parent match set (pruned postings scan, per-shard full-match
+        kernel) -> conv_id equi-join fan-out to children — the same
+        join-field fan-out ES pays, with Catalyst free to broadcast
+        the (usually small) parent side. Tombstones and alias filters
+        apply to BOTH sides via the usual choke points."""
+        if not self.ix.cfg.index_rollups:
+            raise ValueError(
+                "has_parent requires an index built with "
+                "index_rollups=True: the rollup docs ARE the parent "
+                "documents this query matches"
+            )
+        empty = self._spark.createDataFrame(
+            [], "doc_id long, conv_id string, turn_idx int, score float"
+        )
+        dm = self.ix.docmap
+        scores = self._all_match_scores(query_text, mode=mode)
+        if scores is None:
+            out = empty
+        else:
+            parents = (
+                dm.filter(F.col("is_rollup"))
+                .select("doc_id", "conv_id")
+                .join(scores, "doc_id")
+                .select("conv_id", F.col("score").alias("_pscore"))
+            )
+            children = self._apply_deletes(
+                dm.filter(~F.col("is_rollup"))
+                .select("doc_id", "conv_id", "turn_idx")
+            ).join(parents, "conv_id")
+            sc = F.col("_pscore") if score else F.lit(1.0).cast("float")
+            out = children.select(
+                "doc_id", "conv_id", "turn_idx", sc.alias("score")
+            )
+        if k is None:
+            return out
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "conv_id", "turn_idx", "score")
+            .orderBy("rank")
+        )
+
+    def parent_id(self, conv_id: str) -> DataFrame:
+        """ES ``parent_id`` query: every (live) CHILD document of one
+        named parent, constant score 1.0 — pure containment, the
+        documented ES behavior. A docmap-only predicate: no postings
+        scan, partition-prunable on conv_id at scale. Tombstones and
+        alias filters compose via ``_apply_deletes``."""
+        dm = self.ix.docmap
+        return self._apply_deletes(
+            dm.filter((~F.col("is_rollup")) & (F.col("conv_id") == conv_id))
+            .select("doc_id", "conv_id", "turn_idx")
+        ).select(
+            "doc_id", "conv_id", "turn_idx",
+            F.lit(1.0).cast("float").alias("score"),
+        )
+
+    def distance_feature(
+        self,
+        query_text: str,
+        source_df: DataFrame,
+        field: str,
+        origin: float,
+        pivot: float,
+        boost: float = 1.0,
+        mode: str = "or",
+        k: "int | None" = None,
+    ) -> DataFrame:
+        """ES ``distance_feature`` query (public semantics: a should-
+        clause that BOOSTS documents near an origin — recency / numeric
+        proximity — contributing ``boost * pivot / (pivot + distance)``
+        to the relevance score, where distance = |field - origin|;
+        documents missing the field contribute 0 and are NOT excluded).
+
+        ``field`` is a Spark SQL expression over ``source_df``'s columns
+        (joined on (conv_id, turn_idx), the engine's _source fetch shape)
+        that must evaluate to a NUMBER — for timestamps pass e.g.
+        ``unix_micros(cast(ts as timestamp))`` so the distance is exact
+        integer microseconds (this corpus' parquet timestamps are NTZ;
+        the session pins UTC so the cast is linear).
+
+        Determinism contract: combined score = f32( f64(bm25_f32) +
+        boost*pivot/(pivot + dist) ) — ONE f64 add onto the verbatim f32
+        BM25 score, mirrored exactly by the DuckDB twin. Scale shape:
+        full match set -> one equi-join to source (I/O proportional to
+        matches) -> JVM arithmetic, no Python in the path."""
+        empty = self._spark.createDataFrame(
+            [], "doc_id long, conv_id string, turn_idx int, score float"
+        )
+        scores = self._all_match_scores(query_text, mode=mode)
+        if scores is None:
+            out = empty
+        else:
+            dm = self.ix.docmap.select("doc_id", "conv_id", "turn_idx")
+            frame = scores.join(dm, "doc_id").join(
+                source_df, ["conv_id", "turn_idx"], "left"
+            )
+            dist = F.abs(F.expr(field).cast("double") - F.lit(float(origin)))
+            contrib = F.coalesce(
+                F.lit(float(boost)) * F.lit(float(pivot))
+                / (F.lit(float(pivot)) + dist),
+                F.lit(0.0),
+            )
+            out = frame.select(
+                "doc_id", "conv_id", "turn_idx",
+                (F.col("score").cast("double") + contrib)
+                .cast("float").alias("score"),
+            )
+        if k is None:
+            return out
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "conv_id", "turn_idx", "score")
+            .orderBy("rank")
+        )
+
+    def sparse_vector_query(
+        self,
+        token_weights: "dict[str, float]",
+        k: "int | None" = None,
+    ) -> DataFrame:
+        """ES ``sparse_vector`` query (the 8.15+ learned-sparse /
+        text_expansion shape): score = dot product of QUERY token
+        weights and DOCUMENT token weights over the shared vocabulary.
+        ES document weights come from an ML model (ELSER) at ingest;
+        no model exists in this sandbox, so the documented deterministic
+        stand-in is weight(token, doc) = tf(token, doc) — the raw term
+        frequency the index already stores. The retrieval machinery is
+        the real thing: only the query tokens' postings are decoded
+        (``term_freqs`` — the exact scorer's pruned scan without its
+        BM25 arithmetic), never a full scan.
+
+        Determinism: contributions q_w * tf are folded in f64 in
+        ascending term_id order via a sorted-array aggregate (the
+        engine-wide fold contract), f32 emit. Unknown tokens contribute
+        nothing (ES ignores out-of-vocabulary expansion tokens)."""
+        norm: dict[str, float] = {}
+        for t, w_ in token_weights.items():
+            toks = analyze_query(t, self.ix.cfg)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"sparse_vector token {t!r} does not analyze to a "
+                    "single term — expansion tokens are single vocabulary "
+                    "entries by construction"
+                )
+            # ES sums weights of duplicate expansion tokens
+            norm[toks[0]] = norm.get(toks[0], 0.0) + float(w_)
+        found = self._lookup_terms(sorted(norm))
+        empty = self._spark.createDataFrame([], "doc_id long, score float")
+        if not found:
+            out = empty
+        else:
+            w_rows = [
+                (int(tid), float(norm[t]))
+                for t, (tid, _df) in found.items()
+            ]
+            weights_df = self._spark.createDataFrame(
+                w_rows, "term_id long, w double"
+            )
+            tfs = self.term_freqs(list(found))
+            contribs = tfs.join(F.broadcast(weights_df), "term_id").select(
+                "doc_id", "term_id",
+                (F.col("w") * F.col("tf").cast("double")).alias("contrib"),
+            )
+            folded = F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term_id", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            )
+            out = contribs.groupBy("doc_id").agg(
+                folded.cast("float").alias("score")
+            )
+        if k is None:
+            return out
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "score")
+            .orderBy("rank")
+        )
+
     def match_docs(
         self,
         filter_text: str = "",
