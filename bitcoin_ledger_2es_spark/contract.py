@@ -2123,6 +2123,23 @@ RRF_TOPK = 10
 # linear retriever (ES 8.16 hybrid combiner #2): weighted minmax-
 # normalized score sum over the SAME two retriever windows
 LINEAR_WEIGHTS = (0.7, 0.3)
+# has_parent: the inner query matches ROLLUP (parent) docs of the conv5
+# hierarchy; every child turn carries its parent's f32 score verbatim
+HAS_PARENT_QUERY = ["data", "row"]
+# parent_id: pure containment — children of one named parent, score 1.0
+PARENT_ID_CONV = 7
+# sparse_vector: query token weights (dyadic rationals so w*tf products
+# and their sums are EXACT in f64 regardless of fold order — the DuckDB
+# twin's plain SUM is then bit-identical to the engine's ordered fold)
+SPARSE_WEIGHTS = {"data": 2.5, "row": 0.75, "table": 1.25}
+# distance_feature: synthetic per-doc timestamp 2024-01-01 + doc_id
+# MINUTES (doc_id*6e7 us stays far below 2^53 — exact f64 arithmetic on
+# both sides even at sf1), origin 2024-03-01 UTC, pivot 7 days, boost 1.5
+DISTF_QUERY = "data row"
+DISTF_EPOCH_US = 1704067200000000   # 2024-01-01 00:00:00 UTC
+DISTF_ORIGIN_US = 1709251200000000  # 2024-03-01 00:00:00 UTC
+DISTF_PIVOT_US = 604800000000.0     # 7 days
+DISTF_BOOST = 1.5
 PERCOLATE_QUERIES = [
     (0, "data row", "and", 0),
     (1, "data table window", "or", 2),
@@ -2167,6 +2184,34 @@ def _engine_conv_searcher(spark, sf_dir: str):
     if key not in _ENGINE_CACHE:
         cfg = DEFAULT.with_(
             docs_per_shard=256, block_size=64, index_rollups=False
+        )
+        docs = _t(spark, sf_dir, "documents")
+        conv = docs.select(
+            F.format_string(
+                "c%08d", (F.col("doc_id") / 5).cast("long")
+            ).alias("conv_id"),
+            (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        _ENGINE_CACHE[key] = BM25Searcher(build_index(conv, cfg))
+    return _ENGINE_CACHE[key]
+
+
+def _engine_conv_roll_searcher(spark, sf_dir: str):
+    """The conv5 corpus indexed WITH rollup docs (index_rollups=True) —
+    the parent/child corpus where the rollups ARE the parent documents
+    (has_parent / parent_id). Statistics include the rollups, exactly
+    like ES keeps parents and children in one index."""
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    key = (sf_dir, "conv5roll")
+    if key not in _ENGINE_CACHE:
+        cfg = DEFAULT.with_(
+            docs_per_shard=256, block_size=64, index_rollups=True
         )
         docs = _t(spark, sf_dir, "documents")
         conv = docs.select(
@@ -2291,7 +2336,22 @@ def q_advanced_queries(spark, sf_dir):
       FILTER context over the scored full match set of 'data row' — a
       runtime filter never alters scores (Lucene filter context), so
       survivors' score3 equal the plain all-match twin's; key = doc_id,
-      n = size_bucket, k unbounded (no selection edge)."""
+      n = size_bucket, k unbounded (no selection edge).
+    * ``has_parent`` — ES has_parent over the conv5roll index (rollup
+      docs ARE the parents, one index with SHARED statistics): children
+      of matching parents, each carrying the parent's f32 score
+      verbatim; key = child doc_id, n = turn_idx.
+    * ``parent_id`` — children of parent c%08d(PARENT_ID_CONV), pure
+      containment at constant 1.0; key = doc_id, n = turn_idx.
+    * ``sparse_vector`` — the ES 8.15 learned-sparse query: dot product
+      of query token weights x the deterministic doc-weight stand-in
+      tf(token, doc); dyadic-rational weights make every f64 sum exact
+      in ANY order, so the twin's plain SUM is bit-identical to the
+      engine's ordered fold; key = doc_id, n = 0.
+    * ``distance_feature`` — recency boosting: f32(f64(bm25_f32) +
+      (boost*pivot)/(pivot + |ts_us - origin|)) over a synthetic
+      doc_id-minutes timeline (all integers < 2^53 — exact f64 both
+      sides); key = doc_id, n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2561,6 +2621,44 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.col("size_bucket").cast("long").alias("n"),
     )
+    rolls = _engine_conv_roll_searcher(spark, sf_dir)
+    hp = rolls.has_parent(
+        " ".join(HAS_PARENT_QUERY), mode="or", score=True
+    ).select(
+        F.lit("has_parent").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.col("turn_idx").cast("long").alias("n"),
+    )
+    pid = rolls.parent_id(f"c{PARENT_ID_CONV:08d}").select(
+        F.lit("parent_id").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.col("turn_idx").cast("long").alias("n"),
+    )
+    sv = s.sparse_vector_query(SPARSE_WEIGHTS).select(
+        F.lit("sparse_vector").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    df_src = _t(spark, sf_dir, "documents").select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + (doc_id * INTERVAL 1 MINUTE)"
+        ).alias("ts"),
+    )
+    dfq = s.distance_feature(
+        DISTF_QUERY, df_src, "unix_micros(ts)",
+        origin=DISTF_ORIGIN_US, pivot=DISTF_PIVOT_US, boost=DISTF_BOOST,
+        mode="or",
+    ).select(
+        F.lit("distance_feature").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2595,6 +2693,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(iv).unionByName(mtv)
         .unionByName(ex).unionByName(tset).unionByName(scr)
         .unionByName(rr).unionByName(ln).unionByName(rt)
+        .unionByName(hp).unionByName(pid).unionByName(sv).unionByName(dfq)
     )
 
 
@@ -3434,6 +3533,105 @@ WHERE CAST(floor(n_chars / 100.0) AS BIGINT) >= 2
   AND CAST(substring(source, 4) AS BIGINT) % 2 = 0
 """
 
+# has_parent twin: the union corpus (turns + per-conv rollup text joined
+# by single spaces in turn order) reproduces the conv5roll index exactly
+# — rollup doc_id = n_turns + conv (dense conv ids => conv_rank = conv).
+# Parent BM25 scores come from the SHARED statistics of that union
+# corpus (the one-index ES parent/child model); each child row carries
+# its parent's already-f32-rounded score3 verbatim — the engine
+# propagates the parent f32 with no further arithmetic.
+_CONV_ROLL_SRC = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT (SELECT count(*) FROM documents) + (doc_id // 5) AS doc_id,
+         string_agg(text, ' ' ORDER BY doc_id) AS text
+  FROM documents GROUP BY (doc_id // 5)
+)"""
+
+_SQL_HAS_PARENT = f"""
+SELECT 'has_parent' AS kind, CAST(c.doc_id AS VARCHAR) AS key,
+       p.score3, CAST(c.doc_id % 5 AS BIGINT) AS n
+FROM documents c
+JOIN (
+  SELECT doc_id, score3
+  FROM ({_sql_bm25_allmatch(0, HAS_PARENT_QUERY, "or", src=_CONV_ROLL_SRC)})
+  WHERE doc_id >= (SELECT count(*) FROM documents)
+) p ON p.doc_id = (SELECT count(*) FROM documents) + (c.doc_id // 5)
+"""
+
+_SQL_PARENT_ID = f"""
+SELECT 'parent_id' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       1.0 AS score3, CAST(doc_id % 5 AS BIGINT) AS n
+FROM documents WHERE doc_id // 5 = {PARENT_ID_CONV}
+"""
+
+# sparse_vector twin: dot product of query token weights x tf. The
+# weights are dyadic rationals, so every contribution w*tf and their sum
+# are exact f64 regardless of accumulation order — plain SUM mirrors the
+# engine's ascending-term_id fold bit-for-bit; f32 emission mirrored as
+# CAST(.. AS REAL).
+_SPARSE_CASE = " ".join(
+    f"WHEN '{t}' THEN {w}" for t, w in sorted(SPARSE_WEIGHTS.items())
+)
+_SQL_SPARSE_VECTOR = f"""
+SELECT 'sparse_vector' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(s AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  )
+  SELECT doc_id,
+         sum((CASE term {_SPARSE_CASE} END) * cnt) AS s
+  FROM (
+    SELECT doc_id, term, count(*) AS cnt FROM toks
+    WHERE term IN ({", ".join(f"'{t}'" for t in sorted(SPARSE_WEIGHTS))})
+    GROUP BY doc_id, term
+  )
+  GROUP BY doc_id
+)
+"""
+
+# distance_feature twin: f32 BM25 -> f64 + (boost*pivot)/(pivot+dist)
+# -> f32 emit, the engine's exact expression association. ts_us =
+# epoch(2024-01-01) + doc_id minutes — integers below 2^53, so the
+# subtraction and the division operands are exact f64 on both sides.
+_SQL_DISTANCE_FEATURE = f"""
+SELECT 'distance_feature' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(
+         CAST(CAST(score AS REAL) AS DOUBLE)
+           + ({DISTF_BOOST} * {DISTF_PIVOT_US})
+             / ({DISTF_PIVOT_US}
+                + abs(CAST({DISTF_EPOCH_US} + doc_id * 60000000 AS DOUBLE)
+                      - {float(DISTF_ORIGIN_US)}))
+       AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+    WHERE t.term IN ('data', 'row') GROUP BY t.doc_id, t.term
+  ),
+  dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+    FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+  )
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+"""
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
@@ -3444,7 +3642,9 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_SPAN_OR, _SQL_SPAN_NOT, _SQL_SPAN_CONTAINING, _SQL_SPAN_WITHIN,
      _SQL_INTERVALS, _SQL_MTERMVECTORS,
      _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF, _SQL_LINEAR,
-     _SQL_RUNTIME]
+     _SQL_RUNTIME,
+     _SQL_HAS_PARENT, _SQL_PARENT_ID, _SQL_SPARSE_VECTOR,
+     _SQL_DISTANCE_FEATURE]
 )
 
 
