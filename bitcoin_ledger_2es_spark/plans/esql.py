@@ -21,6 +21,8 @@ Supported pipeline stages::
     | GROK col "pattern with %{SYNTAX:name[:type]}"
     | ENRICH policy ON key [WITH [alias =] field [, ...]]
     | MV_EXPAND col
+    | LOOKUP JOIN <lookup_index> ON key
+    | SAMPLE p [id_col]
 
 Expressions: comparisons (``==`` ``!=`` ``<`` ``<=`` ``>`` ``>=``),
 boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
@@ -397,6 +399,7 @@ def esql(
     tables: "dict[str, DataFrame] | None" = None,
     indexes: "dict | None" = None,
     enrich: "dict[str, tuple[DataFrame, str]] | None" = None,
+    lookups: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """Run an ES|QL pipeline against named DataFrames and/or indexes.
     ``tables`` maps a FROM name to a frame (the Iceberg/parquet catalog
@@ -412,7 +415,10 @@ def esql(
     a plain table raises. ``enrich`` maps ENRICH policy names to
     (lookup_frame, match_field) — ES enrich indexes are small lookup
     tables by design, so the join BROADCASTS the policy side (left
-    join: non-matching rows keep nulls, the ES behavior). Returns the
+    join: non-matching rows keep nulls, the ES behavior). ``lookups``
+    maps LOOKUP JOIN index names to frames (ES lookup-mode indexes —
+    small by construction, broadcast; same-named non-key columns are
+    replaced by the lookup side, multiple matches fan out). Returns the
     lowered DataFrame — lazily planned like any other."""
     # split stages on top-level | (never inside a string literal)
     stages, cur, in_str = [], [], False
@@ -625,6 +631,58 @@ def esql(
             df = df.join(
                 F.broadcast(lk.withColumnRenamed(match_field, key)),
                 key, "left",
+            )
+        elif op == "LOOKUP":
+            # ES|QL 8.18 LOOKUP JOIN: left join against a lookup-mode
+            # index; same-named non-key columns are REPLACED by the
+            # lookup side (null for non-matching rows — the documented
+            # ES behavior), multiple lookup matches fan out into
+            # multiple result rows. Lookup indexes are small by
+            # construction (ES enforces lookup index mode), so the
+            # right side broadcasts — no shuffle of the main frame.
+            lm = re.match(
+                r"^JOIN\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+"
+                r"([A-Za-z_][A-Za-z0-9_]*)$", rest, re.I)
+            if not lm:
+                raise ESQLError("LOOKUP JOIN takes `<lookup_index> ON key`")
+            name, key = lm.group(1), lm.group(2)
+            if name not in (lookups or {}):
+                raise ESQLError(f"unknown lookup index: {name}")
+            lk = lookups[name]
+            if key not in lk.columns:
+                raise ESQLError(
+                    f"LOOKUP JOIN key {key!r} missing from lookup "
+                    f"index {name}")
+            if key not in df.columns:
+                raise ESQLError(f"LOOKUP JOIN key {key!r} missing from input")
+            replaced = [c for c in lk.columns
+                        if c != key and c in df.columns]
+            if replaced:
+                df = df.drop(*replaced)
+            df = df.join(F.broadcast(lk), key, "left")
+        elif op == "SAMPLE":
+            # ES|QL SAMPLE, made DETERMINISTIC (the repo contract: no
+            # RNG without a fixed seed — ES's own SAMPLE is random and
+            # unreproducible). A row survives iff knuth_hash(id) <
+            # p * 2^32 — the same split-product hash as the sampler
+            # aggs and train_val_split, so an oracle reproduces the
+            # exact sample. Takes an optional id column (default
+            # doc_id), which must be integral.
+            smm = re.match(
+                r"^(0?\.\d+|1\.0|0|1)(?:\s+([A-Za-z_][A-Za-z0-9_]*))?$",
+                rest)
+            if not smm:
+                raise ESQLError("SAMPLE takes `p (0..1) [id_col]`")
+            p = float(smm.group(1))
+            idc = smm.group(2) or "doc_id"
+            if idc not in df.columns:
+                raise ESQLError(
+                    f"SAMPLE id column {idc!r} missing (deterministic "
+                    "sampling hashes a stable integral id)")
+            from ..operators.aggs import _knuth_hash
+
+            df = df.filter(
+                _knuth_hash(F.col(idc)) < F.lit(int(p * (1 << 32)))
             )
         elif op == "MV_EXPAND":
             cm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)$", rest)

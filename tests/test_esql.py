@@ -511,3 +511,104 @@ def test_mv_functions_over_array_column(spark):
     assert g.loc[0, "c"] == 3 and g.loc[0, "m"] == 5
     import pandas as pd
     assert pd.isna(g.loc[1, "c"]) and pd.isna(g.loc[1, "m"])
+
+
+# ---------------------------------------------------------------------------
+# LOOKUP JOIN (ES|QL 8.18): broadcast left join against a lookup-mode
+# index; same-named non-key columns are REPLACED by the lookup side
+# (null for non-matching rows), multiple matches fan out.
+
+
+def test_lookup_join_basic_and_override(spark, events):
+    lk = spark.createDataFrame(
+        [(i, f"seg{i % 3}", float(i) * 10.0) for i in range(8)],
+        "user_id long, segment string, value double",
+    )
+    got = esql(
+        'FROM events | WHERE user_id < 10'
+        ' | LOOKUP JOIN segs ON user_id'
+        ' | STATS n = COUNT(*) BY segment | SORT segment ASC',
+        {"events": events}, lookups={"segs": lk},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pdf = got.toPandas()
+    assert set(pdf["segment"].dropna()) <= {"seg0", "seg1", "seg2"}
+    # the same-named `value` column is REPLACED by the lookup side
+    one = esql(
+        'FROM events | WHERE user_id == 3'
+        ' | LOOKUP JOIN segs ON user_id | KEEP user_id, value | LIMIT 1',
+        {"events": events}, lookups={"segs": lk},
+    ).toPandas()
+    assert one["value"].iloc[0] == 30.0
+    # ... and becomes NULL for rows with no lookup match (users 8, 9)
+    import pandas as pd
+    unm = esql(
+        'FROM events | WHERE user_id >= 8 AND user_id < 10'
+        ' | LOOKUP JOIN segs ON user_id | KEEP user_id, segment, value',
+        {"events": events}, lookups={"segs": lk},
+    ).toPandas()
+    assert len(unm) and unm["segment"].isna().all() and unm["value"].isna().all()
+
+
+def test_lookup_join_fanout_and_errors(spark, events):
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "user_id long, tag string"
+    )
+    base = events.filter(F.col("user_id") == 1).count()
+    got = esql(
+        'FROM events | WHERE user_id == 1 | LOOKUP JOIN t ON user_id',
+        {"events": events}, lookups={"t": dup},
+    ).count()
+    assert got == 2 * base  # multiple matches fan out (real left join)
+    with pytest.raises(ESQLError, match="unknown lookup index"):
+        esql('FROM events | LOOKUP JOIN nope ON user_id', {"events": events})
+    with pytest.raises(ESQLError, match="missing from lookup"):
+        esql('FROM events | LOOKUP JOIN t ON event_id',
+             {"events": events}, lookups={"t": dup})
+    with pytest.raises(ESQLError, match="missing from input"):
+        esql('FROM events | LOOKUP JOIN t ON user_id',
+             {"events": events.drop("user_id")}, lookups={"t": dup})
+
+
+# ---------------------------------------------------------------------------
+# SAMPLE: deterministic Knuth-hash sampling (documented deviation from
+# ES's random SAMPLE — the repo contract forbids unseeded RNG; the same
+# split-product hash as the sampler aggs, so an oracle reproduces the
+# exact row set).
+
+
+def test_sample_deterministic_exact(spark, events):
+    got = esql(
+        'FROM events | SAMPLE 0.25 event_id | STATS n = COUNT(*)',
+        {"events": events},
+    ).toPandas()["n"].iloc[0]
+    # python twin of the knuth hash over event_id
+    M32, K = 1 << 32, 2654435761
+    ids = events.select("event_id").toPandas()["event_id"].tolist()
+
+    def kh(i):
+        x = (i % M32) % M32
+        hi, lo = x // (1 << 16), x % (1 << 16)
+        return ((hi * K % M32) * (1 << 16) + lo * K) % M32
+
+    exp = sum(1 for i in ids if kh(i) < 0.25 * M32)
+    assert got == exp
+    assert 0.15 < got / len(ids) < 0.35  # roughly uniform
+    # rerun is byte-identical (determinism)
+    again = esql(
+        'FROM events | SAMPLE 0.25 event_id | STATS n = COUNT(*)',
+        {"events": events},
+    ).toPandas()["n"].iloc[0]
+    assert again == got
+
+
+def test_sample_edges_and_errors(spark, events):
+    assert esql('FROM events | SAMPLE 0 event_id',
+                {"events": events}).count() == 0
+    assert esql('FROM events | SAMPLE 1 event_id',
+                {"events": events}).count() == events.count()
+    with pytest.raises(ESQLError, match="missing"):
+        esql('FROM events | SAMPLE 0.5 nope', {"events": events})
+    with pytest.raises(ESQLError, match="SAMPLE takes"):
+        esql('FROM events | SAMPLE 2.5 event_id', {"events": events})
