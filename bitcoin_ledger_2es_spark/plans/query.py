@@ -2162,6 +2162,78 @@ class BM25Searcher:
             .orderBy("rank")
         )
 
+    def wrapper_query(self, wrapper: str, k: int = 10, **kw) -> DataFrame:
+        """ES ``wrapper`` query: a base64-encoded JSON query body run
+        where a query object is expected (public ES semantics — clients
+        that can only ship strings embed the real DSL this way). The
+        DOCUMENTED SUBSET dispatches onto the engine's own surfaces —
+        results are identical to calling them directly (pytest-pinned):
+
+        * ``{"query_string": {"query": q, "default_operator"?, ...}}``
+        * ``{"simple_query_string": {"query": q, ...}}``
+        * ``{"match": {"text": q | {"query": q, "operator"?}}}``
+        * ``{"term": {"text": t | {"value": t}}}``
+        * ``{"match_phrase": {"text": q | {"query": q, "slop"?}}}``
+        * ``{"bool": {"must"?, "should"?, "must_not"?,
+          "minimum_should_match"?}}`` with string clause bodies
+
+        Anything else raises (the search_template discipline: unknown
+        constructs are errors, never silent misreads). ``**kw`` passes
+        through to the dispatched method."""
+        import base64
+        import binascii
+        import json
+
+        try:
+            body = json.loads(base64.b64decode(wrapper, validate=True))
+        except (binascii.Error, ValueError) as e:
+            raise ValueError(f"wrapper: not base64-encoded JSON: {e}")
+        if not isinstance(body, dict) or len(body) != 1:
+            raise ValueError("wrapper body must be a single-key query object")
+        (qtype, spec), = body.items()
+
+        def _field_text(spec, value_key: str):
+            if not (isinstance(spec, dict) and list(spec) == ["text"]):
+                raise ValueError(
+                    f"wrapper {qtype}: exactly one field, `text` "
+                    "(the indexed field)")
+            v = spec["text"]
+            return v if isinstance(v, str) else v[value_key], (
+                v if isinstance(v, dict) else {})
+        if qtype == "query_string":
+            return self.query_string(
+                spec["query"], k=k,
+                default_operator=spec.get("default_operator", "or").lower(),
+                **kw)
+        if qtype == "simple_query_string":
+            return self.simple_query_string(
+                spec["query"], k=k,
+                default_operator=spec.get("default_operator", "or").lower(),
+                **kw)
+        if qtype == "match":
+            q, opts = _field_text(spec, "query")
+            return self.top_k(
+                q, k=k, mode=opts.get("operator", "or").lower(), **kw)
+        if qtype == "term":
+            q, _ = _field_text(spec, "value")
+            return self.term_query(q, k=k)
+        if qtype == "match_phrase":
+            q, opts = _field_text(spec, "query")
+            return self.phrase_query(
+                q, k=k, slop=int(opts.get("slop", 0)), **kw)
+        if qtype == "bool":
+            known = {"must", "should", "must_not", "minimum_should_match"}
+            if not set(spec) <= known:
+                raise ValueError(
+                    f"wrapper bool: unsupported keys {set(spec) - known}")
+            return self.bool_query(
+                must=spec.get("must", ""),
+                should=spec.get("should", ""),
+                must_not=spec.get("must_not", ""),
+                minimum_should_match=spec.get("minimum_should_match"),
+                k=k, **kw)
+        raise ValueError(f"wrapper: unsupported query type {qtype!r}")
+
     def match_docs(
         self,
         filter_text: str = "",
