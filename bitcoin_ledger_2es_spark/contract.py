@@ -3783,7 +3783,12 @@ def q_agg_extras(spark, sf_dir):
     exact interpolated quantile boundaries — quantile_cont parity —
     with min/max/avg rows per bucket); categorize_text (deterministic
     reading of ES's drain-tree categorization: key = first-5 analyzer
-    tokens with numerics dropped, (doc_count desc, key asc) cap)."""
+    tokens with numerics dropped, (doc_count desc, key asc) cap).
+    Round-5 additions: global (one bucket over the whole corpus — the
+    ES query-context escape), random_sampler (probability-based
+    deterministic sibling of sampler: knuth_hash(id) < p * 2^32), and
+    ip_prefix (/10 masked-network buckets over the derived quad — pure
+    integer mask + octet re-render, identical arithmetic both sides)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -4013,6 +4018,23 @@ def q_agg_extras(spark, sf_dir):
         F.col("user_id").cast("long").alias("doc_count"),
         F.col("value").cast("double").alias("metric"),
     )
+    from .operators.aggs import global_agg, random_sampler
+
+    gl = global_agg(
+        ev, {"metric": duck_round(F.avg("value"), 6)}
+    ).select(
+        F.lit("global").alias("agg"), F.lit("all").alias("key"),
+        "doc_count", "metric",
+    )
+    # random_sampler p=0.25 seed 7: the probability-based sibling of
+    # `sampler` — survives iff knuth_hash(event_id) < 0.25 * 2^32; the
+    # twin reuses the sampler kind's split-hash SQL with a WHERE
+    rs = random_sampler(ev, 0.25, "event_id", seed=7).select(
+        F.lit("random_sampler").alias("agg"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("user_id").cast("long").alias("doc_count"),
+        F.col("value").cast("double").alias("metric"),
+    )
     from .functions.geo import geotile_grid_agg
     from .operators.aggs import (
         boxplot,
@@ -4178,6 +4200,14 @@ def q_agg_extras(spark, sf_dir):
          ("hi_half", "10.100.0.0", None)],
         metrics={"metric": lambda c: duck_round(F.avg(F.when(c, F.col("value"))), 6)},
     ).select(F.lit("ip_range").alias("agg"), "key", "doc_count", "metric")
+    # ip_prefix /10: first octet fixed at 10, top 2 bits of the second
+    # octet -> four masked network buckets 10.{0,64,128,192}.0.0/10
+    from .operators.aggs import ip_prefix_agg
+
+    ipp = ip_prefix_agg(
+        ev.withColumn("ip", ip_col), "ip", 10,
+        metrics={"metric": duck_round(F.avg("value"), 6)},
+    ).select(F.lit("ip_prefix").alias("agg"), "key", "doc_count", "metric")
     # variable_width_histogram (deterministic equal-depth variant):
     # 4 buckets over events.value; boundaries are exact interpolated
     # percentiles (quantile_cont parity), min/max exact edges, avg at
@@ -4244,6 +4274,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(gh).unionByName(gc).unionByName(gb)
         .unionByName(dr).unionByName(ipq).unionByName(vw).unionByName(ct)
         .unionByName(fis)
+        .unionByName(gl).unionByName(rs).unionByName(ipp)
     )
 
 
@@ -4868,6 +4899,37 @@ SELECT 'categorize_text', key, dc, CAST(dc AS DOUBLE) FROM (
   ORDER BY dc DESC, key ASC
   LIMIT 10
 )
+"""
+
+# global / random_sampler / ip_prefix twins. random_sampler reuses the
+# sampler kind's split-product hash verbatim with a probability
+# threshold (0.25 * 2^32 = 1073741824 — exact integer). ip_prefix masks
+# the SAME derived quad's numeric fold to its top 10 bits and re-renders
+# the masked network address octet by octet — pure integer arithmetic,
+# identical on both engines.
+SQL_AGG_EXTRAS += f"""
+UNION ALL
+SELECT 'global', 'all', CAST(count(*) AS BIGINT), round(avg(value), 6)
+FROM events
+UNION ALL
+SELECT 'random_sampler', CAST(event_id AS VARCHAR), user_id, value FROM (
+  SELECT event_id, user_id, value,
+         (((x // 65536) * 2654435761) % 4294967296 * 65536
+          + (x % 65536) * 2654435761) % 4294967296 AS h
+  FROM (SELECT *, ((event_id % 4294967296) + 7) % 4294967296 AS x FROM events)
+) WHERE h < 1073741824
+UNION ALL
+SELECT 'ip_prefix',
+       CAST(msk // 16777216 AS VARCHAR) || '.' ||
+       CAST((msk // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((msk // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(msk % 256 AS VARCHAR) || '/10' AS key,
+       CAST(count(*) AS BIGINT), round(avg(value), 6)
+FROM (
+  SELECT value, n - (n % 4194304) AS msk
+  FROM (SELECT value, {_IP_NUM} AS n FROM events)
+)
+GROUP BY msk
 """
 
 

@@ -1141,6 +1141,105 @@ def variable_width_histogram(
     )
 
 
+def global_agg(df: DataFrame, metrics: dict | None = None) -> DataFrame:
+    """ES ``global`` agg: one bucket spanning the ENTIRE corpus,
+    deliberately ignoring the surrounding query context (ES runs it
+    against all documents of the search scope). Callers pass the full
+    corpus frame; the result is a single row (doc_count + metrics) —
+    one map-side-combined aggregation, no shuffle beyond the final
+    single-row reduce."""
+    named = list((metrics or {}).items())
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        *[c.alias(n) for n, c in named],
+    )
+
+
+def random_sampler(
+    df: DataFrame, probability: float, id_col: str, seed: int = 0
+) -> DataFrame:
+    """ES ``random_sampler`` agg (8.2+, probability-based sampling for
+    cheap approximate aggs), made DETERMINISTIC like :func:`sampler`:
+    a row survives iff knuth_hash(id) < probability * 2^32 — stable
+    across parallelism, input order and resume, and exactly
+    reproducible by the split-hash SQL twin (ES's own sampler is
+    random and unreproducible; the repo contract forbids unseeded
+    RNG). A pure filter: no shuffle, predicate stays in codegen."""
+    if not (0.0 <= probability <= 1.0):
+        raise ValueError("probability must be in [0, 1]")
+    return df.filter(
+        _knuth_hash(F.col(id_col), seed)
+        < F.lit(int(probability * _M32))
+    )
+
+
+def ip_prefix_agg(
+    df: DataFrame,
+    ip_field: str,
+    prefix_length: int,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """ES ``ip_prefix`` agg (8.2+, IPv4): buckets keyed by the first
+    ``prefix_length`` bits of the address, key rendered as the masked
+    network address ``a.b.c.d/len`` (the ES keyed form). The mask and
+    the octet re-rendering are pure integer arithmetic on the numeric
+    big-endian fold (:func:`_ip_to_num`) — whole-stage codegen, one
+    hash aggregation, exactly SQL-mirrorable."""
+    if not (0 <= int(prefix_length) <= 32):
+        raise ValueError("prefix_length must be in [0, 32]")
+    named = list((metrics or {}).items())
+    num = _ip_to_num(F.col(ip_field))
+    shift = 32 - int(prefix_length)
+    masked = num - F.pmod(num, F.lit(1 << shift)) if shift else num
+    octs = [
+        F.floor(masked / F.lit(1 << 24)).cast("long"),
+        F.pmod(F.floor(masked / F.lit(1 << 16)), F.lit(256)).cast("long"),
+        F.pmod(F.floor(masked / F.lit(1 << 8)), F.lit(256)).cast("long"),
+        F.pmod(masked, F.lit(256)).cast("long"),
+    ]
+    key = F.concat(
+        F.concat_ws(".", *[o.cast("string") for o in octs]),
+        F.lit(f"/{int(prefix_length)}"),
+    )
+    return (
+        df.withColumn("_ipp_key", key)
+        .groupBy("_ipp_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            *[c.alias(n) for n, c in named],
+        )
+        .withColumnRenamed("_ipp_key", "key")
+    )
+
+
+def children_agg(
+    parent_buckets: DataFrame,
+    children: DataFrame,
+    join_key: str,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """ES ``children`` agg over a join-field hierarchy: for each PARENT
+    bucket, aggregate over that parent's CHILD documents (the classic
+    per-conversation rollup of per-turn metrics). ``parent_buckets``
+    carries one row per parent bucket (its ``join_key`` column is the
+    parent identity); ``children`` carries the child docs with the same
+    key. One equi-join (Catalyst broadcasts a small parent side) + one
+    map-side-combined aggregation — the same join-field fan-in ES pays.
+    The inverse direction (ES ``parent`` agg) is the same join with the
+    frames swapped."""
+    named = list((metrics or {}).items())
+    return (
+        children.join(
+            parent_buckets.select(join_key).distinct(), join_key
+        )
+        .groupBy(join_key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            *[c.alias(n) for n, c in named],
+        )
+    )
+
+
 def categorize_text(
     df: DataFrame,
     text_col: str,

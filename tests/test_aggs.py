@@ -954,3 +954,72 @@ def test_frequent_item_sets_basket_skew_cap(spark):
         metrics_out=m2,
     ).collect()
     assert m2 == {"dropped_baskets": 0, "dropped_basket_item_rows": 0}
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: global / random_sampler / ip_prefix / children aggs
+
+
+def test_global_agg(num_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import global_agg
+
+    df, pdf = num_df
+    got = global_agg(df, {"m": F.avg("v")}).toPandas()
+    assert got["doc_count"].iloc[0] == len(pdf)
+    assert abs(got["m"].iloc[0] - pdf["v"].mean()) < 1e-9
+
+
+def test_random_sampler_deterministic(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import random_sampler
+
+    ids = spark.range(0, 4000).withColumnRenamed("id", "rid")
+    got = random_sampler(ids, 0.25, "rid", seed=3).toPandas()["rid"]
+    M32, K = 1 << 32, 2654435761
+
+    def kh(i, seed):
+        x = ((i % M32) + seed) % M32
+        hi, lo = x // (1 << 16), x % (1 << 16)
+        return ((hi * K % M32) * (1 << 16) + lo * K) % M32
+
+    exp = [i for i in range(4000) if kh(i, 3) < 0.25 * M32]
+    assert sorted(got.tolist()) == exp
+    assert 0.15 < len(exp) / 4000 < 0.35
+    with pytest.raises(ValueError, match="probability"):
+        random_sampler(ids, 1.5, "rid")
+
+
+def test_ip_prefix_agg(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import ip_prefix_agg
+
+    rows = [("10.0.0.1",), ("10.63.255.9",), ("10.64.0.0",),
+            ("10.200.3.4",), ("192.168.1.1",)]
+    df = spark.createDataFrame(rows, "ip string")
+    got = ip_prefix_agg(df, "ip", 10).toPandas().set_index("key")
+    assert got.loc["10.0.0.0/10", "doc_count"] == 2
+    assert got.loc["10.64.0.0/10", "doc_count"] == 1
+    assert got.loc["10.192.0.0/10", "doc_count"] == 1
+    assert got.loc["192.128.0.0/10", "doc_count"] == 1
+    # /32 = identity buckets; /0 = one bucket
+    assert len(ip_prefix_agg(df, "ip", 32).toPandas()) == 5
+    allb = ip_prefix_agg(df, "ip", 0).toPandas()
+    assert len(allb) == 1 and allb["key"].iloc[0] == "0.0.0.0/0"
+    with pytest.raises(ValueError, match="prefix_length"):
+        ip_prefix_agg(df, "ip", 40)
+
+
+def test_children_agg(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import children_agg
+
+    parents = spark.createDataFrame(
+        [("c1",), ("c2",)], "conv_id string"
+    )
+    children = spark.createDataFrame(
+        [("c1", 1.0), ("c1", 3.0), ("c2", 5.0), ("c3", 100.0)],
+        "conv_id string, v double",
+    )
+    got = children_agg(
+        parents, children, "conv_id", {"s": F.sum("v")}
+    ).toPandas().set_index("conv_id")
+    assert set(got.index) == {"c1", "c2"}  # c3 has no parent bucket
+    assert got.loc["c1", "doc_count"] == 2 and got.loc["c1", "s"] == 4.0
+    assert got.loc["c2", "doc_count"] == 1 and got.loc["c2", "s"] == 5.0
