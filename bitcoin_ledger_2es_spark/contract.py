@@ -3601,10 +3601,10 @@ _SQL_DISTANCE_FEATURE = f"""
 SELECT 'distance_feature' AS kind, CAST(doc_id AS VARCHAR) AS key,
        round(CAST(CAST(
          CAST(CAST(score AS REAL) AS DOUBLE)
-           + ({DISTF_BOOST} * {DISTF_PIVOT_US})
+           + {DISTF_BOOST} * ({DISTF_PIVOT_US}
              / ({DISTF_PIVOT_US}
                 + abs(CAST({DISTF_EPOCH_US} + doc_id * 60000000 AS DOUBLE)
-                      - {float(DISTF_ORIGIN_US)}))
+                      - {float(DISTF_ORIGIN_US)})))
        AS REAL) AS DOUBLE), 3) AS score3,
        CAST(0 AS BIGINT) AS n
 FROM (

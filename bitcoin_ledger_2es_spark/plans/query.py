@@ -2060,8 +2060,11 @@ class BM25Searcher:
         the session pins UTC so the cast is linear).
 
         Determinism contract: combined score = f32( f64(bm25_f32) +
-        boost*pivot/(pivot + dist) ) — ONE f64 add onto the verbatim f32
-        BM25 score, mirrored exactly by the DuckDB twin. Scale shape:
+        boost * (pivot / (pivot + dist)) ) — ONE f64 add onto the
+        verbatim f32 BM25 score, the contribution computed by the SAME
+        ``distance_feature_col`` helper function_score uses (one
+        association engine-wide), mirrored exactly by the DuckDB twin.
+        Scale shape:
         full match set -> one equi-join to source (I/O proportional to
         matches) -> JVM arithmetic, no Python in the path."""
         empty = self._spark.createDataFrame(
@@ -2071,15 +2074,17 @@ class BM25Searcher:
         if scores is None:
             out = empty
         else:
+            from ..functions.function_score import distance_feature_col
+
             dm = self.ix.docmap.select("doc_id", "conv_id", "turn_idx")
             frame = scores.join(dm, "doc_id").join(
                 source_df, ["conv_id", "turn_idx"], "left"
             )
-            dist = F.abs(F.expr(field).cast("double") - F.lit(float(origin)))
-            contrib = F.coalesce(
-                F.lit(float(boost)) * F.lit(float(pivot))
-                / (F.lit(float(pivot)) + dist),
-                F.lit(0.0),
+            # the SAME f64 association as the function_score column
+            # helper: boost * (pivot / (pivot + dist)) — one definition
+            # engine-wide, mirrored verbatim by the DuckDB twin
+            contrib = distance_feature_col(
+                F.expr(field), origin, pivot, boost
             )
             out = frame.select(
                 "doc_id", "conv_id", "turn_idx",

@@ -170,7 +170,8 @@ def test_distance_feature_exact(env_flat, tiny_df):
         .astype("int64").to_numpy()
     )
     dist = np.abs(ts_us.astype(np.float64) - float(origin_us))
-    contrib = 1.5 * pivot_us / (pivot_us + dist)
+    # boost * (pivot / (pivot + dist)) — the distance_feature_col assoc
+    contrib = 1.5 * (pivot_us / (pivot_us + dist))
     exp_score = (
         j["score"].to_numpy(np.float32).astype(np.float64) + contrib
     ).astype(np.float32)
