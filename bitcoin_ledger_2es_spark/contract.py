@@ -2140,6 +2140,11 @@ DISTF_EPOCH_US = 1704067200000000   # 2024-01-01 00:00:00 UTC
 DISTF_ORIGIN_US = 1709251200000000  # 2024-03-01 00:00:00 UTC
 DISTF_PIVOT_US = 604800000000.0     # 7 days
 DISTF_BOOST = 1.5
+# match_fuzzy: two misspelled tokens, AUTO ladder (len 4/5 -> 1 edit);
+# the twin recomputes the expansion sets from the corpus vocabulary with
+# DuckDB's levenshtein under the same (df desc, term asc) LIMIT cap
+MATCH_FUZZY_TOKENS = ["datq", "tible"]
+MATCH_FUZZY_EXPANSIONS = 50
 PERCOLATE_QUERIES = [
     (0, "data row", "and", 0),
     (1, "data table window", "or", 2),
@@ -2351,7 +2356,15 @@ def q_advanced_queries(spark, sf_dir):
     * ``distance_feature`` — recency boosting: f32(f64(bm25_f32) +
       (boost*pivot)/(pivot + |ts_us - origin|)) over a synthetic
       doc_id-minutes timeline (all integers < 2^53 — exact f64 both
-      sides); key = doc_id, n = 0."""
+      sides); key = doc_id, n = 0.
+    * ``match_fuzzy`` — ES match with fuzziness=AUTO for two misspelled
+      tokens: per-token dictionary expansion (levenshtein <= ladder
+      step, (df desc, term asc) cap, exact token force-included), each
+      expansion set scored as ONE blended group (tf summed before
+      saturation, idf from max member df — Lucene
+      top_terms_blended_freqs); the twin recomputes the DATA-DEPENDENT
+      expansion sets in SQL under the identical cap; key = doc_id,
+      n = 0."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2659,6 +2672,15 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.lit(0).cast("long").alias("n"),
     )
+    mf = s.match_fuzzy(
+        " ".join(MATCH_FUZZY_TOKENS), fuzziness="AUTO", k=1_000_000,
+        mode="or", max_expansions=MATCH_FUZZY_EXPANSIONS, with_meta=False,
+    ).select(
+        F.lit("match_fuzzy").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("score").cast("double"), 3).alias("score3"),
+        F.lit(0).cast("long").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2694,6 +2716,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(ex).unionByName(tset).unionByName(scr)
         .unionByName(rr).unionByName(ln).unionByName(rt)
         .unionByName(hp).unionByName(pid).unionByName(sv).unionByName(dfq)
+        .unionByName(mf)
     )
 
 
@@ -3632,6 +3655,78 @@ FROM (
 )
 """
 
+# match_fuzzy twin: the expansion sets are DATA-DEPENDENT — recomputed
+# inside the twin from the corpus vocabulary with DuckDB's levenshtein
+# under the engine's exact cap (df desc, term asc, LIMIT max_expansions,
+# the exact token force-included post-cap like the engine's mem=[tok]).
+# Scoring is the SynonymQuery blend (_SQL_SYNONYMS convention): group
+# tf = sum of member tfs BEFORE saturation, group idf from max member df.
+def _sql_match_fuzzy(tokens: list[str], max_exp: int) -> str:
+    exps = []
+    for gi, tok in enumerate(tokens):
+        d = 0 if len(tok) < 3 else (1 if len(tok) <= 5 else 2)
+        exps.append(f"""
+  exp{gi} AS (
+    SELECT term FROM (
+      SELECT term FROM vocab WHERE levenshtein(term, '{tok}') <= {d}
+      ORDER BY df DESC, term ASC LIMIT {max_exp}
+    )
+    UNION
+    SELECT term FROM vocab WHERE term = '{tok}'
+  )""")
+    gidf = "\n    UNION ALL\n".join(
+        f"""    SELECT {gi} AS g, ln(1.0 + (c.n_docs - mx + 0.5) / (mx + 0.5)) AS v
+    FROM (SELECT max(df) AS mx FROM vocab JOIN exp{gi} USING (term)), corpus c"""
+        for gi in range(len(tokens))
+    )
+    gtf = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, {gi} AS g, sum(tf) AS tf
+    FROM tf JOIN exp{gi} USING (term) GROUP BY doc_id"""
+        for gi in range(len(tokens))
+    )
+    allexp = " UNION ".join(
+        f"SELECT term FROM exp{gi}" for gi in range(len(tokens))
+    )
+    return f"""
+SELECT 'match_fuzzy' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+       CAST(0 AS BIGINT) AS n
+FROM (
+  WITH toks AS (
+    SELECT doc_id, u.tok AS term
+    FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+  ),
+  dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+  corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+  ),
+  vocab AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+  ),{",".join(exps)},
+  tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN ({allexp}) GROUP BY doc_id, term
+  ),
+  gidf AS (
+{gidf}
+  ),
+  gtf AS (
+{gtf}
+  ),
+  contrib AS (
+    SELECT gtf.doc_id,
+           i.v * (gtf.tf * 2.2) / (gtf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS x
+    FROM gtf JOIN gidf i USING (g) JOIN dls USING (doc_id), corpus c
+    WHERE i.v IS NOT NULL
+  )
+  SELECT doc_id, sum(x) AS score FROM contrib GROUP BY doc_id
+)
+"""
+
+
+_SQL_MATCH_FUZZY = _sql_match_fuzzy(MATCH_FUZZY_TOKENS, MATCH_FUZZY_EXPANSIONS)
+
 SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
     [_SQL_MLT, _SQL_SPAN_FIRST, _SQL_HAS_CHILD,
      _SQL_DIS_MAX, _SQL_BOOSTING, _SQL_COLLAPSE, _SQL_MULTI_MATCH,
@@ -3644,7 +3739,7 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF, _SQL_LINEAR,
      _SQL_RUNTIME,
      _SQL_HAS_PARENT, _SQL_PARENT_ID, _SQL_SPARSE_VECTOR,
-     _SQL_DISTANCE_FEATURE]
+     _SQL_DISTANCE_FEATURE, _SQL_MATCH_FUZZY]
 )
 
 

@@ -1383,6 +1383,63 @@ class BM25Searcher:
             cands = pruned.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
         return self._ranked(cands, k, with_meta)
 
+    def match_fuzzy(
+        self,
+        query_text: str,
+        fuzziness: "int | str" = "AUTO",
+        k: int = 10,
+        mode: str = "or",
+        max_expansions: int = 50,
+        prefix_length: int = 0,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES ``match`` query with ``fuzziness``: each analyzed token
+        expands to dictionary terms within its edit distance
+        (``AUTO`` = the ES ladder: 0 edits for length < 3, 1 for 3-5,
+        2 above), capped at ``max_expansions`` by (df desc, term asc)
+        — the Lucene top-terms cap — optionally requiring a shared
+        ``prefix_length``. Each token's expansion set then scores as
+        ONE blended group (tf summed across members before saturation,
+        idf from the max member docFreq): Lucene's
+        ``top_terms_blended_freqs`` rewrite, which is exactly the
+        SynonymQuery blending ``match_synonyms`` implements — the
+        composition is the implementation (and is pytest-pinned
+        equal to an explicit match_synonyms call). The exact token is
+        ALWAYS a group member (never displaced by the expansion cap),
+        matching ES. Distance metric: classic Levenshtein, the same
+        JVM ``levenshtein`` the fuzzy/suggest family uses (Lucene
+        defaults to OSA-with-transpositions; the uniform engine-wide
+        metric is the documented deviation). Scale shape: one small
+        dictionary scan per distinct token for the expansion (driver
+        k-rows), then match_synonyms' single pruned postings scan."""
+        cfg = self.ix.cfg
+        tokens = analyze_query(query_text, cfg)
+        if not tokens:
+            return self._empty()
+        syn: dict[str, list[str]] = {}
+        for tok in dict.fromkeys(tokens):
+            if fuzziness == "AUTO":
+                d = 0 if len(tok) < 3 else (1 if len(tok) <= 5 else 2)
+            else:
+                d = int(fuzziness)
+            if d == 0:
+                syn[tok] = []  # exact-only group (match_synonyms adds tok)
+                continue
+            cond = F.levenshtein(F.col("term"), F.lit(tok)) <= d
+            if prefix_length:
+                if len(tok) < prefix_length:
+                    syn[tok] = []
+                    continue
+                cond = cond & (
+                    F.substring(F.col("term"), 1, prefix_length)
+                    == tok[:prefix_length]
+                )
+            found = self._expanded(cond, max_expansions)
+            syn[tok] = [t for t in found if t != tok]
+        return self.match_synonyms(
+            query_text, syn, k=k, mode=mode, with_meta=with_meta
+        )
+
     def terms_set_query(
         self,
         terms: list[str],
