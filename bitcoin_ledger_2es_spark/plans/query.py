@@ -3313,6 +3313,47 @@ class BM25Searcher:
         clauses' terms."""
         return self._span_family("or", [clauses, None], slop, 0, 0, k, with_meta)
 
+    def span_multi_query(
+        self,
+        match: str,
+        kind: str = "prefix",
+        k: int = 10,
+        max_expansions: int = 50,
+        fuzziness: int = 1,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Lucene ``SpanMultiTermQueryWrapper`` (ES ``span_multi``): a
+        multi-term query — ``prefix`` / ``wildcard`` / ``fuzzy`` — used
+        where a span clause is expected. Lucene's SpanRewriteMethod
+        rewrites it to the span-OR of the expanded terms' TermSpans;
+        this is literally :meth:`span_or_query` over the dictionary
+        expansion, capped in ALPHABETICAL term order (the span rewrite
+        walks the term dictionary in term order — ``_expanded_alpha``,
+        the same convention as match_phrase_prefix). Scoring follows
+        the span family's documented model (idf summed over surviving
+        clauses' terms, freq = sum of 1/(1+gap) over minimal spans).
+        Out-of-vocabulary expansions are skipped; an empty expansion
+        matches nothing."""
+        t = match.lower()
+        if kind == "prefix":
+            cond = F.col("term").startswith(t)
+        elif kind == "wildcard":
+            import re as _re
+
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in t
+            ) + "$"
+            cond = F.col("term").rlike(rx)
+        elif kind == "fuzzy":
+            cond = F.levenshtein(F.col("term"), F.lit(t)) <= int(fuzziness)
+        else:
+            raise ValueError("span_multi kind: prefix | wildcard | fuzzy")
+        found = self._expanded_alpha(cond, max_expansions)
+        if not found:
+            return self._empty()
+        return self.span_or_query(sorted(found), k=k, with_meta=with_meta)
+
     def span_not_query(
         self, include: str, exclude: str, pre: int = 0, post: int = 0,
         slop: int = 0, k: int = 10, with_meta: bool = True,

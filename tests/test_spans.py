@@ -213,3 +213,32 @@ def test_span_composition_unit():
     assert docs.tolist() == [0, 1]
     assert freq[0] == pytest.approx(1.0 + 1.0 + 0.5 + 1.0)  # 2,2 twice + gap1 + 8,8
     assert freq[1] == 1.0
+
+
+# -------------------------------------------------------- span_multi
+
+
+def test_span_multi_prefix_equals_span_or(searcher):
+    import pandas as pd
+
+    dict_pdf = searcher.ix.dictionary.select("term").toPandas()
+    exp_terms = sorted(
+        t for t in dict_pdf["term"] if t.startswith("w00")
+    )[:50]
+    got = searcher.span_multi_query("w00", kind="prefix", k=20,
+                                    with_meta=False).toPandas()
+    exp = searcher.span_or_query(exp_terms, k=20,
+                                 with_meta=False).toPandas()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert np.array_equal(
+        got["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+    )
+
+
+def test_span_multi_fuzzy_and_edges(searcher):
+    got = searcher.span_multi_query("w0007", kind="fuzzy", fuzziness=1,
+                                    k=10, with_meta=False)
+    assert got.count() > 0
+    assert searcher.span_multi_query("zzzzz", kind="prefix", k=5).count() == 0
+    with pytest.raises(ValueError, match="span_multi kind"):
+        searcher.span_multi_query("x", kind="regexp")
