@@ -29,8 +29,13 @@ boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
 ``IS NOT NULL``, ``IN (...)``, ``LIKE``, double-quoted string literals,
 TRUE/FALSE/NULL, and the function whitelist below (ES|QL name -> Spark
 SQL): ROUND ABS LENGTH SUBSTRING CONCAT GREATEST LEAST COALESCE
-DATE_TRUNC TO_LOWER TO_UPPER TO_LONG TO_DOUBLE TO_STRING, multivalue
-MV_COUNT MV_MAX MV_MIN (over array columns, null-in-null-out), and
+DATE_TRUNC TO_LOWER TO_UPPER TO_LONG TO_DOUBLE TO_STRING TO_INTEGER
+TO_BOOLEAN TO_DATETIME STARTS_WITH ENDS_WITH TRIM LTRIM RTRIM REPLACE
+(regex) LEFT RIGHT REVERSE REPEAT SPACE TO_BASE64 FROM_BASE64 MD5 SHA1
+CEIL FLOOR SQRT CBRT EXP LOG LOG10 POW SIGNUM SIN COS TAN ASIN ACOS
+ATAN ATAN2 HYPOT PI E, multivalue
+MV_COUNT MV_MAX MV_MIN MV_DEDUPE MV_SORT (over array columns,
+null-in-null-out), and
 variadic CASE(cond, val, ..., [default]). STATS/INLINESTATS
 aggregates: COUNT(*) COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN
 PERCENTILE(field, p 0..100).
@@ -75,8 +80,30 @@ _FUNCS = {
     # size/array_max/array_min are null-in-null-out (ES semantics) under
     # the default spark.sql.legacy.sizeOfNull=false.
     "MV_COUNT": "size", "MV_MAX": "array_max", "MV_MIN": "array_min",
+    # whitelist criterion: ONLY functions whose Spark twin has the
+    # identical name-compatible semantics AND argument order — anything
+    # with swapped args (LOCATE, DATE_FORMAT), literal-vs-regex drift
+    # (SPLIT) or no 1:1 Spark builtin (CIDR_MATCH, MV_SUM) stays OUT
+    # and raises, per the module's never-misread discipline.
+    "STARTS_WITH": "startswith", "ENDS_WITH": "endswith",
+    "TRIM": "trim", "LTRIM": "ltrim", "RTRIM": "rtrim",
+    "REPLACE": "regexp_replace",  # ES|QL REPLACE is regex-based too
+    "LEFT": "left", "RIGHT": "right", "REVERSE": "reverse",
+    "REPEAT": "repeat", "SPACE": "space",
+    "TO_BASE64": "base64", "FROM_BASE64": "unbase64",
+    "MD5": "md5", "SHA1": "sha1",
+    "CEIL": "ceil", "FLOOR": "floor", "SQRT": "sqrt", "CBRT": "cbrt",
+    "EXP": "exp", "LOG": "log", "LOG10": "log10", "POW": "pow",
+    "SIGNUM": "signum", "SIN": "sin", "COS": "cos", "TAN": "tan",
+    "ASIN": "asin", "ACOS": "acos", "ATAN": "atan", "ATAN2": "atan2",
+    "HYPOT": "hypot", "PI": "pi", "E": "e",
+    # MV_DEDUPE/MV_SORT: single-argument forms (ES|QL's optional order
+    # argument has no Spark rename twin — it raises downstream)
+    "MV_DEDUPE": "array_distinct", "MV_SORT": "array_sort",
 }
-_CASTS = {"TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE", "TO_STRING": "STRING"}
+_CASTS = {"TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE", "TO_STRING": "STRING",
+          "TO_INTEGER": "INT", "TO_BOOLEAN": "BOOLEAN",
+          "TO_DATETIME": "TIMESTAMP"}
 _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
          "MEDIAN", "PERCENTILE"}
 

@@ -612,3 +612,63 @@ def test_sample_edges_and_errors(spark, events):
         esql('FROM events | SAMPLE 0.5 nope', {"events": events})
     with pytest.raises(ESQLError, match="SAMPLE takes"):
         esql('FROM events | SAMPLE 2.5 event_id', {"events": events})
+
+
+# ---------------------------------------------------------------------------
+# Widened scalar-function whitelist: only name+arg-order-identical Spark
+# twins are mapped; everything else still raises.
+
+
+def test_function_whitelist_batch(spark, events):
+    got = esql(
+        'FROM events'
+        ' | WHERE user_id < 5'
+        ' | EVAL s = CONCAT(event_type, "!"),'
+        '   up = STARTS_WITH(event_type, "pu"),'
+        '   l3 = LEFT(event_type, 3), r2 = RIGHT(event_type, 2),'
+        '   fl = FLOOR(value), ce = CEIL(value), sq = SQRT(ABS(value)),'
+        '   lg = LOG10(GREATEST(value, 1.0)),'
+        '   rep = REPLACE(event_type, "[aeiou]", "_"),'
+        '   pi2 = ROUND(PI() * 2, 3), b = TO_BASE64(event_type),'
+        '   n = TO_INTEGER(ROUND(value, 0))'
+        ' | SORT event_id ASC | LIMIT 5'
+        ' | KEEP event_id, s, up, l3, r2, fl, ce, sq, lg, rep, pi2, b, n',
+        {"events": events},
+    ).toPandas()
+    exp = (
+        events.filter(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            F.concat(F.col("event_type"), F.lit("!")).alias("s"),
+            F.col("event_type").startswith("pu").alias("up"),
+            F.expr("left(event_type, 3)").alias("l3"),
+            F.expr("right(event_type, 2)").alias("r2"),
+            F.floor("value").alias("fl"), F.ceil("value").alias("ce"),
+            F.sqrt(F.abs(F.col("value"))).alias("sq"),
+            F.log10(F.greatest(F.col("value"), F.lit(1.0))).alias("lg"),
+            F.regexp_replace("event_type", "[aeiou]", "_").alias("rep"),
+            F.round(F.expr("pi()") * 2, 3).alias("pi2"),
+            F.base64(F.col("event_type").cast("binary")).alias("b"),
+            F.round(F.col("value"), 0).cast("int").alias("n"),
+        )
+        .orderBy("event_id").limit(5).toPandas()
+    )
+    pd_cols = ["event_id", "s", "up", "l3", "r2", "fl", "ce", "rep",
+               "pi2", "b", "n"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got[pd_cols].reset_index(drop=True), exp[pd_cols].reset_index(drop=True)
+    )
+    import numpy as np
+    assert np.allclose(got["sq"], exp["sq"]) and np.allclose(got["lg"], exp["lg"])
+
+
+def test_mv_dedupe_sort_and_unknown_still_raises(spark):
+    df = spark.createDataFrame([(1, [3, 1, 3, 2])], "id long, a array<int>")
+    g = esql('FROM t | EVAL d = MV_SORT(MV_DEDUPE(a)) | KEEP id, d',
+             {"t": df}).toPandas()
+    assert g.loc[0, "d"].tolist() == [1, 2, 3]
+    with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
+        esql('FROM t | EVAL x = CIDR_MATCH(a, "10.0.0.0/8")', {"t": df})
+    with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
+        esql('FROM t | EVAL x = LOCATE(a, "b")', {"t": df})
