@@ -2123,6 +2123,13 @@ RRF_TOPK = 10
 # linear retriever (ES 8.16 hybrid combiner #2): weighted minmax-
 # normalized score sum over the SAME two retriever windows
 LINEAR_WEIGHTS = (0.7, 0.3)
+# esql_fork: the ES|QL FORK/FUSE surface (9.x) — two scored MATCH
+# branches (SORT _score/doc_id | LIMIT window), FUSE = rrf at the same
+# rank_constant 60, distinct queries/window/topk from the rrf kind so
+# the two kinds never alias each other's result set
+FORK_QUERIES = ("data table", "spark row")
+FORK_WINDOW = 15
+FORK_TOPK = 8
 # has_parent: the inner query matches ROLLUP (parent) docs of the conv5
 # hierarchy; every child turn carries its parent's f32 score verbatim
 HAS_PARENT_QUERY = ["data", "row"]
@@ -2364,7 +2371,15 @@ def q_advanced_queries(spark, sf_dir):
       saturation, idf from max member df — Lucene
       top_terms_blended_freqs); the twin recomputes the DATA-DEPENDENT
       expansion sets in SQL under the identical cap; key = doc_id,
-      n = 0."""
+      n = 0.
+    * ``esql_fork`` — the ES|QL FORK/FUSE surface (9.x, plans/esql.py):
+      two scored MATCH branches, each `SORT _score DESC, doc_id ASC |
+      LIMIT FORK_WINDOW`, FUSE = rrf (rank_constant 60; a branch's rank
+      is row_number over its pinned total order, the fused f64 sum folds
+      in _fork order — 0.0 + x is bit-neutral, so the twin's coalesce
+      sum mirrors it verbatim), final `SORT _score DESC, doc_id ASC |
+      LIMIT FORK_TOPK` on the PRE-rounding f64 fused score; key =
+      doc_id, score3 = round(_score, 3), n = fused rank."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2681,6 +2696,26 @@ def q_advanced_queries(spark, sf_dir):
         duck_round(F.col("score").cast("double"), 3).alias("score3"),
         F.lit(0).cast("long").alias("n"),
     )
+    from bitcoin_ledger_2es_spark.plans.esql import esql as _esql_run
+
+    fk_frame = _esql_run(
+        'FROM ix METADATA _score'
+        f' | FORK (WHERE MATCH(text, "{FORK_QUERIES[0]}")'
+        f' | SORT _score DESC, doc_id ASC | LIMIT {FORK_WINDOW})'
+        f' (WHERE MATCH(text, "{FORK_QUERIES[1]}")'
+        f' | SORT _score DESC, doc_id ASC | LIMIT {FORK_WINDOW})'
+        ' | FUSE | SORT _score DESC, doc_id ASC'
+        f' | LIMIT {FORK_TOPK} | KEEP doc_id, _score',
+        indexes={"ix": s},
+    )
+    fk = fk_frame.select(
+        F.lit("esql_fork").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        duck_round(F.col("_score"), 3).alias("score3"),
+        F.row_number().over(
+            Window.orderBy(F.col("_score").desc(), F.col("doc_id").asc())
+        ).cast("long").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2716,7 +2751,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(ex).unionByName(tset).unionByName(scr)
         .unionByName(rr).unionByName(ln).unionByName(rt)
         .unionByName(hp).unionByName(pid).unionByName(sv).unionByName(dfq)
-        .unionByName(mf)
+        .unionByName(mf).unionByName(fk)
     )
 
 
@@ -3481,11 +3516,11 @@ FROM (
 ) WHERE rnk <= {SCROLL_PAGES * SCROLL_PAGE_SIZE}
 """
 
-def _sql_rrf_ranked(query: str) -> str:
-    """One retriever's ranked window for the rrf/linear kinds: the
-    shared BM25 CTE ranked exactly like the engine's top_k (f32 score
-    desc, doc_id asc — the scroll kind's proven mirror), capped at
-    RRF_WINDOW. ``s`` is the f64-of-the-emitted-f32 score (REAL
+def _sql_rrf_ranked(query: str, window: int = RRF_WINDOW) -> str:
+    """One retriever's ranked window for the rrf/linear/esql_fork kinds:
+    the shared BM25 CTE ranked exactly like the engine's top_k (f32
+    score desc, doc_id asc — the scroll kind's proven mirror), capped at
+    ``window``. ``s`` is the f64-of-the-emitted-f32 score (REAL
     round-trip) the linear kind normalizes; rrf ignores it."""
     return f"""(
   SELECT doc_id,
@@ -3496,7 +3531,7 @@ def _sql_rrf_ranked(query: str) -> str:
     SELECT doc_id, sum(contrib ORDER BY term) AS score
     FROM scored GROUP BY doc_id
   )
-  QUALIFY rnk <= {RRF_WINDOW}
+  QUALIFY rnk <= {window}
 )"""
 
 
@@ -3545,6 +3580,26 @@ FROM (
   ) b USING (doc_id)
 )
 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= {RRF_TOPK}
+"""
+
+# esql_fork twin: identical shape to _SQL_RRF but over the FORK kind's
+# own (queries, window, topk) so the two kinds never alias each other.
+# The engine's FUSE folds 1/(60+rank) in _fork order (fork1 then fork2)
+# — coalesce 0.0 is bit-neutral, so the two-term a-then-b sum mirrors it
+# verbatim; branch rank = row_number over (f32 score desc, doc_id asc),
+# the same pinned total order each branch's SORT | LIMIT used.
+_SQL_ESQL_FORK = f"""
+SELECT 'esql_fork' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       round(fused, 3) AS score3,
+       CAST(row_number() OVER (ORDER BY fused DESC, doc_id ASC) AS BIGINT) AS n
+FROM (
+  SELECT doc_id,
+         coalesce(1.0 / ({RRF_CONST} + a.rnk), 0.0)
+           + coalesce(1.0 / ({RRF_CONST} + b.rnk), 0.0) AS fused
+  FROM {_sql_rrf_ranked(FORK_QUERIES[0], FORK_WINDOW)} a
+  FULL OUTER JOIN {_sql_rrf_ranked(FORK_QUERIES[1], FORK_WINDOW)} b USING (doc_id)
+)
+QUALIFY row_number() OVER (ORDER BY fused DESC, doc_id ASC) <= {FORK_TOPK}
 """
 
 _SQL_RUNTIME = f"""
@@ -3739,7 +3794,7 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF, _SQL_LINEAR,
      _SQL_RUNTIME,
      _SQL_HAS_PARENT, _SQL_PARENT_ID, _SQL_SPARSE_VECTOR,
-     _SQL_DISTANCE_FEATURE, _SQL_MATCH_FUZZY]
+     _SQL_DISTANCE_FEATURE, _SQL_MATCH_FUZZY, _SQL_ESQL_FORK]
 )
 
 

@@ -23,6 +23,11 @@ Supported pipeline stages::
     | MV_EXPAND col
     | LOOKUP JOIN <lookup_index> ON key
     | SAMPLE p [id_col]
+    | FORK (stage | stage ...) (stage | ...)   (branch union, _fork tag)
+    | FUSE                                      (rrf fusion of branches)
+
+``ROW name = literal [, ...]`` may replace FROM as the source command
+(one literal row — needs an active SparkSession).
 
 Expressions: comparisons (``==`` ``!=`` ``<`` ``<=`` ``>`` ``>=``),
 boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
@@ -36,9 +41,12 @@ CEIL FLOOR SQRT CBRT EXP LOG LOG10 POW SIGNUM SIN COS TAN ASIN ACOS
 ATAN ATAN2 HYPOT PI E, multivalue
 MV_COUNT MV_MAX MV_MIN MV_DEDUPE MV_SORT (over array columns,
 null-in-null-out), and
-variadic CASE(cond, val, ..., [default]). STATS/INLINESTATS
-aggregates: COUNT(*) COUNT COUNT_DISTINCT SUM AVG MIN MAX MEDIAN
-PERCENTILE(field, p 0..100).
+variadic CASE(cond, val, ..., [default]), and BUCKET (three documented
+forms: numeric span, ``1 <unit>`` calendar span via date_trunc, and the
+auto (expr, count, from, to) form at a driver-resolved nice interval).
+STATS/INLINESTATS aggregates: COUNT(*) COUNT COUNT_DISTINCT SUM AVG MIN
+MAX MEDIAN PERCENTILE(field, p 0..100); BY takes plain columns or
+``alias = expr`` keys (the ``BY b = BUCKET(...)`` shape).
 
 How it lowers (why this is the right engine shape): every stage maps
 1:1 onto a declarative DataFrame op — WHERE -> filter (predicate
@@ -243,6 +251,91 @@ def _split_top(tokens, sep=","):
     return parts
 
 
+# BUCKET calendar units (ES|QL `1 day` span literals) -> date_trunc
+# unit names shared verbatim by Spark and DuckDB (both truncate WEEK
+# to Monday). Only 1-unit spans lower to date_trunc; multi-unit spans
+# (`3 hour`) have no trunc twin and raise.
+_BUCKET_UNITS = {
+    "MINUTE": "minute", "MINUTES": "minute",
+    "HOUR": "hour", "HOURS": "hour",
+    "DAY": "day", "DAYS": "day",
+    "WEEK": "week", "WEEKS": "week",
+    "MONTH": "month", "MONTHS": "month",
+    "QUARTER": "quarter", "QUARTERS": "quarter",
+    "YEAR": "year", "YEARS": "year",
+}
+
+
+def _num_literal(part):
+    """Token group -> float if it is a (possibly negated) numeric
+    literal, else None."""
+    if len(part) == 1 and part[0][0] == "num":
+        return float(part[0][1])
+    if len(part) == 2 and part[0] == ("op", "-") and part[1][0] == "num":
+        return -float(part[1][1])
+    return None
+
+
+def _nice_interval(lo: float, hi: float, count: float) -> float:
+    """The auto-BUCKET interval: smallest d in {1, 2, 5} * 10^k with
+    (hi - lo) / d <= count — a DOCUMENTED DETERMINISTIC reading of
+    ES|QL's "nice" bucket sizing (ES's own rounding ladder differs in
+    edge cases; this one is pure, pinned, and oracle-mirrorable because
+    the chosen interval is resolved driver-side from literals)."""
+    if hi <= lo or count <= 0:
+        raise ESQLError("BUCKET(expr, count, from, to) needs from < to "
+                        "and count > 0")
+    width = (hi - lo) / count
+    import math
+
+    k = math.floor(math.log10(width)) if width > 0 else 0
+    for exp in range(k - 1, k + 3):
+        for m in (1.0, 2.0, 5.0):
+            d = m * (10.0 ** exp)
+            if (hi - lo) / d <= count:
+                return d
+    raise ESQLError("BUCKET auto interval search failed")  # unreachable
+
+
+def _emit_bucket(args) -> str:
+    """ES|QL BUCKET(...) -> Spark SQL, three documented forms:
+    numeric span ``BUCKET(x, 50.0)`` -> floor arithmetic; calendar span
+    ``BUCKET(ts, 1 day)`` -> date_trunc; auto ``BUCKET(x, count, from,
+    to)`` -> floor arithmetic at a driver-resolved nice interval (the
+    three literals must be numeric literals — the interval is a pure
+    function of them, so any oracle re-derives it)."""
+    if len(args) == 2:
+        span = _num_literal(args[1])
+        if span is not None:
+            if span <= 0:
+                raise ESQLError("BUCKET span must be positive")
+            e = _emit(args[0])
+            # double-pinned: a bare 100.0 literal is DECIMAL under ANSI
+            # parsing, which would type buckets DECIMAL — cast so the
+            # bucket column is DOUBLE like every SQL oracle's floor math
+            return (f"(floor(({e}) / CAST({span!r} AS DOUBLE)) "
+                    f"* CAST({span!r} AS DOUBLE))")
+        if (len(args[1]) == 2 and args[1][0] == ("num", "1")
+                and args[1][1][0] == "id"
+                and args[1][1][1].upper() in _BUCKET_UNITS):
+            unit = _BUCKET_UNITS[args[1][1][1].upper()]
+            return f"date_trunc('{unit}', {_emit(args[0])})"
+        raise ESQLError(
+            "BUCKET span must be a numeric literal or `1 <unit>` "
+            "(minute/hour/day/week/month/quarter/year)")
+    if len(args) == 4:
+        nums = [_num_literal(a) for a in args[1:]]
+        if any(n is None for n in nums):
+            raise ESQLError(
+                "BUCKET(expr, count, from, to) takes numeric literals")
+        count, lo, hi = nums
+        d = _nice_interval(lo, hi, count)
+        e = _emit(args[0])
+        return (f"(floor(({e}) / CAST({d!r} AS DOUBLE)) "
+                f"* CAST({d!r} AS DOUBLE))")
+    raise ESQLError("BUCKET takes (expr, span) or (expr, count, from, to)")
+
+
 def _emit(tokens, aggs_ok: bool = False) -> str:
     """Token list -> Spark SQL expression string. Recursive only for
     CASE(...) (ES|QL's variadic conditional becomes CASE WHEN)."""
@@ -279,7 +372,9 @@ def _emit(tokens, aggs_ok: bool = False) -> str:
                     if j >= len(tokens):
                         raise ESQLError("unbalanced parens in call")
                 args = _split_top(tokens[i + 2:j]) if j > i + 2 else []
-                if up == "CASE":
+                if up == "BUCKET":
+                    out.append(_emit_bucket(args))
+                elif up == "CASE":
                     if len(args) < 2:
                         raise ESQLError("CASE needs cond, value, ...")
                     pairs, dflt = args, None
@@ -377,10 +472,14 @@ def _assignments(tokens):
 
 def _parse_stats(rest: str):
     """Shared STATS / INLINESTATS argument parse:
-    ``alias = AGG(expr) [WHERE cond] [, ...] [BY col [, ...]]`` ->
-    (by_cols, [(alias, Column)])."""
+    ``alias = AGG(expr) [WHERE cond] [, ...]
+    [BY col | alias = expr [, ...]]`` ->
+    (by_cols: [(name, expr_sql | None)], [(alias, Column)]).
+    A ``None`` expr means a plain existing column; an expression BY key
+    (the ES|QL ``BY b = BUCKET(...)`` shape) is materialized as a
+    column named ``name`` before grouping."""
     toks = _tokenize(rest)
-    by_cols: list[str] = []
+    by_cols: "list[tuple[str, str | None]]" = []
     depth = 0
     for idx, t in enumerate(toks):
         if t == ("op", "("):
@@ -394,9 +493,14 @@ def _parse_stats(rest: str):
         # an ordinary token, matching the per-agg WHERE scan below
         if depth == 0 and t[0] == "id" and t[1].upper() == "BY":
             for part in _split_top(toks[idx + 1:]):
-                if len(part) != 1 or part[0][0] != "id":
-                    raise ESQLError("STATS BY takes plain columns")
-                by_cols.append(part[0][1])
+                if len(part) == 1 and part[0][0] == "id":
+                    by_cols.append((part[0][1], None))
+                elif (len(part) >= 3 and part[0][0] == "id"
+                        and part[1] == ("op", "=")):
+                    by_cols.append((part[0][1], _emit(part[2:])))
+                else:
+                    raise ESQLError(
+                        "STATS BY takes plain columns or `alias = expr`")
             toks = toks[:idx]
             break
     named = []
@@ -447,23 +551,25 @@ def esql(
     small by construction, broadcast; same-named non-key columns are
     replaced by the lookup side, multiple matches fan out). Returns the
     lowered DataFrame — lazily planned like any other."""
-    # split stages on top-level | (never inside a string literal)
-    stages, cur, in_str = [], [], False
-    k = 0
-    while k < len(query):
-        ch = query[k]
-        if ch == '"' and (k == 0 or query[k - 1] != "\\"):
-            in_str = not in_str
-        if ch == "|" and not in_str:
-            stages.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-        k += 1
-    stages.append("".join(cur))
-    stages = [s.strip() for s in stages if s.strip()]
+    stages = _split_stages(query)
     if not stages:
         raise ESQLError("empty ES|QL query")
+
+    if re.match(r"^ROW(\s|$)", stages[0], re.I):
+        # ES|QL ROW source command: literal columns, one row. Needs a
+        # live session (there is no FROM frame to borrow one from).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ESQLError("ROW needs an active SparkSession")
+        cols = [
+            F.expr(_emit(toks)).alias(cname)
+            for cname, toks in _assignments(_tokenize(stages[0][3:]))
+        ]
+        df = spark.range(1).select(*cols)
+        return _run_stages(df, stages[1:], None, False, True,
+                           enrich, lookups)
 
     m = re.match(
         r"^FROM\s+([A-Za-z_][A-Za-z0-9_]*)(\s+METADATA\s+_score)?$",
@@ -502,8 +608,70 @@ def esql(
             raise ESQLError("METADATA _score needs a FROM over an index")
         df = df.withColumn("_score", F.lit(0.0).cast("float"))
 
-    first_where = True
-    for stage in stages[1:]:
+    return _run_stages(df, stages[1:], searcher, with_score, True,
+                       enrich, lookups)
+
+
+def _split_stages(query: str) -> "list[str]":
+    """Split an ES|QL pipeline on top-level ``|`` — never inside a
+    string literal and never inside parens (FORK branches carry whole
+    sub-pipelines inside their parens)."""
+    stages, cur, in_str, depth = [], [], False, 0
+    k = 0
+    while k < len(query):
+        ch = query[k]
+        if ch == '"' and (k == 0 or query[k - 1] != "\\"):
+            in_str = not in_str
+        if not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "|" and not in_str and depth == 0:
+            stages.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        k += 1
+    stages.append("".join(cur))
+    return [s.strip() for s in stages if s.strip()]
+
+
+def _fork_branches(rest: str) -> "list[str]":
+    """Parse ``FORK (branch) (branch) ...`` — top-level paren groups,
+    nothing else allowed between them."""
+    branches, depth, start, in_str = [], 0, None, False
+    for k, ch in enumerate(rest):
+        if ch == '"' and (k == 0 or rest[k - 1] != "\\"):
+            in_str = not in_str
+        if in_str:
+            continue
+        if ch == "(":
+            if depth == 0:
+                start = k + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ESQLError("unbalanced parens in FORK")
+            if depth == 0:
+                branches.append(rest[start:k])
+        elif depth == 0 and not ch.isspace():
+            raise ESQLError("FORK takes only parenthesized branches")
+    if depth != 0:
+        raise ESQLError("unbalanced parens in FORK")
+    if len(branches) < 2:
+        raise ESQLError("FORK needs at least two branches")
+    return branches
+
+
+def _run_stages(df, stages, searcher, with_score, first_where,
+                enrich, lookups):
+    """Apply a list of ES|QL stages to ``df``. Factored out of
+    ``esql()`` so FORK can recurse: each branch runs this over the
+    current frame with its own ``first_where`` state (a scoring MATCH
+    is legal in a branch's first WHERE when FORK is the first stage)."""
+    for stage in stages:
         sm = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
         if not sm:
             raise ESQLError(f"cannot parse stage: {stage[:40]!r}")
@@ -574,8 +742,13 @@ def esql(
                 df = df.withColumn(col, F.expr(_emit(expr_toks)))
         elif op == "STATS":
             by_cols, named = _parse_stats(rest)
+            # expression BY keys (`BY b = BUCKET(...)`) materialize first
+            for bname, bsql in by_cols:
+                if bsql is not None:
+                    df = df.withColumn(bname, F.expr(bsql))
+            by_names = [n for n, _ in by_cols]
             aggs = [c.alias(n) for n, c in named]
-            df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+            df = df.groupBy(*by_names).agg(*aggs) if by_names else df.agg(*aggs)
         elif op == "INLINESTATS":
             # ES|QL INLINESTATS (8.x): like STATS but the aggregates are
             # APPENDED to every input row instead of collapsing it.
@@ -585,16 +758,20 @@ def esql(
             # per group, so with no BY it broadcasts, and with BY keys AQE
             # picks broadcast when the group count is small).
             by_cols, named = _parse_stats(rest)
+            for bname, bsql in by_cols:
+                if bsql is not None:
+                    df = df.withColumn(bname, F.expr(bsql))
+            by_names = [n for n, _ in by_cols]
             aggs = [c.alias(n) for n, c in named]
             # ES|QL semantics: a same-named pre-existing column is shadowed
             new_names = {n for n, _ in named}
             keep = [c for c in df.columns if c not in new_names]
-            if clash := new_names & set(by_cols):
+            if clash := new_names & set(by_names):
                 raise ESQLError(f"INLINESTATS alias shadows its BY key: "
                                 f"{sorted(clash)}")
-            if by_cols:
+            if by_names:
                 df = df.select(*keep).join(
-                    df.groupBy(*by_cols).agg(*aggs), by_cols, "left")
+                    df.groupBy(*by_names).agg(*aggs), by_names, "left")
             else:
                 df = df.select(*keep).crossJoin(F.broadcast(df.agg(*aggs)))
         elif op == "SORT":
@@ -734,6 +911,70 @@ def esql(
                         or part[1][1].upper() != "AS"):
                     raise ESQLError("RENAME takes `old AS new`")
                 df = df.withColumnRenamed(part[0][1], part[2][1])
+        elif op == "FORK":
+            # ES|QL FORK (8.19/9.x): run each parenthesized branch
+            # pipeline over the CURRENT frame, tag rows with the branch
+            # discriminator `_fork` ("fork1", "fork2", ...), and union
+            # by name (a column only one branch EVALs is null in the
+            # others — the documented ES behavior). Each branch gets its
+            # own first_where: when FORK is the first stage of a scored
+            # pipeline, a branch's first WHERE may carry scoring MATCH
+            # conjuncts exactly like a top-level first WHERE.
+            if "_fork" in df.columns:
+                raise ESQLError("nested FORK is not supported")
+            parts = []
+            for bi, btext in enumerate(_fork_branches(rest), start=1):
+                bdf = _run_stages(df, _split_stages(btext), searcher,
+                                  with_score, first_where, enrich, lookups)
+                if "_fork" in bdf.columns:  # a FORK inside the branch
+                    raise ESQLError("nested FORK is not supported")
+                parts.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            first_where = False
+        elif op == "FUSE":
+            # ES|QL FUSE (9.x): fuse FORK branches by reciprocal-rank
+            # (the default rrf method, rank_constant 60). Deterministic
+            # reading: a branch's rank is row_number over its rows'
+            # (_score desc, doc_id asc) — the engine's pinned total
+            # order (ES ranks by each branch's row order; every scored
+            # branch here ends in exactly that SORT, so they agree).
+            # Fused _score = f64 sum of 1/(60 + rank) folded in _fork
+            # order via array_sort(collect_list(struct)) — the repo's
+            # cross-retriever fold contract (conversations_topk,
+            # compound queries). Groups on every other column: FORK
+            # branches share the base frame, so a doc's carried columns
+            # are identical across branches by construction.
+            if rest.strip() and rest.strip().upper() != "RRF":
+                raise ESQLError("FUSE supports only the rrf method")
+            for need in ("_fork", "_score", "doc_id"):
+                if need not in df.columns:
+                    raise ESQLError(
+                        f"FUSE needs the {need} column (FORK over a "
+                        "scored index pipeline)")
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("_fork").orderBy(
+                F.col("_score").desc(), F.col("doc_id").asc())
+            ranked = df.withColumn(
+                "_contrib",
+                (F.lit(1.0) / (F.lit(60.0)
+                               + F.row_number().over(w).cast("double"))),
+            )
+            group_cols = [c for c in df.columns
+                          if c not in ("_fork", "_score")]
+            df = (
+                ranked.groupBy(*group_cols)
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("_fork"), F.col("_contrib")))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["_contrib"],
+                    ).alias("_score")
+                )
+            )
         else:
             raise ESQLError(f"unsupported ES|QL stage: {op}")
     return df

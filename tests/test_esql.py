@@ -672,3 +672,122 @@ def test_mv_dedupe_sort_and_unknown_still_raises(spark):
         esql('FROM t | EVAL x = CIDR_MATCH(a, "10.0.0.0/8")', {"t": df})
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
         esql('FROM t | EVAL x = LOCATE(a, "b")', {"t": df})
+
+
+def test_row_literal_source(spark):
+    got = esql('ROW a = 1, b = "x", c = 2.5 | EVAL d = a + 1').toPandas()
+    assert list(got.columns) == ["a", "b", "c", "d"]
+    assert got.values.tolist() == [[1, "x", 2.5, 2]]
+
+
+def test_bucket_numeric_span_in_stats_by(spark, events):
+    got = esql(
+        'FROM events | STATS n = COUNT(*) BY b = BUCKET(value, 25.0)'
+        ' | SORT b ASC',
+        {"events": events},
+    ).toPandas()
+    exp = (
+        events.withColumn(
+            "b", F.floor(F.col("value") / F.lit(25.0)) * F.lit(25.0))
+        .groupBy("b").agg(F.count("*").alias("n")).orderBy("b").toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    assert list(got.columns) == ["b", "n"]
+
+
+def test_bucket_calendar_span_is_date_trunc(spark, events):
+    got = esql(
+        'FROM events | STATS n = COUNT(*) BY d = BUCKET(ts, 1 day)'
+        ' | SORT d ASC | LIMIT 4',
+        {"events": events},
+    ).toPandas()
+    exp = (
+        events.withColumn("d", F.date_trunc("day", F.col("ts")))
+        .groupBy("d").agg(F.count("*").alias("n"))
+        .orderBy("d").limit(4).toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_bucket_auto_form_matches_es_docs_example(spark, events):
+    # the ES|QL reference's canonical example: 20 buckets over
+    # [25324, 74999] resolves to interval 5000
+    from bitcoin_ledger_2es_spark.plans.esql import _nice_interval
+
+    assert _nice_interval(25324, 74999, 20) == 5000.0
+    got = esql(
+        'FROM events | STATS n = COUNT(*) BY b = BUCKET(value, 4, 0, 200)'
+        ' | SORT b ASC',
+        {"events": events},
+    ).toPandas()
+    exp = (
+        events.withColumn(
+            "b", F.floor(F.col("value") / F.lit(50.0)) * F.lit(50.0))
+        .groupBy("b").agg(F.count("*").alias("n")).orderBy("b").toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_bucket_misuse_raises(spark, events):
+    with pytest.raises(ESQLError, match="span must be positive"):
+        esql('FROM e | EVAL b = BUCKET(value, 0)', {"e": events})
+    with pytest.raises(ESQLError, match="numeric literal or"):
+        esql('FROM e | EVAL b = BUCKET(ts, 3 hour)', {"e": events})
+    with pytest.raises(ESQLError, match="numeric literals"):
+        esql('FROM e | EVAL b = BUCKET(value, 4, value, 200)', {"e": events})
+    with pytest.raises(ESQLError, match="takes .expr, span."):
+        esql('FROM e | EVAL b = BUCKET(value)', {"e": events})
+
+
+def test_fork_unions_branches_with_tag_and_null_fill(spark, events):
+    got = esql(
+        'FROM events'
+        ' | FORK (WHERE event_type == "purchase" | EVAL cents ='
+        ' TO_LONG(ROUND(value * 100)) | LIMIT 3)'
+        '        (WHERE event_type == "signup" | LIMIT 2)'
+        ' | STATS n = COUNT(*), c = COUNT(cents) BY _fork | SORT _fork ASC',
+        {"events": events},
+    ).toPandas()
+    # fork1: 3 rows all with cents; fork2: 2 rows, cents null-filled
+    assert got.values.tolist() == [["fork1", 3, 3], ["fork2", 2, 0]]
+
+
+def test_fork_fuse_rrf_matches_manual_fold(spark, doc_searcher):
+    got = esql(
+        'FROM ix METADATA _score'
+        ' | FORK (WHERE MATCH(text, "w0001") | SORT _score DESC, doc_id ASC'
+        ' | LIMIT 8)'
+        '        (WHERE MATCH(text, "w0005") | SORT _score DESC, doc_id ASC'
+        ' | LIMIT 8)'
+        ' | FUSE'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 5 | KEEP doc_id, _score',
+        indexes={"ix": doc_searcher},
+    ).toPandas()
+    fused = {}
+    for q in ("w0001", "w0005"):
+        top = doc_searcher.top_k(q, k=8, with_meta=False).toPandas()
+        for rank, d in enumerate(top["doc_id"].tolist(), start=1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (60.0 + rank)
+    exp = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got["doc_id"].tolist() == [d for d, _ in exp]
+    import numpy as np
+
+    assert np.array_equal(
+        got["_score"].to_numpy(), np.array([s for _, s in exp]))
+
+
+def test_fork_fuse_misuse_raises(spark, events, doc_searcher):
+    with pytest.raises(ESQLError, match="at least two branches"):
+        esql('FROM e | FORK (WHERE value > 0)', {"e": events})
+    with pytest.raises(ESQLError, match="only parenthesized branches"):
+        esql('FROM e | FORK (WHERE value > 0) x (LIMIT 2)', {"e": events})
+    with pytest.raises(ESQLError, match="nested FORK"):
+        esql('FROM e | FORK (LIMIT 1) (FORK (LIMIT 1) (LIMIT 2))',
+             {"e": events})
+    with pytest.raises(ESQLError, match="FUSE needs the _fork"):
+        esql('FROM e | FUSE', {"e": events})
+    with pytest.raises(ESQLError, match="only the rrf method"):
+        esql('FROM ix METADATA _score'
+             ' | FORK (WHERE MATCH(text, "w0001") | LIMIT 2)'
+             ' (WHERE MATCH(text, "w0005") | LIMIT 2) | FUSE linear',
+             indexes={"ix": doc_searcher})
