@@ -3938,7 +3938,12 @@ def q_agg_extras(spark, sf_dir):
     ES query-context escape), random_sampler (probability-based
     deterministic sibling of sampler: knuth_hash(id) < p * 2^32), and
     ip_prefix (/10 masked-network buckets over the derived quad — pure
-    integer mask + octet re-render, identical arithmetic both sides)."""
+    integer mask + octet re-render, identical arithmetic both sides);
+    change_point (8.10 ml-agg, deterministic step-change reading over
+    the daily integer-cents series: statistic |lm-rm|*sqrt(i*(n-i)/n)
+    at the argmax split, ties to smallest i — exact-integer running
+    sums make the f64 expression bit-mirrorable; three rows: detected
+    day + left/right means)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -4412,6 +4417,39 @@ def q_agg_extras(spark, sf_dir):
         "doc_count",
         duck_round(F.col("support"), 6).alias("metric"),
     )
+    # change_point: deterministic step-change detection over the DAILY
+    # integer-cents series (operators/aggs.py change_point — a monthly
+    # series is too short at small SF to admit a split). Means are exact
+    # ratios of integer-exact running sums and the statistic expression
+    # |lm - rm| * sqrt(i*(n-i)/n) is mirrored verbatim in the twin; the
+    # argmax selection orders on the PRE-rounding f64 statistic
+    # (pinned-kind discipline), ties to the smallest split. Three rows:
+    # the detected day (metric = statistic, cents units), left_mean and
+    # right_mean (value units, /100 of identical f64s).
+    from .operators.aggs import change_point as cp_agg
+
+    cp_daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(cents).alias("dsum"))
+    cp = cp_agg(cp_daily, "day", "dsum", min_seg=2).select(
+        F.explode(F.array(
+            F.struct(
+                F.concat(F.lit("day:"), F.col("key")).alias("key"),
+                F.lit(0).cast("long").alias("doc_count"),
+                duck_round("statistic", 6).alias("metric"),
+            ),
+            F.struct(
+                F.lit("left_mean").alias("key"),
+                F.lit(0).cast("long").alias("doc_count"),
+                duck_round(F.col("left_mean") / 100.0, 6).alias("metric"),
+            ),
+            F.struct(
+                F.lit("right_mean").alias("key"),
+                F.lit(0).cast("long").alias("doc_count"),
+                duck_round(F.col("right_mean") / 100.0, 6).alias("metric"),
+            ),
+        )).alias("b")
+    ).select(F.lit("change_point").alias("agg"), "b.*")
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
@@ -4425,6 +4463,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(dr).unionByName(ipq).unionByName(vw).unionByName(ct)
         .unionByName(fis)
         .unionByName(gl).unionByName(rs).unionByName(ipp)
+        .unionByName(cp)
     )
 
 
@@ -5080,6 +5119,46 @@ FROM (
   FROM (SELECT value, {_IP_NUM} AS n FROM events)
 )
 GROUP BY msk
+"""
+
+# change_point twin: the engine's deterministic step-change reading over
+# the daily integer-cents series. ps/tot are exact-integer f64 running
+# sums (fold order irrelevant below 2^53), means are single divisions,
+# and the statistic |lm-rm|*sqrt(CAST(i*(n-i) AS DOUBLE)/n) matches the
+# Spark expression shape op-for-op; the argmax selection orders on the
+# PRE-rounding f64 statistic with the split index as tie-break.
+SQL_AGG_EXTRAS += """
+UNION ALL
+SELECT 'change_point' AS agg, ckey AS key, CAST(0 AS BIGINT) AS doc_count,
+       round(cmetric, 6) AS metric
+FROM (
+  SELECT unnest(['day:' || key, 'left_mean', 'right_mean']) AS ckey,
+         unnest([stat, lm / 100.0, rm / 100.0]) AS cmetric
+  FROM (
+    SELECT nxt AS key,
+           ps / i AS lm,
+           (tot - ps) / (n - i) AS rm,
+           abs(ps / i - (tot - ps) / (n - i))
+             * sqrt(CAST(i * (n - i) AS DOUBLE) / n) AS stat,
+           i
+    FROM (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             lead(day) OVER (ORDER BY day) AS nxt,
+             sum(CAST(dsum AS DOUBLE)) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ps,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             sum(CAST(dsum AS DOUBLE)) OVER () AS tot
+      FROM (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS dsum
+        FROM events GROUP BY 1
+      )
+    )
+    WHERE i >= 2 AND i <= n - 2
+    ORDER BY stat DESC, i ASC LIMIT 1
+  )
+)
 """
 
 

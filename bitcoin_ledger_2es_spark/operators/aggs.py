@@ -281,6 +281,98 @@ def bucket_sort(
     return out
 
 
+def change_point(
+    df: DataFrame, order_col: str, value_col: str, min_seg: int = 2,
+) -> DataFrame:
+    """ES change_point sibling pipeline agg (8.10+, x-pack ml-aggs) —
+    DETERMINISTIC step-change reading. ES runs a battery of statistical
+    tests (spike / dip / step_change / trend_change / distribution_change)
+    whose p-values come from iterative numeric approximations; this
+    engine implements the step-change detector as a pure function of the
+    bucket series (the documented-deviation convention of
+    categorize_text / sampler): for every split i in
+    [min_seg, n - min_seg]
+
+        stat(i) = |mean(v[1..i]) - mean(v[i+1..n])| * sqrt(i*(n-i)/n)
+
+    (the two-sample z-numerator; means are exact ratios when the metric
+    is integer-valued, so the f64 expression is bit-mirrorable by any
+    SQL oracle), and the change point is the FIRST bucket of the right
+    segment at the argmax split — ties broken toward the smallest i.
+
+    Input is an already-bucketed frame with UNIQUE ``order_col`` keys
+    (a duplicate key would make the row_number sequence nondeterministic
+    — the caller owns bucketing, same as every pipeline agg above); the
+    unpartitioned windows are scale-free because the series is k rows by
+    construction.
+
+    Returns ONE row: (``order_col`` of the change point,
+    type='step_change', statistic, left_mean, right_mean); a series
+    shorter than 2*min_seg yields type='indeterminable' with null
+    key/statistic (ES answers the same way on too-short input)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("__key")
+    tot = df.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.col(value_col).cast("double")).alias("__tot"),
+    )
+    splits = (
+        df.select(
+            F.col(order_col).alias("__key"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .withColumn("__i", F.row_number().over(w).cast("long"))
+        .withColumn("__ps", F.sum("__v").over(w))
+        .withColumn("__next", F.lead("__key").over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__i") >= F.lit(min_seg))
+            & (F.col("__i") <= F.col("__n") - F.lit(min_seg))
+        )
+        .select(
+            F.col("__next").alias("key"),
+            F.lit("step_change").alias("type"),
+            (
+                F.abs(
+                    F.col("__ps") / F.col("__i")
+                    - (F.col("__tot") - F.col("__ps"))
+                    / (F.col("__n") - F.col("__i"))
+                )
+                * F.sqrt(
+                    (F.col("__i") * (F.col("__n") - F.col("__i")))
+                    .cast("double") / F.col("__n")
+                )
+            ).alias("statistic"),
+            (F.col("__ps") / F.col("__i")).alias("left_mean"),
+            (
+                (F.col("__tot") - F.col("__ps"))
+                / (F.col("__n") - F.col("__i"))
+            ).alias("right_mean"),
+            F.col("__i").alias("__split"),
+            F.lit(0).alias("__fb"),
+        )
+    )
+    key_t = df.schema[order_col].dataType.simpleString()
+    fallback = tot.select(
+        F.lit(None).cast(key_t).alias("key"),
+        F.lit("indeterminable").alias("type"),
+        F.lit(None).cast("double").alias("statistic"),
+        F.lit(None).cast("double").alias("left_mean"),
+        F.lit(None).cast("double").alias("right_mean"),
+        F.lit(0).cast("long").alias("__split"),
+        F.lit(1).alias("__fb"),
+    )
+    # top-1 on (real-before-fallback, stat desc, split asc): the argmax
+    # split if any split exists, else the indeterminable row
+    return (
+        splits.unionByName(fallback)
+        .orderBy(F.asc("__fb"), F.desc("statistic"), F.asc("__split"))
+        .limit(1)
+        .drop("__split", "__fb")
+    )
+
+
 def bucket_script(df: DataFrame, expr: Column, out: str = "bucket_script") -> DataFrame:
     """ES bucket_script pipeline agg: a per-bucket computed metric from
     the bucket's other metrics (a parent pipeline — evaluated per bucket

@@ -25,6 +25,7 @@ Supported pipeline stages::
     | SAMPLE p [id_col]
     | FORK (stage | stage ...) (stage | ...)   (branch union, _fork tag)
     | FUSE                                      (rrf fusion of branches)
+    | CHANGE_POINT value [ON key] [AS type_col, pvalue_col]
 
 ``ROW name = literal [, ...]`` may replace FROM as the source command
 (one literal row — needs an active SparkSession).
@@ -896,6 +897,47 @@ def _run_stages(df, stages, searcher, with_score, first_where,
             # explode_outer: a null/empty multivalue keeps its row with
             # a null value — the ES|QL MV_EXPAND null behavior
             df = df.withColumn(c, F.explode_outer(c))
+        elif op == "CHANGE_POINT":
+            # ES|QL CHANGE_POINT (9.x): detect a step change in `value`
+            # ordered by `key` and append `type` + `pvalue` columns on
+            # the detected row (null on every other row). Deterministic
+            # reading: the operators.aggs.change_point two-sample split
+            # statistic — the appended `pvalue` column carries that
+            # STATISTIC, not a p-value (documented deviation: ES's
+            # p-values come from iterative numeric approximations that
+            # are not oracle-mirrorable). The frame must already be a
+            # bucketed series with unique keys, same as the agg.
+            cm = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_]*)"
+                r"(?:\s+ON\s+([A-Za-z_@][A-Za-z0-9_.@]*))?"
+                r"(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*,"
+                r"\s*([A-Za-z_][A-Za-z0-9_]*))?$",
+                rest, re.I)
+            if not cm:
+                raise ESQLError(
+                    "CHANGE_POINT takes `value [ON key] "
+                    "[AS type_col, pvalue_col]`")
+            val, key, tname, pname = cm.groups()
+            key = key or "@timestamp"
+            tname, pname = tname or "type", pname or "pvalue"
+            if key not in df.columns:
+                raise ESQLError(
+                    f"CHANGE_POINT key column {key!r} not in frame")
+            if val not in df.columns:
+                raise ESQLError(
+                    f"CHANGE_POINT value column {val!r} not in frame")
+            from ..operators.aggs import change_point as _cp
+
+            ann = (
+                _cp(df.select(key, val), key, val)
+                .filter(F.col("type") == "step_change")
+                .select(
+                    F.col("key").alias(key),
+                    F.col("type").alias(tname),
+                    F.col("statistic").alias(pname),
+                )
+            )
+            df = df.join(F.broadcast(ann), on=key, how="left")
         elif op in ("DISSECT", "GROK"):
             col, pat = _parse_extract_stage(rest, op)
             cols = (_dissect_columns(col, pat) if op == "DISSECT"

@@ -1023,3 +1023,45 @@ def test_children_agg(spark):
     assert set(got.index) == {"c1", "c2"}  # c3 has no parent bucket
     assert got.loc["c1", "doc_count"] == 2 and got.loc["c1", "s"] == 4.0
     assert got.loc["c2", "doc_count"] == 1 and got.loc["c2", "s"] == 5.0
+
+
+# ---- change_point (deterministic step-change reading) ---------------------
+
+
+def test_change_point_detects_planted_step(spark):
+    # 20 buckets: integer metric 100 for keys 1..12, 400 for 13..20 —
+    # the step's right segment starts at key 13
+    rows = [(k, 100 if k <= 12 else 400) for k in range(1, 21)]
+    df = spark.createDataFrame(rows, "k int, v long")
+    from bitcoin_ledger_2es_spark.operators.aggs import change_point
+
+    got = change_point(df, "k", "v").toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["type"] == "step_change" and r["key"] == 13
+    # exact mirror of the documented statistic at the argmax split i=12
+    import math
+
+    lm, rm, n, i = 100.0, 400.0, 20, 12
+    assert r["statistic"] == abs(lm - rm) * math.sqrt(i * (n - i) / n)
+    assert r["left_mean"] == lm and r["right_mean"] == rm
+
+
+def test_change_point_tie_breaks_to_smallest_split(spark):
+    # symmetric series: stat(i) and stat(n-i) tie — the smaller i wins,
+    # so the reported key is the right-segment start of the EARLIER split
+    rows = [(1, 0), (2, 0), (3, 10), (4, 10), (5, 0), (6, 0)]
+    df = spark.createDataFrame(rows, "k int, v long")
+    from bitcoin_ledger_2es_spark.operators.aggs import change_point
+
+    got = change_point(df, "k", "v").toPandas().iloc[0]
+    assert got["type"] == "step_change" and got["key"] == 3
+
+
+def test_change_point_short_series_indeterminable(spark):
+    df = spark.createDataFrame([(1, 5), (2, 7), (3, 9)], "k int, v long")
+    from bitcoin_ledger_2es_spark.operators.aggs import change_point
+
+    got = change_point(df, "k", "v", min_seg=2).toPandas().iloc[0]
+    assert got["type"] == "indeterminable"
+    assert pd.isna(got["key"]) and pd.isna(got["statistic"])

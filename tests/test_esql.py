@@ -791,3 +791,38 @@ def test_fork_fuse_misuse_raises(spark, events, doc_searcher):
              ' | FORK (WHERE MATCH(text, "w0001") | LIMIT 2)'
              ' (WHERE MATCH(text, "w0005") | LIMIT 2) | FUSE linear',
              indexes={"ix": doc_searcher})
+
+
+def test_change_point_command_appends_type_and_pvalue(spark):
+    import math
+
+    rows = [(k, 10 if k <= 6 else 50) for k in range(1, 11)]
+    df = spark.createDataFrame(rows, "k int, v long")
+    got = esql(
+        'FROM t | CHANGE_POINT v ON k | SORT k ASC', {"t": df}
+    ).toPandas()
+    assert list(got.columns) == ["k", "v", "type", "pvalue"]
+    hit = got[got["type"].notna()]
+    assert len(hit) == 1 and hit.iloc[0]["k"] == 7
+    assert hit.iloc[0]["type"] == "step_change"
+    i, n, lm, rm = 6, 10, 10.0, 50.0
+    assert hit.iloc[0]["pvalue"] == abs(lm - rm) * math.sqrt(i * (n - i) / n)
+
+
+def test_change_point_custom_names_and_short_series(spark):
+    df = spark.createDataFrame([(1, 5), (2, 9)], "k int, v long")
+    got = esql(
+        'FROM t | CHANGE_POINT v ON k AS cptype, stat | SORT k ASC',
+        {"t": df},
+    ).toPandas()
+    assert list(got.columns) == ["k", "v", "cptype", "stat"]
+    assert got["cptype"].isna().all()  # indeterminable -> no annotation
+
+
+def test_change_point_misuse_raises(spark, events):
+    with pytest.raises(ESQLError, match="key column"):
+        esql('FROM e | CHANGE_POINT value', {"e": events})  # no @timestamp
+    with pytest.raises(ESQLError, match="value column"):
+        esql('FROM e | CHANGE_POINT nope ON ts', {"e": events})
+    with pytest.raises(ESQLError, match="CHANGE_POINT takes"):
+        esql('FROM e | CHANGE_POINT value ON ts AS only_one', {"e": events})
