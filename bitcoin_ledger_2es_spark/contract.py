@@ -2130,6 +2130,13 @@ LINEAR_WEIGHTS = (0.7, 0.3)
 FORK_QUERIES = ("data table", "spark row")
 FORK_WINDOW = 15
 FORK_TOPK = 8
+# terms_lookup: the ES terms query's lookup form — the lookup doc's
+# analyzed terms are fetched from the index itself (same-index lookup,
+# the common ES case); a doc_id % 7 == 3 bound keeps the filter-context
+# match set k-rows for the gate
+TL_DOC_ID = 42
+TL_MOD = 7
+TL_REM = 3
 # has_parent: the inner query matches ROLLUP (parent) docs of the conv5
 # hierarchy; every child turn carries its parent's f32 score verbatim
 HAS_PARENT_QUERY = ["data", "row"]
@@ -2379,7 +2386,12 @@ def q_advanced_queries(spark, sf_dir):
       in _fork order — 0.0 + x is bit-neutral, so the twin's coalesce
       sum mirrors it verbatim), final `SORT _score DESC, doc_id ASC |
       LIMIT FORK_TOPK` on the PRE-rounding f64 fused score; key =
-      doc_id, score3 = round(_score, 3), n = fused rank."""
+      doc_id, score3 = round(_score, 3), n = fused rank.
+    * ``terms_lookup`` — the ES terms query's lookup form
+      (plans/query.py terms_lookup): the lookup doc's distinct analyzed
+      terms fetched from the index's own term_vectors decode, then a
+      non-scoring filter-context OR match (score3 pinned 0.0); bounded
+      by doc_id % TL_MOD == TL_REM; key = doc_id, n = doc_len."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2716,6 +2728,19 @@ def q_advanced_queries(spark, sf_dir):
             Window.orderBy(F.col("_score").desc(), F.col("doc_id").asc())
         ).cast("long").alias("n"),
     )
+    # terms_lookup: non-scoring filter context (score3 pinned 0.0); the
+    # twin re-derives the lookup doc's term set by tokenizing its text
+    # and list_has_any's it against every doc's tokens — identical to
+    # "contains ANY distinct term of doc TL_DOC_ID"; n = doc_len
+    tl = s.terms_lookup(
+        s, TL_DOC_ID,
+        doc_filter=(F.col("doc_id") % TL_MOD == TL_REM),
+    ).select(
+        F.lit("terms_lookup").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(0.0).cast("double").alias("score3"),
+        F.col("doc_len").cast("long").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2751,7 +2776,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(ex).unionByName(tset).unionByName(scr)
         .unionByName(rr).unionByName(ln).unionByName(rt)
         .unionByName(hp).unionByName(pid).unionByName(sv).unionByName(dfq)
-        .unionByName(mf).unionByName(fk)
+        .unionByName(mf).unionByName(fk).unionByName(tl)
     )
 
 
@@ -3582,6 +3607,25 @@ FROM (
 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= {RRF_TOPK}
 """
 
+# terms_lookup twin: "contains ANY distinct analyzed term of doc
+# TL_DOC_ID" — the lookup set re-derived by tokenizing the lookup doc's
+# text (identical to the engine's term_vectors fetch: a doc's distinct
+# index terms ARE its distinct analyzer tokens); filter context, score3
+# pinned 0.0; n = doc_len = total token count (the docmap's dl).
+_SQL_TERMS_LOOKUP = f"""
+SELECT 'terms_lookup' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       CAST(0.0 AS DOUBLE) AS score3, CAST(len(toks) AS BIGINT) AS n
+FROM (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+  FROM documents
+) d, (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS lk
+  FROM documents WHERE doc_id = {TL_DOC_ID}
+) l
+WHERE d.doc_id % {TL_MOD} = {TL_REM} AND list_has_any(d.toks, l.lk)
+"""
+
 # esql_fork twin: identical shape to _SQL_RRF but over the FORK kind's
 # own (queries, window, topk) so the two kinds never alias each other.
 # The engine's FUSE folds 1/(60+rank) in _fork order (fork1 then fork2)
@@ -3794,7 +3838,8 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_EXPLAIN, _SQL_TERMS_SET, _SQL_SCROLL, _SQL_RRF, _SQL_LINEAR,
      _SQL_RUNTIME,
      _SQL_HAS_PARENT, _SQL_PARENT_ID, _SQL_SPARSE_VECTOR,
-     _SQL_DISTANCE_FEATURE, _SQL_MATCH_FUZZY, _SQL_ESQL_FORK]
+     _SQL_DISTANCE_FEATURE, _SQL_MATCH_FUZZY, _SQL_ESQL_FORK,
+     _SQL_TERMS_LOOKUP]
 )
 
 

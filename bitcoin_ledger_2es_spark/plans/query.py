@@ -817,6 +817,51 @@ class BM25Searcher:
             k, "or", doc_filter, with_meta,
         )
 
+    def terms_lookup(
+        self,
+        lookup_searcher: "BM25Searcher",
+        lookup_doc_id: int,
+        max_terms: int = 65536,
+        doc_filter: Column | None = None,
+    ) -> DataFrame:
+        """ES terms query with terms lookup (``{"terms": {field:
+        {"index", "id", "path"}}}``): fetch the lookup document's
+        analyzed terms from ``lookup_searcher``'s index (its
+        ``_termvectors`` decode — a block-pruned point lookup, no stored
+        source needed; pass ``self`` for a same-index lookup, the common
+        ES case) and filter-context match the docs of THIS index
+        containing ANY of them. Non-scoring (constant-score filter
+        context, like ES's terms query) — returns the docmap match set,
+        exactly ``match_docs``'s shape, so aggs compose on top.
+
+        ES caps the fetched list at ``index.max_terms_count`` (65536
+        default) and rejects larger lookups — mirrored here with a
+        raise. The lookup fetch is a k-row collect (one document's
+        distinct terms); the match itself runs on the normal pruned-scan
+        path, nothing quadratic anywhere."""
+        tv = (
+            lookup_searcher.term_vectors(int(lookup_doc_id))
+            .select("term").collect()
+        )
+        terms = sorted({r["term"] for r in tv})
+        if len(terms) > max_terms:
+            raise ValueError(
+                f"terms_lookup: fetched {len(terms)} terms > max_terms "
+                f"{max_terms} (ES index.max_terms_count)"
+            )
+        if not terms:
+            # ES: a terms query with an empty fetched list matches
+            # nothing (an empty-text lookup doc has no terms)
+            return self._spark.createDataFrame(
+                [], "doc_id long, conv_id string, turn_idx int, "
+                    "doc_len long, is_rollup boolean"
+            )
+        # terms are already analyzer output ([a-z0-9_]+ tokens), so the
+        # re-analysis inside match_docs is idempotent
+        return self.match_docs(
+            " ".join(terms), mode="or", doc_filter=doc_filter
+        )
+
     def _all_match_scores(self, query_text: str, mode: str = "or") -> DataFrame | None:
         """Every matching doc scored (no top-k selection edge): the same
         pruned-scan shard kernels with the per-shard cap set to

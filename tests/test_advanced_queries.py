@@ -237,3 +237,33 @@ def test_mtermvectors_matches_per_doc_and_is_one_job(searcher):
     n1 = len(sc.statusTracker().getJobIdsForGroup("mtv1"))
     n3 = len(sc.statusTracker().getJobIdsForGroup("mtv3"))
     assert n3 == n1, f"mtermvectors jobs grew with doc count: {n1} -> {n3}"
+
+
+# ---- terms_lookup (ES terms query, lookup form) ----------------------------
+
+
+def test_terms_lookup_matches_token_share_bruteforce(searcher, docs_pdf):
+    import re
+
+    lk = 5
+    got = searcher.terms_lookup(searcher, lk).toPandas()
+    toks = lambda t: set(re.findall(r"[a-z0-9_]+", (t or "").lower()))
+    lk_terms = toks(docs_pdf.loc[docs_pdf.doc_id == lk, "text"].iloc[0])
+    exp = {
+        int(r.doc_id)
+        for r in docs_pdf.itertuples()
+        if toks(r.text) & lk_terms
+    }
+    assert set(got["doc_id"].tolist()) == exp
+    assert lk in exp  # the lookup doc matches itself (ES does not exclude)
+
+
+def test_terms_lookup_doc_filter_and_max_terms(searcher, docs_pdf):
+    from pyspark.sql import functions as F
+
+    got = searcher.terms_lookup(
+        searcher, 5, doc_filter=F.col("doc_id") % 2 == 0
+    ).toPandas()
+    assert (got["doc_id"] % 2 == 0).all()
+    with pytest.raises(ValueError, match="max_terms"):
+        searcher.terms_lookup(searcher, 5, max_terms=1)
