@@ -2295,6 +2295,13 @@ class BM25Searcher:
             body = json.loads(base64.b64decode(wrapper, validate=True))
         except (binascii.Error, ValueError) as e:
             raise ValueError(f"wrapper: not base64-encoded JSON: {e}")
+        return self.query_dsl(body, k=k, **kw)
+
+    def query_dsl(self, body: dict, k: int = 10, **kw) -> DataFrame:
+        """Dispatch a single-key JSON query-DSL object onto the engine's
+        own surfaces — the wrapper_query subset (see its docstring for
+        the supported types), shared by the wrapper query and the
+        retriever tree's ``standard`` node. Unknown constructs raise."""
         if not isinstance(body, dict) or len(body) != 1:
             raise ValueError("wrapper body must be a single-key query object")
         (qtype, spec), = body.items()
