@@ -40,8 +40,11 @@ TO_BOOLEAN TO_DATETIME STARTS_WITH ENDS_WITH TRIM LTRIM RTRIM REPLACE
 (regex) LEFT RIGHT REVERSE REPEAT SPACE TO_BASE64 FROM_BASE64 MD5 SHA1
 CEIL FLOOR SQRT CBRT EXP LOG LOG10 POW SIGNUM SIN COS TAN ASIN ACOS
 ATAN ATAN2 HYPOT PI E, multivalue
-MV_COUNT MV_MAX MV_MIN MV_DEDUPE MV_SORT (over array columns,
-null-in-null-out), and
+MV_COUNT MV_MAX MV_MIN MV_DEDUPE MV_SORT MV_CONCAT MV_SUM MV_AVG
+MV_FIRST MV_LAST (over array columns, null-in-null-out; empty
+multivalues answer null, the ES|QL convention), arg-order-adapted
+LOCATE / DATE_FORMAT / DATE_DIFF / SPLIT (explicit re-emitters in
+_SPECIAL), TO_DEGREES TO_RADIANS BIT_LENGTH BYTE_LENGTH, and
 variadic CASE(cond, val, ..., [default]), and BUCKET (three documented
 forms: numeric span, ``1 <unit>`` calendar span via date_trunc, and the
 auto (expr, count, from, to) form at a driver-resolved nice interval).
@@ -90,10 +93,11 @@ _FUNCS = {
     # the default spark.sql.legacy.sizeOfNull=false.
     "MV_COUNT": "size", "MV_MAX": "array_max", "MV_MIN": "array_min",
     # whitelist criterion: ONLY functions whose Spark twin has the
-    # identical name-compatible semantics AND argument order — anything
-    # with swapped args (LOCATE, DATE_FORMAT), literal-vs-regex drift
-    # (SPLIT) or no 1:1 Spark builtin (CIDR_MATCH, MV_SUM) stays OUT
-    # and raises, per the module's never-misread discipline.
+    # identical name-compatible semantics AND argument order. Functions
+    # with swapped args (LOCATE, DATE_FORMAT, DATE_DIFF), literal-vs-
+    # regex drift (SPLIT) or composite lowerings (MV_SUM/AVG/FIRST/
+    # LAST) live in _SPECIAL with explicit re-emitters; anything else
+    # (CIDR_MATCH, ...) raises, per the never-misread discipline.
     "STARTS_WITH": "startswith", "ENDS_WITH": "endswith",
     "TRIM": "trim", "LTRIM": "ltrim", "RTRIM": "rtrim",
     "REPLACE": "regexp_replace",  # ES|QL REPLACE is regex-based too
@@ -109,6 +113,9 @@ _FUNCS = {
     # MV_DEDUPE/MV_SORT: single-argument forms (ES|QL's optional order
     # argument has no Spark rename twin — it raises downstream)
     "MV_DEDUPE": "array_distinct", "MV_SORT": "array_sort",
+    "MV_CONCAT": "array_join",  # (array, delimiter) — same order
+    "TO_DEGREES": "degrees", "TO_RADIANS": "radians",
+    "BIT_LENGTH": "bit_length", "BYTE_LENGTH": "octet_length",
 }
 _CASTS = {"TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE", "TO_STRING": "STRING",
           "TO_INTEGER": "INT", "TO_BOOLEAN": "BOOLEAN",
@@ -337,6 +344,125 @@ def _emit_bucket(args) -> str:
     raise ESQLError("BUCKET takes (expr, span) or (expr, count, from, to)")
 
 
+def _raw_str(part):
+    """Token group -> raw python string if it is a string literal (with
+    ES|QL escapes resolved), else None."""
+    if len(part) == 1 and part[0][0] == "str":
+        return part[0][1][1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    return None
+
+
+def _sql_str(s: str) -> str:
+    """Python string -> Spark SQL single-quoted literal (backslashes
+    doubled — the _sqlq escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+# Functions whose ES|QL argument order or semantics need an explicit
+# re-emission (the 1:1 rename whitelist above deliberately excludes
+# them — see its criterion comment):
+_DATE_DIFF_UNITS = {"YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+                    "HOUR", "MINUTE", "SECOND"}
+
+
+def _sp_locate(args):
+    # ES|QL LOCATE(string, substring[, start]) vs Spark
+    # locate(substr, str[, pos]) — the first two args are swapped
+    if len(args) not in (2, 3):
+        raise ESQLError("LOCATE takes (string, substring[, start])")
+    s, sub = _emit(args[0]), _emit(args[1])
+    tail = f", {_emit(args[2])}" if len(args) == 3 else ""
+    return f"locate({sub}, {s}{tail})"
+
+
+def _sp_date_format(args):
+    # ES|QL DATE_FORMAT([format,] date) — the OPTIONAL format comes
+    # FIRST; Spark date_format(date, format). Both take java.time
+    # patterns; the 1-arg default is ES's ISO8601 millis pattern.
+    if len(args) == 1:
+        return (f"date_format({_emit(args[0])}, "
+                "'yyyy-MM-dd''T''HH:mm:ss.SSS''Z''')")
+    if len(args) == 2:
+        return f"date_format({_emit(args[1])}, {_emit(args[0])})"
+    raise ESQLError("DATE_FORMAT takes ([format,] date)")
+
+
+def _sp_date_diff(args):
+    # ES|QL DATE_DIFF(unit, start, end) -> timestampdiff(UNIT, s, e):
+    # complete-unit counts from java.time ChronoUnit on both. The unit
+    # must be one of the long names as a string literal (ES's
+    # abbreviation aliases like "dd" are not mirrored — raise).
+    if len(args) != 3:
+        raise ESQLError("DATE_DIFF takes (unit, start, end)")
+    unit = _raw_str(args[0])
+    if unit is None or unit.upper() not in _DATE_DIFF_UNITS:
+        raise ESQLError(
+            "DATE_DIFF unit must be a string literal in "
+            f"{sorted(_DATE_DIFF_UNITS)}")
+    return (f"timestampdiff({unit.upper()}, {_emit(args[1])}, "
+            f"{_emit(args[2])})")
+
+
+def _sp_split(args):
+    # ES|QL SPLIT(string, delimiter) — the delimiter is a LITERAL;
+    # Spark split(str, regex) is regex-based, so the literal is
+    # regex-escaped driver-side. A non-literal delimiter would need
+    # runtime regex quoting — raise instead (never-misread).
+    if len(args) != 2:
+        raise ESQLError("SPLIT takes (string, delimiter)")
+    delim = _raw_str(args[1])
+    if delim is None:
+        raise ESQLError("SPLIT delimiter must be a string literal")
+    return f"split({_emit(args[0])}, {_sql_str(re.escape(delim))})"
+
+
+def _sp_mv_sum(args):
+    # MV_SUM: f64 left-fold in element order; null/empty -> null (the
+    # ES|QL multivalue null convention — aggregate() alone would give 0)
+    if len(args) != 1:
+        raise ESQLError("MV_SUM takes one array argument")
+    c = _emit(args[0])
+    return (f"CASE WHEN {c} IS NULL OR size({c}) = 0 THEN NULL "
+            f"ELSE aggregate({c}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE)) END")
+
+
+def _sp_mv_avg(args):
+    if len(args) != 1:
+        raise ESQLError("MV_AVG takes one array argument")
+    c = _emit(args[0])
+    return (f"CASE WHEN {c} IS NULL OR size({c}) = 0 THEN NULL "
+            f"ELSE aggregate({c}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE)) "
+            f"/ CAST(size({c}) AS DOUBLE) END")
+
+
+def _sp_mv_first(args):
+    # first/last element in ingest order; empty -> null (try_element_at
+    # — plain element_at THROWS on out-of-range under ANSI mode)
+    if len(args) != 1:
+        raise ESQLError("MV_FIRST takes one array argument")
+    return f"try_element_at({_emit(args[0])}, 1)"
+
+
+def _sp_mv_last(args):
+    if len(args) != 1:
+        raise ESQLError("MV_LAST takes one array argument")
+    return f"try_element_at({_emit(args[0])}, -1)"
+
+
+_SPECIAL = {
+    "LOCATE": _sp_locate,
+    "DATE_FORMAT": _sp_date_format,
+    "DATE_DIFF": _sp_date_diff,
+    "SPLIT": _sp_split,
+    "MV_SUM": _sp_mv_sum,
+    "MV_AVG": _sp_mv_avg,
+    "MV_FIRST": _sp_mv_first,
+    "MV_LAST": _sp_mv_last,
+}
+
+
 def _emit(tokens, aggs_ok: bool = False) -> str:
     """Token list -> Spark SQL expression string. Recursive only for
     CASE(...) (ES|QL's variadic conditional becomes CASE WHEN)."""
@@ -375,6 +501,8 @@ def _emit(tokens, aggs_ok: bool = False) -> str:
                 args = _split_top(tokens[i + 2:j]) if j > i + 2 else []
                 if up == "BUCKET":
                     out.append(_emit_bucket(args))
+                elif up in _SPECIAL:
+                    out.append(_SPECIAL[up](args))
                 elif up == "CASE":
                     if len(args) < 2:
                         raise ESQLError("CASE needs cond, value, ...")

@@ -91,7 +91,7 @@ def test_unsupported_constructs_raise(spark, events):
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
         esql('FROM events | EVAL x = MV_EXPAND(value)', t)
     with pytest.raises(ESQLError, match="unsupported ES\\|QL stage"):
-        esql("FROM events | CHANGE_POINT value ON ts", t)
+        esql("FROM events | COMPLETION value WITH model", t)
     with pytest.raises(ESQLError, match="ENRICH takes"):
         esql("FROM events | ENRICH policy", t)
     with pytest.raises(ESQLError, match="unbalanced"):
@@ -671,7 +671,7 @@ def test_mv_dedupe_sort_and_unknown_still_raises(spark):
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
         esql('FROM t | EVAL x = CIDR_MATCH(a, "10.0.0.0/8")', {"t": df})
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
-        esql('FROM t | EVAL x = LOCATE(a, "b")', {"t": df})
+        esql('FROM t | EVAL x = MV_SLICE(a, 1, 2)', {"t": df})
 
 
 def test_row_literal_source(spark):
@@ -826,3 +826,73 @@ def test_change_point_misuse_raises(spark, events):
         esql('FROM e | CHANGE_POINT nope ON ts', {"e": events})
     with pytest.raises(ESQLError, match="CHANGE_POINT takes"):
         esql('FROM e | CHANGE_POINT value ON ts AS only_one', {"e": events})
+
+
+def test_special_fn_locate_date_format_date_diff_split(spark):
+    df = spark.createDataFrame(
+        [("hello world", "2024-01-03 10:30:00", "2024-01-05 09:00:00")],
+        "s string, a string, b string",
+    ).selectExpr("s", "CAST(a AS TIMESTAMP) a", "CAST(b AS TIMESTAMP) b")
+    got = esql(
+        'FROM t | EVAL loc = LOCATE(s, "world"),'
+        ' fmt = DATE_FORMAT("yyyy/MM/dd", a),'
+        ' iso = DATE_FORMAT(a),'
+        ' dd = DATE_DIFF("day", a, b),'
+        ' hh = DATE_DIFF("hour", a, b),'
+        ' parts = SPLIT(s, " ")'
+        ' | KEEP loc, fmt, iso, dd, hh, parts',
+        {"t": df},
+    ).toPandas()
+    r = got.iloc[0]
+    assert r["loc"] == 7
+    assert r["fmt"] == "2024/01/03"
+    assert r["iso"] == "2024-01-03T10:30:00.000Z"
+    assert r["dd"] == 1 and r["hh"] == 46  # complete units only
+    assert list(r["parts"]) == ["hello", "world"]
+
+
+def test_split_regex_metachars_are_literal(spark):
+    df = spark.createDataFrame([("a.b.c",), ("x|y",)], "s string")
+    got = esql(
+        'FROM t | EVAL p = SPLIT(s, "."), q = MV_COUNT(p) | KEEP s, q'
+        ' | SORT s ASC',
+        {"t": df},
+    ).toPandas()
+    # "." splits only the literal dots — 3 parts for a.b.c, 1 for x|y
+    assert got["q"].tolist() == [3, 1]
+
+
+def test_mv_sum_avg_first_last_and_null_conventions(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 4.0]), (2, []), (3, None)],
+        "k int, v array<double>",
+    )
+    got = esql(
+        'FROM t | EVAL s = MV_SUM(v), a = MV_AVG(v),'
+        ' f = MV_FIRST(v), l = MV_LAST(v)'
+        ' | KEEP k, s, a, f, l | SORT k ASC',
+        {"t": df},
+    ).toPandas()
+    assert got.loc[0, ["s", "a", "f", "l"]].tolist() == [7.0, 7.0 / 3.0, 1.0, 4.0]
+    assert got.loc[1, ["s", "a", "f", "l"]].isna().all()  # empty -> null
+    assert got.loc[2, ["s", "a", "f", "l"]].isna().all()  # null -> null
+
+
+def test_special_fn_misuse_raises(spark, events):
+    with pytest.raises(ESQLError, match="DATE_DIFF unit"):
+        esql('FROM e | EVAL d = DATE_DIFF("dd", ts, ts)', {"e": events})
+    with pytest.raises(ESQLError, match="string literal"):
+        esql('FROM e | EVAL p = SPLIT(event_type, event_type)',
+             {"e": events})
+    with pytest.raises(ESQLError, match="LOCATE takes"):
+        esql('FROM e | EVAL p = LOCATE(event_type)', {"e": events})
+    with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
+        esql('FROM e | EVAL x = CIDR_MATCH(event_type, "10.0.0.0/8")',
+             {"e": events})
+
+
+def test_mv_concat_joins_string_arrays(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],)], "v array<string>")
+    got = esql('FROM t | EVAL j = MV_CONCAT(v, "-") | KEEP j',
+               {"t": df}).toPandas()
+    assert got["j"].tolist() == ["a-b-c"]
