@@ -58,18 +58,39 @@ class MultiSearcher:
         mode: str = "or",
         doc_filter: Column | None = None,
         with_meta: bool = True,
+        indices_boost: "dict[str, float] | None" = None,
     ) -> DataFrame:
         """Global top-k across all member indexes: per-index exact top-k
         (each with its own corpus stats — the ES per-index scoring
         model), then a k-row merge re-ranked under the deterministic
-        (score, _index, doc_id) order."""
-        parts = [
-            s.top_k(query_text, k=k, mode=mode, doc_filter=doc_filter,
-                    with_meta=with_meta)
-            .drop("rank")
-            .withColumn("_index", F.lit(name))
-            for name, s in self.searchers.items()
-        ]
+        (score, _index, doc_id) order.
+
+        ``indices_boost`` (ES search-body ``indices_boost``): multiply
+        each member's hit scores by its boost BEFORE the merge (unnamed
+        members default 1.0; an unknown name raises — ES validates
+        against the request's index list too). The multiply is one f64
+        op on the emitted f32 score, re-emitted f32 — deterministic and
+        oracle-mirrorable like every score transform here."""
+        boosts = dict(indices_boost or {})
+        if unknown := set(boosts) - set(self.searchers):
+            raise ValueError(f"indices_boost names unknown indexes: "
+                             f"{sorted(unknown)}")
+        parts = []
+        for name, s in self.searchers.items():
+            p = (
+                s.top_k(query_text, k=k, mode=mode, doc_filter=doc_filter,
+                        with_meta=with_meta)
+                .drop("rank")
+                .withColumn("_index", F.lit(name))
+            )
+            b = float(boosts.get(name, 1.0))
+            if b != 1.0:
+                p = p.withColumn(
+                    "score",
+                    (F.col("score").cast("double") * F.lit(b))
+                    .cast("float"),
+                )
+            parts.append(p)
         return self._merge(parts, k)
 
     def count(self, query_text: str = "", mode: str = "and",

@@ -418,10 +418,16 @@ class BM25Searcher:
         doc_filter: Column | None = None,
         with_meta: bool = True,
         search_after: tuple[float, int] | None = None,
+        min_score: float | None = None,
     ) -> DataFrame:
         """Exact BM25 top-k. ``doc_filter``: optional non-scoring predicate
         over docmap columns (ES bool.filter / range-query context) — e.g.
         ``F.col("is_rollup") == False`` or a doc_id/conv_id range.
+
+        ``min_score``: the ES search-body ``min_score`` — hits scoring
+        strictly below it are excluded BEFORE selection. Compared in the
+        engine's emitted f32 space (the threshold is f32-quantized like
+        search_after's cursor score), so the cut is reproducible.
 
         ``search_after``: ES deep-pagination cursor — the (score, doc_id)
         of the LAST hit of the previous page (score compared as f32, the
@@ -438,7 +444,7 @@ class BM25Searcher:
         if mode == "and" and len(found) < len(weights):
             return self._empty()  # a required term matches nothing
         return self._scored_top_k(found, weights, k, mode, doc_filter, with_meta,
-                                  search_after)
+                                  search_after, min_score=min_score)
 
     def _scored_top_k(
         self,
@@ -449,10 +455,14 @@ class BM25Searcher:
         doc_filter: Column | None,
         with_meta: bool,
         search_after: tuple[float, int] | None = None,
+        min_score: float | None = None,
     ) -> DataFrame:
         """Shared scoring core: ``found`` maps term -> (term_id, df),
         ``weights`` gives per-term clause weights (occurrence counts for
-        match queries, 1 for multi-term expansions)."""
+        match queries, 1 for multi-term expansions). ``min_score``
+        filters candidates in f32 space before the selection edge (a
+        pure filter — the shard kernels' per-shard caps are unaffected
+        because a filter only removes rows)."""
         ix, cfg = self.ix, self.ix.cfg
         if not found:
             return self._empty()
@@ -486,6 +496,9 @@ class BM25Searcher:
         else:
             cands = cand_postings.groupBy("shard_id").applyInPandas(kernel, schema=_CAND_DDL)
 
+        if min_score is not None:
+            cands = cands.filter(
+                F.col("score") >= float(np.float32(min_score)))
         return self._ranked(cands, k, with_meta)
 
     def bool_query(

@@ -321,3 +321,17 @@ def test_match_bool_prefix_empty_cases(ix):
     assert s.match_bool_prefix("", with_meta=False).count() == 0
     # OOV fixed term AND un-extendable stem -> nothing can match
     assert s.match_bool_prefix("zzzz yyy", with_meta=False).count() == 0
+
+
+def test_min_score_cuts_in_f32_space(ix):
+    searcher = BM25Searcher(ix)
+    full = searcher.top_k("w0001 w0003", k=50, with_meta=False).toPandas()
+    assert len(full) > 3
+    cut = float(full["score"].iloc[2])  # the 3rd-best f32 score
+    got = searcher.top_k("w0001 w0003", k=50, with_meta=False,
+                         min_score=cut).toPandas()
+    exp = full[full["score"] >= cut]
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert (got["score"] >= cut).all()
+    # rank re-numbered 1..n over the surviving hits
+    assert got["rank"].tolist() == list(range(1, len(exp) + 1))

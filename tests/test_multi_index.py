@@ -143,3 +143,27 @@ def test_rollover_lifecycle_end_to_end(spark, tmp_path):
     # refuse re-using an existing member or an already-written target
     with pytest.raises(FileExistsError):
         rollover(reg, "logs", new_index_path=p1)
+
+
+def test_indices_boost_scales_scores_before_merge(spark, tiny_df):
+    import numpy as np
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+    from bitcoin_ledger_2es_spark.plans.multi import MultiSearcher
+
+    cfg = DEFAULT.with_(docs_per_shard=128, block_size=32)
+    s = BM25Searcher(build_index(tiny_df, cfg))
+    ms = MultiSearcher({"a": s, "b": s})
+    plain = ms.top_k("w0001", k=6, with_meta=False).toPandas()
+    boosted = ms.top_k("w0001", k=6, with_meta=False,
+                       indices_boost={"b": 2.0}).toPandas()
+    # boost 2.0 on b: every b hit doubles (f32 of f64*2), a unchanged —
+    # with identical members, the boosted index's hits now lead
+    assert (boosted.iloc[0]["_index"], boosted.iloc[1]["_index"]) == ("b", "b")
+    a_plain = plain[plain["_index"] == "a"].iloc[0]["score"]
+    b_boost = boosted[boosted["_index"] == "b"].iloc[0]["score"]
+    assert b_boost == np.float32(np.float64(a_plain) * 2.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown indexes"):
+        ms.top_k("w0001", indices_boost={"zzz": 2.0})
