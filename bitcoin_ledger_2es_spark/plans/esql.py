@@ -49,8 +49,11 @@ variadic CASE(cond, val, ..., [default]), and BUCKET (three documented
 forms: numeric span, ``1 <unit>`` calendar span via date_trunc, and the
 auto (expr, count, from, to) form at a driver-resolved nice interval).
 STATS/INLINESTATS aggregates: COUNT(*) COUNT COUNT_DISTINCT SUM AVG MIN
-MAX MEDIAN PERCENTILE(field, p 0..100); BY takes plain columns or
-``alias = expr`` keys (the ``BY b = BUCKET(...)`` shape).
+MAX MEDIAN PERCENTILE(field, p 0..100) STD_DEV (population)
+VALUES (unique multivalue, ascending — ES guarantees no order; this
+engine pins one) WEIGHTED_AVG(value, weight) TOP(field, limit,
+"asc"|"desc"); BY takes plain columns or ``alias = expr`` keys (the
+``BY b = BUCKET(...)`` shape).
 
 How it lowers (why this is the right engine shape): every stage maps
 1:1 onto a declarative DataFrame op — WHERE -> filter (predicate
@@ -121,7 +124,8 @@ _CASTS = {"TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE", "TO_STRING": "STRING",
           "TO_INTEGER": "INT", "TO_BOOLEAN": "BOOLEAN",
           "TO_DATETIME": "TIMESTAMP"}
 _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
-         "MEDIAN", "PERCENTILE"}
+         "MEDIAN", "PERCENTILE", "STD_DEV", "VALUES", "WEIGHTED_AVG",
+         "TOP"}
 
 
 class ESQLError(ValueError):
@@ -537,6 +541,46 @@ def _emit(tokens, aggs_ok: bool = False) -> str:
                         out.append(
                             f"percentile({_emit(args[0])}, ({_emit(args[1])}) / 100.0)"
                         )
+                    elif up == "STD_DEV":
+                        # ES|QL STD_DEV is the POPULATION deviation
+                        out.append(f"stddev_pop({_emit(args[0])})")
+                    elif up == "VALUES":
+                        # ES|QL VALUES: unique values as a multivalue;
+                        # ES documents NO order guarantee — this engine
+                        # pins ascending (array_sort) so results are
+                        # deterministic and oracle-mirrorable
+                        out.append(
+                            f"array_sort(collect_set({_emit(args[0])}))")
+                    elif up == "WEIGHTED_AVG":
+                        if len(args) != 2:
+                            raise ESQLError("WEIGHTED_AVG(value, weight)")
+                        v, wt = _emit(args[0]), _emit(args[1])
+                        # exact closed form sum(v*w)/sum(w) in f64 —
+                        # bit-mirrorable when v*w is integer-exact (the
+                        # weighted_avg agg-kind recipe in contract.py)
+                        out.append(
+                            f"(sum(CAST(({v}) AS DOUBLE) * ({wt})) "
+                            f"/ sum(CAST(({wt}) AS DOUBLE)))")
+                    elif up == "TOP":
+                        # ES|QL TOP(field, limit, "asc"|"desc"): the
+                        # limit/order must be literals (they shape the
+                        # aggregate — the BUCKET-literal convention)
+                        if len(args) != 3:
+                            raise ESQLError(
+                                'TOP takes (field, limit, "asc"|"desc")')
+                        lim = _num_literal(args[1])
+                        order = _raw_str(args[2])
+                        if lim is None or int(lim) != lim or lim <= 0:
+                            raise ESQLError(
+                                "TOP limit must be a positive integer "
+                                "literal")
+                        if order not in ("asc", "desc"):
+                            raise ESQLError(
+                                'TOP order must be "asc" or "desc"')
+                        arr = f"array_sort(collect_list({_emit(args[0])}))"
+                        if order == "desc":
+                            arr = f"reverse({arr})"
+                        out.append(f"slice({arr}, 1, {int(lim)})")
                     else:
                         out.append(f"{up.lower()}({_emit(args[0])})")
                 else:

@@ -896,3 +896,37 @@ def test_mv_concat_joins_string_arrays(spark):
     got = esql('FROM t | EVAL j = MV_CONCAT(v, "-") | KEEP j',
                {"t": df}).toPandas()
     assert got["j"].tolist() == ["a-b-c"]
+
+
+def test_stats_std_dev_values_weighted_avg_top(spark, events):
+    got = esql(
+        'FROM events'
+        ' | EVAL cents = TO_LONG(ROUND(value * 100))'
+        ' | STATS sd = STD_DEV(cents),'
+        ' wa = WEIGHTED_AVG(cents, user_id + 1),'
+        ' vals = VALUES(event_type),'
+        ' t3 = TOP(cents, 3, "desc"),'
+        ' b3 = TOP(cents, 2, "asc")',
+        {"events": events},
+    ).toPandas()
+    import numpy as np
+
+    pdf = events.toPandas()
+    cents = np.round(pdf["value"].to_numpy() * 100).astype("int64")
+    w = pdf["user_id"].to_numpy() + 1
+    r = got.iloc[0]
+    assert abs(r["sd"] - cents.std()) < 1e-6          # population std
+    assert r["wa"] == float((cents.astype("float64") * w).sum() / float(w.sum()))
+    assert list(r["vals"]) == sorted(pdf["event_type"].unique())
+    srt = np.sort(cents)
+    assert list(r["t3"]) == srt[::-1][:3].tolist()
+    assert list(r["b3"]) == srt[:2].tolist()
+
+
+def test_stats_top_misuse_raises(spark, events):
+    with pytest.raises(ESQLError, match="positive integer"):
+        esql('FROM e | STATS t = TOP(value, 0, "desc")', {"e": events})
+    with pytest.raises(ESQLError, match='"asc" or "desc"'):
+        esql('FROM e | STATS t = TOP(value, 3, "up")', {"e": events})
+    with pytest.raises(ESQLError, match="WEIGHTED_AVG"):
+        esql('FROM e | STATS t = WEIGHTED_AVG(value)', {"e": events})
