@@ -1143,9 +1143,15 @@ def _run_stages(df, stages, searcher, with_score, first_where,
                 if "_fork" in bdf.columns:  # a FORK inside the branch
                     raise ESQLError("nested FORK is not supported")
                 parts.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
+            branch_cols = [tuple(p.columns) for p in parts]
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
+            # remembered for a directly-following FUSE: merging is only
+            # sound when every branch carried identical columns (a
+            # branch-local EVAL null-fills the others, so "same doc"
+            # rows would differ and silently fail to merge)
+            df._fork_branch_cols = branch_cols
             first_where = False
         elif op == "FUSE":
             # ES|QL FUSE (9.x): fuse FORK branches by reciprocal-rank
@@ -1159,9 +1165,18 @@ def _run_stages(df, stages, searcher, with_score, first_where,
             # cross-retriever fold contract (conversations_topk,
             # compound queries). Groups on every other column: FORK
             # branches share the base frame, so a doc's carried columns
-            # are identical across branches by construction.
+            # are identical across branches by construction — enforced
+            # below when FUSE directly follows FORK (a branch-local
+            # EVAL would null-fill the other branches and the merge
+            # would silently miss; raise instead).
             if rest.strip() and rest.strip().upper() != "RRF":
                 raise ESQLError("FUSE supports only the rrf method")
+            bcols = getattr(df, "_fork_branch_cols", None)
+            if bcols is not None and len(set(bcols)) != 1:
+                raise ESQLError(
+                    "FUSE needs identical columns in every FORK branch "
+                    "(a branch-local EVAL prevents merging; EVAL after "
+                    "FUSE instead)")
             for need in ("_fork", "_score", "doc_id"):
                 if need not in df.columns:
                     raise ESQLError(

@@ -930,3 +930,14 @@ def test_stats_top_misuse_raises(spark, events):
         esql('FROM e | STATS t = TOP(value, 3, "up")', {"e": events})
     with pytest.raises(ESQLError, match="WEIGHTED_AVG"):
         esql('FROM e | STATS t = WEIGHTED_AVG(value)', {"e": events})
+
+
+def test_fuse_rejects_branch_local_eval(spark, doc_searcher):
+    with pytest.raises(ESQLError, match="identical columns"):
+        esql(
+            'FROM ix METADATA _score'
+            ' | FORK (WHERE MATCH(text, "w0001") | EVAL extra = 1 | LIMIT 3)'
+            '        (WHERE MATCH(text, "w0005") | LIMIT 3)'
+            ' | FUSE',
+            indexes={"ix": doc_searcher},
+        )
