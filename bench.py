@@ -245,6 +245,20 @@ def main() -> None:
             q2[0], q2[1], negative_boost=0.5, k=10, with_meta=False).collect(),
         "collapse": lambda: searcher.collapse_topk(q2[0], k=10).collect(),
     }
+    # round-5 session 3: the ES|QL FORK/FUSE hybrid — two scored MATCH
+    # branches + rrf fusion; bounds the retriever-tree cost (two engine
+    # scans + k-row fuse)
+    from bitcoin_ledger_2es_spark.plans.esql import esql as _esql_run
+
+    compound["esql_fork_fuse"] = lambda: _esql_run(
+        'FROM ix METADATA _score'
+        f' | FORK (WHERE MATCH(text, "{q2[0]}")'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 20)'
+        f' (WHERE MATCH(text, "{q2[1]}")'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 20)'
+        ' | FUSE | SORT _score DESC, doc_id ASC | LIMIT 10'
+        ' | KEEP doc_id, _score',
+        indexes={"ix": searcher}).collect()
     for name, fn in compound.items():
         fn()  # warm-up
         best = float("inf")
