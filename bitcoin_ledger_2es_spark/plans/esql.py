@@ -32,7 +32,10 @@ Supported pipeline stages::
 
 Expressions: comparisons (``==`` ``!=`` ``<`` ``<=`` ``>`` ``>=``),
 boolean AND/OR/NOT, arithmetic ``+ - * / %``, parens, ``IS NULL`` /
-``IS NOT NULL``, ``IN (...)``, ``LIKE``, double-quoted string literals,
+``IS NOT NULL``, ``IN (...)``, ``LIKE`` (ES|QL wildcards ``*``/``?``,
+backslash-escapable — SQL's %/_ are ordinary characters, translated at
+emission), ``RLIKE`` (whole-string regex, anchored at emission —
+Spark's RLIKE alone is a partial find), double-quoted string literals,
 TRUE/FALSE/NULL, and the function whitelist below (ES|QL name -> Spark
 SQL): ROUND ABS LENGTH SUBSTRING CONCAT GREATEST LEAST COALESCE
 DATE_TRUNC TO_LOWER TO_UPPER TO_LONG TO_DOUBLE TO_STRING TO_INTEGER
@@ -80,8 +83,8 @@ _TOKEN = re.compile(
 )
 
 _KEYWORDS = {
-    "AND", "OR", "NOT", "NULL", "IS", "IN", "LIKE", "TRUE", "FALSE",
-    "ASC", "DESC", "BY", "AS",
+    "AND", "OR", "NOT", "NULL", "IS", "IN", "LIKE", "RLIKE", "TRUE",
+    "FALSE", "ASC", "DESC", "BY", "AS",
 }
 
 # ES|QL function -> Spark SQL function (None = same name)
@@ -348,6 +351,34 @@ def _emit_bucket(args) -> str:
     raise ESQLError("BUCKET takes (expr, span) or (expr, count, from, to)")
 
 
+def _like_pattern(p: str) -> str:
+    """ES|QL LIKE pattern -> SQL LIKE pattern: ES|QL wildcards are
+    ``*`` (any sequence) and ``?`` (one char), backslash-escapable;
+    SQL's ``%``/``_`` are ORDINARY characters in ES|QL and must be
+    escaped for SQL (Spark's default LIKE escape char is backslash)."""
+    out = []
+    k = 0
+    while k < len(p):
+        c = p[k]
+        if c == "\\" and k + 1 < len(p) and p[k + 1] in "*?\\":
+            nxt = p[k + 1]
+            out.append("\\\\" if nxt == "\\" else nxt)
+            k += 2
+            continue
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in "%_":
+            out.append("\\" + c)
+        elif c == "\\":
+            out.append("\\\\")
+        else:
+            out.append(c)
+        k += 1
+    return "".join(out)
+
+
 def _raw_str(part):
     """Token group -> raw python string if it is a string literal (with
     ES|QL escapes resolved), else None."""
@@ -586,6 +617,22 @@ def _emit(tokens, aggs_ok: bool = False) -> str:
                 else:
                     raise ESQLError(f"unsupported ES|QL function: {v}")
                 i = j
+            elif up == "RLIKE" and i + 1 < len(tokens) \
+                    and tokens[i + 1][0] == "str":
+                # ES|QL RLIKE matches the WHOLE string (Java matches());
+                # Spark RLIKE is a partial find — anchor the pattern
+                raw = (tokens[i + 1][1][1:-1]
+                       .replace('\\"', '"').replace("\\\\", "\\"))
+                out.append("RLIKE " + _sql_str(f"^(?:{raw})$"))
+                i += 1
+            elif up == "LIKE" and i + 1 < len(tokens) \
+                    and tokens[i + 1][0] == "str":
+                # ES|QL LIKE: * / ? wildcards (backslash-escapable),
+                # NOT SQL % / _ — translate the literal pattern
+                raw = (tokens[i + 1][1][1:-1]
+                       .replace('\\"', '"').replace("\\\\", "\\"))
+                out.append("LIKE " + _sql_str(_like_pattern(raw)))
+                i += 1  # the literal is consumed
             elif up in _KEYWORDS:
                 out.append(up)
             else:

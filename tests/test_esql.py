@@ -41,7 +41,7 @@ def test_where_eval_stats_sort_limit(spark, events):
 def test_case_in_like_median_keep_rename(spark, events):
     q = (
         'FROM events'
-        ' | WHERE event_type IN ("error", "signup") AND NOT (props LIKE "%87%")'
+        ' | WHERE event_type IN ("error", "signup") AND NOT (props LIKE "*87*")'
         ' | EVAL sev = CASE(event_type == "error", 2, 1)'
         ' | STATS med = MEDIAN(value), p90 = PERCENTILE(value, 90) BY sev'
         ' | SORT sev ASC'
@@ -941,3 +941,23 @@ def test_fuse_rejects_branch_local_eval(spark, doc_searcher):
             ' | FUSE',
             indexes={"ix": doc_searcher},
         )
+
+
+def test_like_uses_esql_wildcards_not_sql(spark):
+    df = spark.createDataFrame(
+        [("abc",), ("a%c",), ("axc",), ("ac",), ("a?c",)], "s string")
+    # * = any sequence, ? = one char; % and _ are LITERALS in ES|QL
+    got = esql('FROM t | WHERE s LIKE "a*c" | SORT s ASC', {"t": df}).toPandas()
+    assert got["s"].tolist() == ["a%c", "a?c", "abc", "ac", "axc"]
+    got = esql('FROM t | WHERE s LIKE "a?c" | SORT s ASC', {"t": df}).toPandas()
+    assert got["s"].tolist() == ["a%c", "a?c", "abc", "axc"]
+    got = esql('FROM t | WHERE s LIKE "a%c"', {"t": df}).toPandas()
+    assert got["s"].tolist() == ["a%c"]  # % is a literal percent
+    got = esql('FROM t | WHERE s LIKE "a\\?c"', {"t": df}).toPandas()
+    assert got["s"].tolist() == ["a?c"]  # escaped ? is a literal
+
+
+def test_rlike_matches_whole_string(spark):
+    df = spark.createDataFrame([("abc",), ("xabcx",), ("ab",)], "s string")
+    got = esql('FROM t | WHERE s RLIKE "ab." | SORT s ASC', {"t": df}).toPandas()
+    assert got["s"].tolist() == ["abc"]  # whole-string match, not find()
