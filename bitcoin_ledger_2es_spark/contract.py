@@ -3988,7 +3988,10 @@ def q_agg_extras(spark, sf_dir):
     the daily integer-cents series: statistic |lm-rm|*sqrt(i*(n-i)/n)
     at the argmax split, ties to smallest i — exact-integer running
     sums make the f64 expression bit-mirrorable; three rows: detected
-    day + left/right means)."""
+    day + left/right means); geo_line (7.11 — per-type first-50 line
+    by event_id over the derived grid, gate row = order-exact integer
+    checksum sum((pos+1)*(2*lon+lat)) so any vertex transposition
+    flips the hash)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -4462,6 +4465,34 @@ def q_agg_extras(spark, sf_dir):
         "doc_count",
         duck_round(F.col("support"), 6).alias("metric"),
     )
+    # geo_line: per event_type, the first-50-by-event_id line over the
+    # derived integer-degree grid; the gate row carries an ORDER-exact
+    # checksum sum((pos+1) * (2*lon + lat)) — integer-valued doubles, so
+    # the f64 sum is order-free exact and any vertex transposition
+    # changes it; the twin recomputes via row_number ordering
+    from .functions.geo import geo_line_agg
+
+    gl2 = (
+        geo_line_agg(
+            gev, F.col("glat"), F.col("glon"), F.col("event_id"),
+            F.col("event_id"), by="event_type", size=50,
+        )
+        .select(
+            "event_type", "doc_count",
+            F.posexplode("points").alias("pos", "p"),
+        )
+        .groupBy("event_type", "doc_count")
+        .agg(F.sum(
+            (F.col("pos") + 1)
+            * (F.col("p.lon") * 2 + F.col("p.lat"))
+        ).alias("cks"))
+        .select(
+            F.lit("geo_line").alias("agg"),
+            F.col("event_type").alias("key"),
+            F.col("doc_count"),
+            F.col("cks").cast("double").alias("metric"),
+        )
+    )
     # change_point: deterministic step-change detection over the DAILY
     # integer-cents series (operators/aggs.py change_point — a monthly
     # series is too short at small SF to admit a split). Means are exact
@@ -4508,7 +4539,7 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(dr).unionByName(ipq).unionByName(vw).unionByName(ct)
         .unionByName(fis)
         .unionByName(gl).unionByName(rs).unionByName(ipp)
-        .unionByName(cp)
+        .unionByName(cp).unionByName(gl2)
     )
 
 
@@ -5164,6 +5195,20 @@ FROM (
   FROM (SELECT value, {_IP_NUM} AS n FROM events)
 )
 GROUP BY msk
+UNION ALL
+SELECT 'geo_line', event_type, CAST(count(*) AS BIGINT),
+       CAST(sum(rn * (glon * 2 + glat)) AS DOUBLE)
+FROM (
+  SELECT event_type, glat, glon,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM (
+    SELECT event_type, event_id,
+           CAST((user_id * 37) % 180 - 90 AS DOUBLE) AS glat,
+           CAST((event_id * 91) % 360 - 180 AS DOUBLE) AS glon
+    FROM events
+  )
+) WHERE rn <= 50
+GROUP BY event_type
 """
 
 # change_point twin: the engine's deterministic step-change reading over

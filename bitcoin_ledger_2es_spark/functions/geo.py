@@ -294,3 +294,50 @@ def geotile_grid_agg(
         .orderBy(F.desc("doc_count"), F.asc("key"))
         .limit(size)
     )
+
+
+def geo_line_agg(
+    df: DataFrame,
+    lat: Column,
+    lon: Column,
+    sort_col: Column,
+    tiebreak: Column,
+    by=None,
+    size: int = 10000,
+) -> DataFrame:
+    """ES geo_line aggregation (7.11+): per group, the points joined
+    into a line ORDERED by ``sort_col``, truncated to the FIRST ``size``
+    points (the ES ``size`` cap keeps the lowest sort values). ES leaves
+    equal-sort ordering undefined; this engine REQUIRES an explicit
+    unique ``tiebreak`` column so the line is a pure function of the
+    data (the determinism contract — partitioning must never leak into
+    content).
+
+    One hash aggregation: collect (sort, tie, lon, lat) structs, sort
+    lexicographically (array_sort — the struct field order IS the sort
+    key), slice to ``size``, project the points. Map-side partial
+    collect keeps the shuffle proportional to kept points; the cap is
+    applied post-sort, so groups larger than ``size`` truncate exactly
+    like ES. Returns (by..., doc_count = points kept,
+    points = array<struct<lon, lat>> — GeoJSON axis order)."""
+    if size <= 0:
+        raise ValueError("geo_line size must be positive")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    g = df.groupBy(*keys) if keys else df.groupBy()
+    arr = F.slice(
+        F.array_sort(F.collect_list(F.struct(
+            sort_col.alias("s"),
+            tiebreak.alias("t"),
+            lon.cast("double").alias("lon"),
+            lat.cast("double").alias("lat"),
+        ))),
+        1, size,
+    )
+    out = g.agg(arr.alias("__pts"))
+    return out.select(
+        *keys,
+        F.size("__pts").cast("long").alias("doc_count"),
+        F.transform(
+            F.col("__pts"), lambda p: F.struct(p["lon"], p["lat"])
+        ).alias("points"),
+    )

@@ -1065,3 +1065,28 @@ def test_change_point_short_series_indeterminable(spark):
     got = change_point(df, "k", "v", min_seg=2).toPandas().iloc[0]
     assert got["type"] == "indeterminable"
     assert pd.isna(got["key"]) and pd.isna(got["statistic"])
+
+
+def test_geo_line_orders_and_caps(spark):
+    rows = [("a", 3, 10.0, 1.0), ("a", 1, 20.0, 2.0), ("a", 2, 30.0, 3.0),
+            ("b", 9, 40.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, ord long, lon double, lat double")
+    from bitcoin_ledger_2es_spark.functions.geo import geo_line_agg
+
+    got = geo_line_agg(
+        df, F.col("lat"), F.col("lon"), F.col("ord"), F.col("ord"), by="g"
+    ).orderBy("g").toPandas()
+    a = got.iloc[0]
+    assert a["doc_count"] == 3
+    assert [(p["lon"], p["lat"]) for p in a["points"]] == \
+        [(20.0, 2.0), (30.0, 3.0), (10.0, 1.0)]  # sort-order, lon-first
+    capped = geo_line_agg(
+        df, F.col("lat"), F.col("lon"), F.col("ord"), F.col("ord"),
+        by="g", size=2,
+    ).orderBy("g").toPandas().iloc[0]
+    assert capped["doc_count"] == 2  # the FIRST size points by sort
+    assert [(p["lon"], p["lat"]) for p in capped["points"]] == \
+        [(20.0, 2.0), (30.0, 3.0)]
+    with pytest.raises(ValueError, match="positive"):
+        geo_line_agg(df, F.col("lat"), F.col("lon"), F.col("ord"),
+                     F.col("ord"), size=0)
