@@ -680,6 +680,42 @@ def _match_conjunct(toks):
     return args[0][0][1], args[1][0][1][1:-1]
 
 
+def _expand_names(rest: str, columns, op: str) -> "list[str]":
+    """KEEP/DROP argument list: plain column names or ES|QL wildcard
+    patterns (``a*``, ``*_id``, bare ``*``). Patterns expand to the
+    matching columns in FRAME order; arguments keep their listed order
+    (first mention wins — a documented simple reading of ES|QL's
+    exact-name-precedence rules). An unknown plain name or a pattern
+    matching nothing raises, like ES|QL's "Unknown column"."""
+    out: "list[str]" = []
+    for part in _split_top(_tokenize(rest)):
+        chunk = []
+        for t in part:
+            if t[0] == "id":
+                chunk.append(t[1])
+            elif t == ("op", "*"):
+                chunk.append("*")
+            else:
+                raise ESQLError(
+                    f"{op} takes column names or wildcard patterns")
+        if not chunk:
+            raise ESQLError(f"empty {op} argument")
+        pat = "".join(chunk)
+        if "*" in pat:
+            rx = re.compile(
+                "^" + re.escape(pat).replace("\\*", ".*") + "$")
+            matched = [c for c in columns if rx.match(c)]
+            if not matched:
+                raise ESQLError(f"{op}: no columns match {pat!r}")
+            out.extend(c for c in matched if c not in out)
+        else:
+            if pat not in columns:
+                raise ESQLError(f"{op}: unknown column {pat!r}")
+            if pat not in out:
+                out.append(pat)
+    return out
+
+
 def _assignments(tokens):
     """``name = expr [, name2 = expr2]`` -> [(name, expr_sql)]."""
     out = []
@@ -1022,9 +1058,9 @@ def _run_stages(df, stages, searcher, with_score, first_where,
                 raise ESQLError("LIMIT takes an integer")
             df = df.limit(int(rest))
         elif op == "KEEP":
-            df = df.select(*[p[0][1] for p in _split_top(_tokenize(rest))])
+            df = df.select(*_expand_names(rest, df.columns, "KEEP"))
         elif op == "DROP":
-            df = df.drop(*[p[0][1] for p in _split_top(_tokenize(rest))])
+            df = df.drop(*_expand_names(rest, df.columns, "DROP"))
         elif op == "ENRICH":
             em = re.match(
                 r"^([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)"

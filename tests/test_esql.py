@@ -961,3 +961,16 @@ def test_rlike_matches_whole_string(spark):
     df = spark.createDataFrame([("abc",), ("xabcx",), ("ab",)], "s string")
     got = esql('FROM t | WHERE s RLIKE "ab." | SORT s ASC', {"t": df}).toPandas()
     assert got["s"].tolist() == ["abc"]  # whole-string match, not find()
+
+
+def test_keep_drop_wildcards(spark, events):
+    got = esql('FROM e | KEEP event_*, user_id | LIMIT 1', {"e": events})
+    assert got.columns == ["event_id", "event_type", "user_id"]
+    got = esql('FROM e | DROP *_id | LIMIT 1', {"e": events})
+    assert "event_id" not in got.columns and "user_id" not in got.columns
+    got = esql('FROM e | KEEP * | LIMIT 1', {"e": events})
+    assert got.columns == events.columns
+    with pytest.raises(ESQLError, match="no columns match"):
+        esql('FROM e | KEEP zz*', {"e": events})
+    with pytest.raises(ESQLError, match="unknown column"):
+        esql('FROM e | DROP nope', {"e": events})
