@@ -383,7 +383,11 @@ def q_window_lag(spark, sf_dir):
       the RAW float MV_MAX (never rounded — both engines compare the
       identical f32 values; vec_id breaks ties), emission is the
       integer MV_COUNT, so the entry is bit-exact with zero float
-      emission."""
+      emission.
+    * ``esql_bucket`` — the session-3 ``STATS ... BY b = BUCKET(value,
+      25.0), event_type`` surface: floor-arithmetic bucket keys (DOUBLE-
+      pinned span) with integer-cents sums; key = et:bucket:count,
+      n = sum_cents — exact on both sides."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag = (
         _t(spark, sf_dir, "events")
@@ -474,8 +478,22 @@ def q_window_lag(spark, sf_dir):
         F.col("vec_id").cast("string").alias("key"),
         F.col("n"),
     )
+    bk = esql(
+        'FROM events'
+        ' | EVAL cents = TO_LONG(ROUND(value * 100))'
+        ' | STATS n_ev = COUNT(*), sc = SUM(cents)'
+        ' BY b = BUCKET(value, 25.0), event_type',
+        {"events": _t(spark, sf_dir, "events")},
+    ).select(
+        F.lit("esql_bucket").alias("kind"),
+        F.concat_ws(
+            ":", "event_type", F.col("b").cast("long").cast("string"),
+            F.col("n_ev").cast("string"),
+        ).alias("key"),
+        F.col("sc").alias("n"),
+    )
     return (lag.unionByName(seq).unionByName(smp).unionByName(eq)
-            .unionByName(inl).unionByName(mv))
+            .unionByName(inl).unionByName(mv).unionByName(bk))
 
 
 SQL_WINDOW_LAG = f"""
@@ -574,6 +592,21 @@ FROM (
   WHERE list_min(embedding) < 0
   ORDER BY list_max(embedding) DESC, vec_id ASC
   LIMIT 15
+)
+UNION ALL
+-- esql_bucket: the session-3 BUCKET(expr, span) grouping key — floor
+-- arithmetic at a DOUBLE-pinned span, integer-cents sums; the bucket
+-- key re-renders as its exact BIGINT (spans of 25 keep it integral)
+SELECT 'esql_bucket' AS kind,
+       concat_ws(':', event_type, CAST(CAST(b AS BIGINT) AS VARCHAR),
+                 CAST(n_ev AS VARCHAR)) AS key,
+       sc AS n
+FROM (
+  SELECT floor(value / CAST(25.0 AS DOUBLE)) * CAST(25.0 AS DOUBLE) AS b,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1, 2
 )
 """
 
