@@ -2424,7 +2424,12 @@ def q_advanced_queries(spark, sf_dir):
       (plans/query.py terms_lookup): the lookup doc's distinct analyzed
       terms fetched from the index's own term_vectors decode, then a
       non-scoring filter-context OR match (score3 pinned 0.0); bounded
-      by doc_id % TL_MOD == TL_REM; key = doc_id, n = doc_len."""
+      by doc_id % TL_MOD == TL_REM; key = doc_id, n = doc_len.
+    * ``nested`` — the ES nested field/query model (plans/query.py
+      nested_query): users as parents, their events as sort_array'd
+      array<struct> children; inner query purchases > 100.00,
+      score_mode=avg over integer cents (exact ratio, /100 at 3dp);
+      key = user_id, n = matched children."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2774,6 +2779,35 @@ def q_advanced_queries(spark, sf_dir):
         F.lit(0.0).cast("double").alias("score3"),
         F.col("doc_len").cast("long").alias("n"),
     )
+    # nested: the ES nested field/query model (plans/query.py
+    # nested_query) — parents = users, children = their events as a
+    # sort_array'd array<struct> (array order IS the f64 fold order);
+    # inner query: purchases over 100.00; score_mode=avg over integer
+    # cents (exact ratio), emitted /100 at 6dp-free 3dp rounding; the
+    # twin recomputes relationally (same sums, same division shape)
+    from bitcoin_ledger_2es_spark.plans.query import nested_query as _nq
+
+    nev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.struct(
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).alias("kid"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("kid")).alias("kids"))
+    )
+    nst = _nq(
+        nev, "kids",
+        lambda k: (k["et"] == "purchase") & (k["cents"] > 10000),
+        lambda k: k["cents"],
+        score_mode="avg",
+    ).select(
+        F.lit("nested").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        duck_round(F.col("nested_score") / 100.0, 3).alias("score3"),
+        F.col("n_inner").alias("n"),
+    )
     import pandas as pd  # local: driver-side page concat only
 
     pages = []
@@ -2810,6 +2844,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(rr).unionByName(ln).unionByName(rt)
         .unionByName(hp).unionByName(pid).unionByName(sv).unionByName(dfq)
         .unionByName(mf).unionByName(fk).unionByName(tl)
+        .unionByName(nst)
     )
 
 
@@ -3659,6 +3694,20 @@ FROM (
 WHERE d.doc_id % {TL_MOD} = {TL_REM} AND list_has_any(d.toks, l.lk)
 """
 
+# nested twin: parents = users, children = purchase events over 100.00;
+# avg of integer cents is the exact ratio CAST(sum AS DOUBLE)/count,
+# then /100.0 — the identical f64 expression shape as the engine's
+# (total/n)/100.0 over its array fold of the same exact integers.
+_SQL_NESTED = """
+SELECT 'nested' AS kind, CAST(user_id AS VARCHAR) AS key,
+       round((CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0, 3) AS score3,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+WHERE cents > 10000
+GROUP BY user_id
+"""
+
 # esql_fork twin: identical shape to _SQL_RRF but over the FORK kind's
 # own (queries, window, topk) so the two kinds never alias each other.
 # The engine's FUSE folds 1/(60+rank) in _fork order (fork1 then fork2)
@@ -3872,7 +3921,7 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_RUNTIME,
      _SQL_HAS_PARENT, _SQL_PARENT_ID, _SQL_SPARSE_VECTOR,
      _SQL_DISTANCE_FEATURE, _SQL_MATCH_FUZZY, _SQL_ESQL_FORK,
-     _SQL_TERMS_LOOKUP]
+     _SQL_TERMS_LOOKUP, _SQL_NESTED]
 )
 
 

@@ -4267,6 +4267,61 @@ def linear_fuse(
     )
 
 
+def nested_query(
+    df: DataFrame,
+    nested_col: str,
+    inner_filter,
+    score_value,
+    score_mode: str = "avg",
+    min_children: int = 1,
+) -> DataFrame:
+    """ES ``nested`` query — the OTHER document-hierarchy model next to
+    the join-field family (has_child/has_parent): a nested field is an
+    array of sub-documents indexed WITH the parent, the query matches
+    inner docs, and the parent scores by ``score_mode`` over its
+    matching children (ES: avg default | sum | min | max | none -> 0).
+
+    Spark-first lowering: the nested field is an ``array<struct>``
+    column; matching is ``F.filter`` (a codegen lambda over the array —
+    no explode, no shuffle, each parent row is self-contained exactly
+    like a Lucene nested block), scoring folds the matched children's
+    values in ARRAY ORDER via ``F.aggregate`` in f64 — so the caller
+    must build the array in a deterministic order (sort_array /
+    collect ordered by a unique key: array order IS the fold order, the
+    engine-wide determinism contract). Parents with fewer than
+    ``min_children`` matches drop (ES: >= 1).
+
+    ``inner_filter`` / ``score_value``: lambdas taking the child struct
+    Column -> BooleanType / numeric Column. Feed integer-valued scores
+    for bit-mirrorable oracles (the contract.py recipe). Returns the
+    parent frame + ``n_inner`` (matched children) + ``nested_score``
+    (f64; 0.0 for score_mode='none')."""
+    if score_mode not in ("avg", "sum", "min", "max", "none"):
+        raise ValueError(f"unknown nested score_mode: {score_mode}")
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    matched = F.filter(F.col(nested_col), inner_filter)
+    out = df.withColumn("__m", matched).withColumn(
+        "n_inner", F.size("__m").cast("long")
+    ).filter(F.col("n_inner") >= min_children)
+    vals = F.transform(F.col("__m"), score_value)
+    total = F.aggregate(
+        vals, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    if score_mode == "none":
+        score = F.lit(0.0)
+    elif score_mode == "sum":
+        score = total
+    elif score_mode == "avg":
+        score = total / F.col("n_inner")
+    elif score_mode == "min":
+        score = F.array_min(vals).cast("double")
+    else:
+        score = F.array_max(vals).cast("double")
+    return out.withColumn("nested_score", score).drop("__m")
+
+
 def runtime_search(
     searcher: "BM25Searcher",
     source_df: DataFrame,

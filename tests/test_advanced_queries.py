@@ -267,3 +267,41 @@ def test_terms_lookup_doc_filter_and_max_terms(searcher, docs_pdf):
     assert (got["doc_id"] % 2 == 0).all()
     with pytest.raises(ValueError, match="max_terms"):
         searcher.terms_lookup(searcher, 5, max_terms=1)
+
+
+# ---- nested query (array<struct> sub-documents) ----------------------------
+
+
+def test_nested_query_score_modes_match_pandas(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bitcoin_ledger_2es_spark.plans.query import nested_query
+
+    rows = [
+        (1, [(10, "a"), (30, "b"), (20, "a")]),
+        (2, [(5, "b")]),
+        (3, [(7, "a")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid int, kids array<struct<v:int, tag:string>>")
+    flt = lambda k: k["tag"] == "a"
+    val = lambda k: k["v"]
+    got = {
+        m: nested_query(df, "kids", flt, val, score_mode=m)
+        .select("pid", "n_inner", "nested_score").orderBy("pid").toPandas()
+        for m in ("avg", "sum", "min", "max", "none")
+    }
+    # parent 2 has no tag-a child -> dropped everywhere
+    for m in got:
+        assert got[m]["pid"].tolist() == [1, 3]
+    assert got["sum"]["nested_score"].tolist() == [30.0, 7.0]
+    assert got["avg"]["nested_score"].tolist() == [15.0, 7.0]
+    assert got["min"]["nested_score"].tolist() == [10.0, 7.0]
+    assert got["max"]["nested_score"].tolist() == [20.0, 7.0]
+    assert got["none"]["nested_score"].tolist() == [0.0, 0.0]
+    assert got["sum"]["n_inner"].tolist() == [2, 1]
+    two = nested_query(df, "kids", flt, val, min_children=2).toPandas()
+    assert two["pid"].tolist() == [1]
+    with pytest.raises(ValueError, match="score_mode"):
+        nested_query(df, "kids", flt, val, score_mode="median")
