@@ -4274,6 +4274,7 @@ def nested_query(
     score_value,
     score_mode: str = "avg",
     min_children: int = 1,
+    inner_hits: "int | None" = None,
 ) -> DataFrame:
     """ES ``nested`` query — the OTHER document-hierarchy model next to
     the join-field family (has_child/has_parent): a nested field is an
@@ -4295,15 +4296,24 @@ def nested_query(
     Column -> BooleanType / numeric Column. Feed integer-valued scores
     for bit-mirrorable oracles (the contract.py recipe). Returns the
     parent frame + ``n_inner`` (matched children) + ``nested_score``
-    (f64; 0.0 for score_mode='none')."""
+    (f64; 0.0 for score_mode='none'); with ``inner_hits=k`` also an
+    ``inner_hits`` column carrying the first k matched children in
+    ARRAY order (ES sorts inner hits by score; this engine's documented
+    reading returns them in the same pinned array order the fold uses
+    — deterministic by the caller's sort)."""
     if score_mode not in ("avg", "sum", "min", "max", "none"):
         raise ValueError(f"unknown nested score_mode: {score_mode}")
     if min_children < 1:
         raise ValueError("min_children must be >= 1")
+    if inner_hits is not None and inner_hits < 1:
+        raise ValueError("inner_hits must be >= 1")
     matched = F.filter(F.col(nested_col), inner_filter)
     out = df.withColumn("__m", matched).withColumn(
         "n_inner", F.size("__m").cast("long")
     ).filter(F.col("n_inner") >= min_children)
+    if inner_hits is not None:
+        out = out.withColumn(
+            "inner_hits", F.slice(F.col("__m"), 1, int(inner_hits)))
     vals = F.transform(F.col("__m"), score_value)
     total = F.aggregate(
         vals, F.lit(0.0),

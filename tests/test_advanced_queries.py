@@ -305,3 +305,21 @@ def test_nested_query_score_modes_match_pandas(spark):
     assert two["pid"].tolist() == [1]
     with pytest.raises(ValueError, match="score_mode"):
         nested_query(df, "kids", flt, val, score_mode="median")
+
+
+def test_nested_query_inner_hits(spark):
+    from bitcoin_ledger_2es_spark.plans.query import nested_query
+
+    rows = [(1, [(10, "a"), (30, "b"), (20, "a"), (40, "a")])]
+    df = spark.createDataFrame(
+        rows, "pid int, kids array<struct<v:int, tag:string>>")
+    got = nested_query(
+        df, "kids", lambda k: k["tag"] == "a", lambda k: k["v"],
+        inner_hits=2,
+    ).toPandas()
+    hits = [(h["v"], h["tag"]) for h in got.iloc[0]["inner_hits"]]
+    assert hits == [(10, "a"), (20, "a")]  # first k matched, array order
+    assert got.iloc[0]["n_inner"] == 3
+    with pytest.raises(ValueError, match="inner_hits"):
+        nested_query(df, "kids", lambda k: k["tag"] == "a",
+                     lambda k: k["v"], inner_hits=0)
