@@ -760,6 +760,10 @@ def _parse_stats(rest: str):
             toks = toks[:idx]
             break
     named = []
+    if not toks:
+        # `STATS BY col [, ...]` with no aggregates: legal ES|QL —
+        # the result is the distinct grouping keys
+        return by_cols, named
     for col, expr_toks in _assignments(toks):
         # ES|QL 8.16 per-aggregate filter: `alias = AGG(...)
         # WHERE cond` -> SQL `AGG(...) FILTER (WHERE cond)`
@@ -1004,7 +1008,14 @@ def _run_stages(df, stages, searcher, with_score, first_where,
                     df = df.withColumn(bname, F.expr(bsql))
             by_names = [n for n, _ in by_cols]
             aggs = [c.alias(n) for n, c in named]
-            df = df.groupBy(*by_names).agg(*aggs) if by_names else df.agg(*aggs)
+            if not named and not by_names:
+                raise ESQLError("STATS needs aggregates or BY keys")
+            if not named:
+                # aggregate-free STATS BY: distinct grouping keys
+                df = df.select(*by_names).distinct()
+            else:
+                df = (df.groupBy(*by_names).agg(*aggs)
+                      if by_names else df.agg(*aggs))
         elif op == "INLINESTATS":
             # ES|QL INLINESTATS (8.x): like STATS but the aggregates are
             # APPENDED to every input row instead of collapsing it.
@@ -1014,6 +1025,8 @@ def _run_stages(df, stages, searcher, with_score, first_where,
             # per group, so with no BY it broadcasts, and with BY keys AQE
             # picks broadcast when the group count is small).
             by_cols, named = _parse_stats(rest)
+            if not named:
+                raise ESQLError("INLINESTATS needs at least one aggregate")
             for bname, bsql in by_cols:
                 if bsql is not None:
                     df = df.withColumn(bname, F.expr(bsql))

@@ -974,3 +974,18 @@ def test_keep_drop_wildcards(spark, events):
         esql('FROM e | KEEP zz*', {"e": events})
     with pytest.raises(ESQLError, match="unknown column"):
         esql('FROM e | DROP nope', {"e": events})
+
+
+def test_stats_by_without_aggregates_is_distinct(spark, events):
+    got = esql('FROM e | STATS BY event_type | SORT event_type ASC',
+               {"e": events}).toPandas()
+    exp = sorted(r[0] for r in
+                 events.select("event_type").distinct().collect())
+    assert got["event_type"].tolist() == exp and list(got.columns) == ["event_type"]
+    with pytest.raises(ESQLError, match="aggregates or BY"):
+        esql('FROM e | STATS', {"e": events})
+
+
+def test_inlinestats_without_aggregates_raises(spark, events):
+    with pytest.raises(ESQLError, match="at least one aggregate"):
+        esql('FROM e | INLINESTATS BY event_type', {"e": events})
