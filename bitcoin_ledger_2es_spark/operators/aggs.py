@@ -1511,3 +1511,154 @@ def frequent_item_sets(
         .orderBy(F.desc("doc_count"), F.asc("key"))
         .limit(size)
     )
+
+
+def nested_agg(
+    df: DataFrame,
+    nested_col: str,
+    by: "list[str] | None" = None,
+    metrics: "dict[str, Column] | None" = None,
+) -> DataFrame:
+    """ES ``nested`` agg: step INTO a nested field (here an
+    ``array<struct>`` column, the nested_query document model) and
+    aggregate over the CHILD documents — ``doc_count`` counts children,
+    not parents (the defining difference from a plain agg on the
+    parent). One explode + one map-side-combined groupBy; ``by`` names
+    child struct fields to bucket on (the terms-inside-nested shape),
+    ``metrics`` are Columns over the exploded child fields."""
+    child = df.select(F.explode(F.col(nested_col)).alias("_c")).select("_c.*")
+    named = list((metrics or {}).items())
+    grouped = child.groupBy(*[F.col(c) for c in (by or [])]) if by \
+        else child.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        *[c.alias(n) for n, c in named],
+    )
+
+
+def reverse_nested_agg(
+    df: DataFrame,
+    nested_col: str,
+    parent_cols: "list[str]",
+    by: "list[str]",
+    metrics: "dict[str, Column] | None" = None,
+) -> DataFrame:
+    """ES ``reverse_nested`` agg: from inside a nested (child) bucket,
+    step BACK to the parent documents — per child-field bucket,
+    ``doc_count`` counts each PARENT once no matter how many of its
+    children land in the bucket. ``parent_cols[0]`` must be a unique
+    parent identity; further parent_cols ride along for parent-level
+    ``metrics``. Lowered as explode -> distinct (one row per
+    (bucket, parent)) -> groupBy: two exchanges on the same key, both
+    map-side combined — no window, no collect."""
+    if not parent_cols:
+        raise ValueError("reverse_nested_agg needs parent_cols")
+    pairs = df.select(
+        *[F.col(c) for c in parent_cols],
+        F.explode(F.col(nested_col)).alias("_c"),
+    ).select(
+        *parent_cols, *[F.col(f"_c.{k}").alias(k) for k in by]
+    ).distinct()
+    named = list((metrics or {}).items())
+    return pairs.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        *[c.alias(n) for n, c in named],
+    )
+
+
+def parent_agg(
+    children: DataFrame,
+    parents: DataFrame,
+    join_key: str,
+    by: "list[str]",
+    metrics: "dict[str, Column] | None" = None,
+) -> DataFrame:
+    """ES ``parent`` agg over a join-field hierarchy (the inverse of
+    ``children_agg``): bucket the CHILD docs by child fields ``by``,
+    then aggregate each bucket's PARENT docs — every parent counted
+    ONCE per bucket even when several of its children match (ES
+    de-duplicates through the join field). Lowered as a distinct
+    (bucket, key) projection of the child side joined to the parent
+    table: the distinct side is small (buckets x parents), so Catalyst
+    broadcasts it under AQE; metrics are parent-column aggregates."""
+    keys = children.select(*[F.col(c) for c in by], F.col(join_key)).distinct()
+    named = list((metrics or {}).items())
+    return (
+        parents.join(keys, join_key)
+        .groupBy(*[F.col(c) for c in by])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            *[c.alias(n) for n, c in named],
+        )
+    )
+
+
+def bucket_correlation(
+    df: DataFrame, x: Column, y: Column,
+) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline agg (7.14, function
+    ``count_correlation``): Pearson correlation between the bucket
+    doc_count series and a caller-supplied indicator series. Computed
+    CLOSED-FORM from single-pass power sums (n, sx, sy, sxx, syy, sxy)
+    — never ``corr()`` — so with integer-exact inputs every
+    intermediate is an exact f64 and a SQL oracle mirroring the same
+    expression is bit-identical (the matrix_stats recipe). Returns one
+    row: (n, correlation)."""
+    xd, yd = x.cast("double"), y.cast("double")
+    row = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"), F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return row.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))
+        ).alias("correlation"),
+    )
+
+
+def bucket_count_ks_test(
+    df: DataFrame, key_col: str, count_col: str,
+) -> DataFrame:
+    """ES ``bucket_count_ks_test`` pipeline agg (7.14), deterministic
+    two-sided statistic against the UNIFORM alternative: buckets are
+    ordered by ``key_col`` and the statistic is
+    ``max_i |ecdf_counts(i) - i/n|`` — the Kolmogorov-Smirnov distance
+    between the doc_count mass and the uniform spread over buckets.
+    (ES returns resampled p-values from its ml module; the statistic is
+    the deterministic core, the change_point reading.) A pipeline agg
+    runs over BUCKETS — a frame already reduced to one row per bucket —
+    so the single-partition ordered window here is bounded by bucket
+    cardinality, not corpus size (same shape as change_point /
+    cumulative_cardinality). Integer counts keep the running sums exact
+    in f64; the two ratios and the abs-difference mirror bit-identically
+    in SQL. Returns one row: (n_buckets, total, statistic)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy(key_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    cnt = F.col(count_col).cast("long")
+    stepped = df.select(
+        F.sum(cnt).over(w).alias("cum"),
+        F.row_number().over(W.orderBy(key_col)).alias("i"),
+        F.sum(cnt).over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+    ).select(
+        "nb", "total",
+        F.abs(
+            F.col("cum").cast("double") / F.col("total").cast("double")
+            - F.col("i").cast("double") / F.col("nb").cast("double")
+        ).alias("d"),
+    )
+    return stepped.groupBy().agg(
+        F.max("nb").cast("long").alias("n_buckets"),
+        F.max("total").cast("long").alias("total"),
+        F.max("d").alias("statistic"),
+    )

@@ -1090,3 +1090,111 @@ def test_geo_line_orders_and_caps(spark):
     with pytest.raises(ValueError, match="positive"):
         geo_line_agg(df, F.col("lat"), F.col("lon"), F.col("ord"),
                      F.col("ord"), size=0)
+
+
+# ---------------------------------------------------------------------------
+# nested / reverse_nested / parent aggs (session-4: the document-hierarchy
+# agg family over array<struct> nested fields and join-field parents)
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    # 3 parents; children as array<struct<t,v>> (pinned array order)
+    rows = [
+        (1, [("a", 10), ("b", 20), ("a", 30)]),
+        (2, [("b", 5)]),
+        (3, [("a", 1), ("c", 7), ("c", 2)]),
+    ]
+    return spark.createDataFrame(
+        [(pid, [{"t": t, "v": v} for t, v in kids]) for pid, kids in rows],
+        "pid long, kids array<struct<t string, v long>>",
+    )
+
+
+def test_nested_agg_counts_children(nested_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import nested_agg
+
+    got = {
+        r["t"]: (r["doc_count"], r["sv"])
+        for r in nested_agg(
+            nested_df, "kids", by=["t"], metrics={"sv": F.sum("v")}
+        ).collect()
+    }
+    # doc_count counts CHILD docs: a=3 (two in parent 1), b=2, c=2
+    assert got == {"a": (3, 41), "b": (2, 25), "c": (2, 9)}
+
+
+def test_nested_agg_unbucketed(nested_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import nested_agg
+
+    row = nested_agg(nested_df, "kids").collect()[0]
+    assert row["doc_count"] == 7  # total children, not 3 parents
+
+
+def test_reverse_nested_counts_parents_once(nested_df):
+    from bitcoin_ledger_2es_spark.operators.aggs import reverse_nested_agg
+
+    got = {
+        r["t"]: (r["doc_count"], r["sp"])
+        for r in reverse_nested_agg(
+            nested_df, "kids", parent_cols=["pid"], by=["t"],
+            metrics={"sp": F.sum("pid")},
+        ).collect()
+    }
+    # parent 1 has TWO 'a' children but counts once; sp sums parent ids
+    assert got == {"a": (2, 4), "b": (2, 3), "c": (1, 3)}
+
+
+def test_parent_agg_dedups_parents(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import parent_agg
+
+    parents = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 50)], "k long, bal long")
+    children = spark.createDataFrame(
+        [("hi", 1), ("hi", 1), ("hi", 2), ("lo", 2), ("lo", 3)],
+        "pri string, k long")
+    got = {
+        r["pri"]: (r["doc_count"], r["b"])
+        for r in parent_agg(
+            children, parents, "k", by=["pri"],
+            metrics={"b": F.sum("bal")},
+        ).collect()
+    }
+    # 'hi' has children under parents {1, 2} — parent 1 twice, counted once
+    assert got == {"hi": (2, 300), "lo": (2, 250)}
+
+
+def test_bucket_correlation_exact(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import bucket_correlation
+
+    # perfectly linear counts -> correlation exactly 1.0 in f64
+    df = spark.createDataFrame(
+        [(i, 10 + 2 * i) for i in range(8)], "i long, cnt long")
+    row = bucket_correlation(df, F.col("cnt"), F.col("i")).collect()[0]
+    assert row["n"] == 8
+    assert row["correlation"] == pytest.approx(1.0, abs=1e-12)
+    # anti-correlated
+    df2 = spark.createDataFrame(
+        [(i, 100 - 3 * i) for i in range(8)], "i long, cnt long")
+    assert bucket_correlation(df2, F.col("cnt"), F.col("i")).collect()[0][
+        "correlation"] == pytest.approx(-1.0, abs=1e-12)
+    # zero-variance indicator -> null (guard, not NaN)
+    df3 = spark.createDataFrame([(1, 5), (2, 5)], "i long, cnt long")
+    assert bucket_correlation(df3, F.col("cnt"), F.col("i")).collect()[0][
+        "correlation"] is None
+
+
+def test_bucket_count_ks_test_uniform_vs_spike(spark):
+    from bitcoin_ledger_2es_spark.operators.aggs import bucket_count_ks_test
+
+    # exactly uniform counts: ecdf matches i/n at every step -> D = 0
+    uni = spark.createDataFrame(
+        [(i, 10) for i in range(5)], "k long, cnt long")
+    row = bucket_count_ks_test(uni, "k", "cnt").collect()[0]
+    assert row["n_buckets"] == 5 and row["total"] == 50
+    assert row["statistic"] == 0.0
+    # all mass in the first bucket: D = |1 - 1/5| = 0.8
+    spike = spark.createDataFrame(
+        [(0, 100), (1, 0), (2, 0), (3, 0), (4, 0)], "k long, cnt long")
+    assert bucket_count_ks_test(spike, "k", "cnt").collect()[0][
+        "statistic"] == pytest.approx(0.8, abs=1e-15)
