@@ -4073,7 +4073,14 @@ def q_agg_extras(spark, sf_dir):
     day + left/right means); geo_line (7.11 — per-type first-50 line
     by event_id over the derived grid, gate row = order-exact integer
     checksum sum((pos+1)*(2*lon+lat)) so any vertex transposition
-    flips the hash)."""
+    flips the hash). Session-4 additions: nested / reverse_nested
+    (the array<struct> nested-field model — child doc_counts vs
+    parents-counted-once, built from per-user event arrays in pinned
+    event_id order), parent (join-field child->parent over
+    orders/customer, distinct-custkey acctbal cents), and the 7.14 ml
+    pipeline pair bucket_corr (closed-form Pearson of daily doc_counts
+    vs the epoch-day indicator) + ks_test (two-sided KS distance of
+    the daily count mass vs uniform — exact-integer ecdf ratios)."""
     from .operators.aggs import (
         adjacency_matrix,
         extended_stats,
@@ -4608,6 +4615,82 @@ def q_agg_extras(spark, sf_dir):
             ),
         )).alias("b")
     ).select(F.lit("change_point").alias("agg"), "b.*")
+    # nested / reverse_nested: the array<struct> nested-field document
+    # model (nested_query's) built deterministically from events —
+    # children = per-user event structs in ascending event_id ARRAY
+    # order (array_sort on a unique leading field, the engine-wide
+    # pinned-order contract). nested doc_count counts CHILDREN (so the
+    # twin is a plain per-type GROUP BY over events); reverse_nested
+    # steps back to parents — each USER once per type, metric = the
+    # integer-exact sum of those distinct user_ids.
+    from .operators.aggs import (
+        bucket_correlation,
+        bucket_count_ks_test,
+        nested_agg,
+        parent_agg,
+        reverse_nested_agg,
+    )
+
+    nested_parents = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+            cents.alias("cents"),
+        ))).alias("kids")
+    )
+    na = nested_agg(
+        nested_parents, "kids", by=["et"],
+        metrics={"metric": duck_round(F.sum("cents") / 100.0, 6)},
+    ).select(
+        F.lit("nested").alias("agg"), F.col("et").alias("key"),
+        "doc_count", "metric",
+    )
+    rn2 = reverse_nested_agg(
+        nested_parents, "kids", parent_cols=["user_id"], by=["et"],
+        metrics={"metric": duck_round(F.sum("user_id").cast("double"), 6)},
+    ).select(
+        F.lit("reverse_nested").alias("agg"), F.col("et").alias("key"),
+        "doc_count", "metric",
+    )
+    # parent: join-field child->parent direction over orders/customer —
+    # per order-priority bucket, each CUSTOMER counted once however many
+    # orders it has there; metric = integer-cents acctbal sum of those
+    # distinct parents (exact both sides).
+    pa = parent_agg(
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_custkey").alias("ck"),
+        ),
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        ),
+        "ck", by=["pri"],
+        metrics={"metric": duck_round(F.sum("bal_cents") / 100.0, 6)},
+    ).select(
+        F.lit("parent").alias("agg"), F.col("pri").alias("key"),
+        "doc_count", "metric",
+    )
+    # bucket_correlation + bucket_count_ks_test: the 7.14 ml pipeline
+    # pair over the DAILY doc_count series. Correlation vs the epoch-day
+    # indicator is the closed form over integer-exact power sums (the
+    # matrix_stats recipe — expression association mirrored verbatim in
+    # the twin); KS is max |ecdf - i/n| over (day)-ordered buckets —
+    # ratios of exact integers, identical f64s both sides.
+    daily_counts = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    bc = bucket_correlation(
+        daily_counts, F.col("cnt"), F.unix_date(F.col("day")),
+    ).select(
+        F.lit("bucket_corr").alias("agg"), F.lit("daily").alias("key"),
+        F.col("n").alias("doc_count"),
+        duck_round("correlation", 6).alias("metric"),
+    )
+    ks = bucket_count_ks_test(daily_counts, "day", "cnt").select(
+        F.lit("ks_test").alias("agg"), F.lit("daily").alias("key"),
+        F.col("total").alias("doc_count"),
+        duck_round("statistic", 6).alias("metric"),
+    )
     return (
         h.unionByName(r).unionByName(fl).unionByName(ra).unionByName(ts)
         .unionByName(es).unionByName(adj).unionByName(vc)
@@ -4622,6 +4705,8 @@ def q_agg_extras(spark, sf_dir):
         .unionByName(fis)
         .unionByName(gl).unionByName(rs).unionByName(ipp)
         .unionByName(cp).unionByName(gl2)
+        .unionByName(na).unionByName(rn2).unionByName(pa)
+        .unionByName(bc).unionByName(ks)
     )
 
 
@@ -5330,6 +5415,67 @@ FROM (
     WHERE i >= 2 AND i <= n - 2
     ORDER BY stat DESC, i ASC LIMIT 1
   )
+)
+"""
+
+# Session-4 twins — the document-hierarchy agg family + the 7.14 ml
+# pipeline pair. nested doc_count counts CHILDREN, so building the
+# per-user array and exploding it is the identity on events: the twin
+# aggregates events directly. reverse_nested/parent de-duplicate
+# through DISTINCT projections exactly like the engine's lowering.
+# bucket_corr mirrors the closed-form Pearson expression op-for-op
+# (never corr()); ks_test mirrors the exact-integer ecdf ratios.
+SQL_AGG_EXTRAS += """
+UNION ALL
+SELECT 'nested' AS agg, event_type AS key, CAST(count(*) AS BIGINT),
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 6)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'reverse_nested' AS agg, event_type AS key,
+       CAST(count(*) AS BIGINT),
+       round(CAST(CAST(sum(user_id) AS BIGINT) AS DOUBLE), 6)
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type
+UNION ALL
+SELECT 'parent' AS agg, pri AS key, CAST(count(*) AS BIGINT),
+       round(CAST(sum(bal_cents) AS BIGINT) / 100.0, 6)
+FROM (
+  SELECT DISTINCT o.o_orderpriority AS pri, c.c_custkey,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+GROUP BY pri
+UNION ALL
+SELECT 'bucket_corr' AS agg, 'daily' AS key, n AS doc_count,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+             THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+             END, 6) AS metric
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM (
+    SELECT CAST(cnt AS DOUBLE) AS x,
+           CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS y
+    FROM (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1)
+  )
+)
+UNION ALL
+SELECT 'ks_test' AS agg, 'daily' AS key, CAST(max(total) AS BIGINT),
+       round(max(abs(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                     - CAST(i AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+FROM (
+  SELECT sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         sum(cnt) OVER () AS total,
+         CAST(count(*) OVER () AS BIGINT) AS nb
+  FROM (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1)
 )
 """
 
