@@ -2429,7 +2429,13 @@ def q_advanced_queries(spark, sf_dir):
       nested_query): users as parents, their events as sort_array'd
       array<struct> children; inner query purchases > 100.00,
       score_mode=avg over integer cents (exact ratio, /100 at 3dp);
-      key = user_id, n = matched children."""
+      key = user_id, n = matched children.
+    * ``rule`` — ES 8.10 query rules (plans/query.py rule_query):
+      driver-side criteria over request metadata gate pinned/exclude
+      actions; pins [7, 3] (exact), excludes 5 (contains), one
+      non-applicable rule; sentinel -1.0 for pinned rows, organic
+      tail on the (f32 desc, doc_id asc) order; key = doc_id,
+      n = rank."""
     s = _engine_searcher(spark, sf_dir, positions=True)
     mlt = s.more_like_this(
         MLT_TEXT, k=1_000_000, max_query_terms=_MLT_MAX_TERMS, with_meta=False
@@ -2600,6 +2606,36 @@ def q_advanced_queries(spark, sf_dir):
     )
     pn = s.pinned([7, 3], "data row", k=15, with_meta=False).select(
         F.lit("pinned").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.when(F.col("doc_id").isin(7, 3), F.lit(-1.0))
+        .otherwise(duck_round(F.col("score").cast("double"), 3))
+        .alias("score3"),
+        F.col("rank").cast("long").alias("n"),
+    )
+    # rule: ES 8.10 query rules — driver-side criteria evaluation over
+    # request metadata gates pinned/exclude actions; here rule 1 (exact
+    # match) pins [7, 3], rule 2 (contains) excludes 5, rule 3 (prefix
+    # miss) never applies. Same pinned-ladder discipline: sentinel -1.0
+    # for pins, organic scores f32-rounded, selection on the engine's
+    # (f32 desc, doc_id asc) order.
+    rq = s.rule_query(
+        [
+            {"type": "pinned",
+             "criteria": [{"type": "exact", "metadata": "user_query",
+                           "values": ["data row"]}],
+             "ids": [7, 3]},
+            {"type": "exclude",
+             "criteria": [{"type": "contains", "metadata": "user_query",
+                           "values": ["row"]}],
+             "ids": [5]},
+            {"type": "pinned",
+             "criteria": [{"type": "prefix", "metadata": "user_query",
+                           "values": ["zzz"]}],
+             "ids": [11]},
+        ],
+        {"user_query": "data row"}, "data row", k=15, with_meta=False,
+    ).select(
+        F.lit("rule").alias("kind"),
         F.col("doc_id").cast("string").alias("key"),
         F.when(F.col("doc_id").isin(7, 3), F.lit(-1.0))
         .otherwise(duck_round(F.col("score").cast("double"), 3))
@@ -2844,7 +2880,7 @@ def q_advanced_queries(spark, sf_dir):
         .unionByName(rr).unionByName(ln).unionByName(rt)
         .unionByName(hp).unionByName(pid).unionByName(sv).unionByName(dfq)
         .unionByName(mf).unionByName(fk).unionByName(tl)
-        .unionByName(nst)
+        .unionByName(nst).unionByName(rq)
     )
 
 
@@ -3358,6 +3394,46 @@ SELECT 'pinned' AS kind, key, score3, n FROM (
       )
       SELECT doc_id, sum(contrib) AS score FROM scored
       WHERE doc_id NOT IN (7, 3) GROUP BY doc_id
+    )
+  ) WHERE n <= 15
+)
+"""
+
+# rule: the query-rules twin = the pinned twin with the applicable
+# ruleset resolved (pins 7,3; excluded 5 dropped from the organic set)
+_SQL_RULE = """
+SELECT 'rule' AS kind, key, score3, n FROM (
+  SELECT CAST(7 AS VARCHAR) AS key, -1.0 AS score3, CAST(1 AS BIGINT) AS n
+  UNION ALL
+  SELECT CAST(3 AS VARCHAR), -1.0, CAST(2 AS BIGINT)
+  UNION ALL
+  SELECT key, score3, n FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           round(CAST(CAST(score AS REAL) AS DOUBLE), 3) AS score3,
+           row_number() OVER (ORDER BY CAST(score AS REAL) DESC, doc_id ASC) + 2 AS n
+    FROM (
+      WITH toks AS (
+        SELECT doc_id, u.tok AS term
+        FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS u(tok)
+      ),
+      dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      corpus AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT avg(coalesce(dl, 0)) FROM documents LEFT JOIN dls USING (doc_id)) AS avgdl
+      ),
+      tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+        WHERE t.term IN ('data', 'row') GROUP BY t.doc_id, t.term
+      ),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / c.avgdl)) AS contrib
+        FROM tf JOIN dfreq d USING (term) JOIN dls USING (doc_id), corpus c
+      )
+      SELECT doc_id, sum(contrib) AS score FROM scored
+      WHERE doc_id NOT IN (7, 3, 5) GROUP BY doc_id
     )
   ) WHERE n <= 15
 )
@@ -3921,7 +3997,7 @@ SQL_ADVANCED_QUERIES = "\nUNION ALL\n".join(
      _SQL_RUNTIME,
      _SQL_HAS_PARENT, _SQL_PARENT_ID, _SQL_SPARSE_VECTOR,
      _SQL_DISTANCE_FEATURE, _SQL_MATCH_FUZZY, _SQL_ESQL_FORK,
-     _SQL_TERMS_LOOKUP, _SQL_NESTED]
+     _SQL_TERMS_LOOKUP, _SQL_NESTED, _SQL_RULE]
 )
 
 

@@ -3104,6 +3104,7 @@ class BM25Searcher:
         k: int = 10,
         mode: str = "or",
         with_meta: bool = True,
+        doc_filter: "Column | None" = None,
     ) -> DataFrame:
         """ES ``pinned`` query: the given doc ids rank first IN THE GIVEN
         ORDER, then the organic query's hits (pinned docs removed from
@@ -3126,12 +3127,18 @@ class BM25Searcher:
             "score double, doc_id long",
         )
         # unknown pinned ids silently drop (ES behavior): semi-join the
-        # k-row pin frame against docmap — pin frame is the build side
+        # k-row pin frame against docmap — pin frame is the build side.
+        # A doc_filter (rule_query exclusions, alias filters) gates the
+        # PIN side too: ES never pins a doc the filter excludes.
+        allowed = self.ix.docmap
+        if doc_filter is not None:
+            allowed = allowed.filter(doc_filter)
         pin_df = F.broadcast(pin_df).join(
-            self.ix.docmap.select("doc_id"), "doc_id", "semi"
+            allowed.select("doc_id"), "doc_id", "semi"
         )
         organic_hits = self.top_k(
-            organic, k=k + len(pins), mode=mode, with_meta=False
+            organic, k=k + len(pins), mode=mode, with_meta=False,
+            doc_filter=doc_filter,
         )
         org = organic_hits.join(
             F.broadcast(pin_df.select("doc_id")), "doc_id", "anti"
@@ -3140,6 +3147,97 @@ class BM25Searcher:
             "doc_id", F.col("score").cast("float").alias("score")
         ).unionByName(org.select("doc_id", "score"))
         return self._ranked(cands, k, with_meta)
+
+    def rule_query(
+        self,
+        ruleset: "list[dict]",
+        match_criteria: "dict",
+        organic: str,
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """ES ``rule`` query (8.10+ query rules): a ruleset of rules is
+        evaluated DRIVER-SIDE against the request's ``match_criteria``
+        metadata; applicable rules contribute ``pinned`` or ``exclude``
+        doc-id actions which are applied over the organic query — pins
+        via the pinned-ladder query, exclusions as a doc filter the
+        organic ranking (and the pin side) never sees. Rule shape::
+
+            {"type": "pinned"|"exclude",
+             "criteria": [{"type": ..., "metadata": ..., "values": [...]}],
+             "ids": [...]}
+
+        Criteria types (all must match within a rule — ES ANDs them):
+        ``always``, ``exact``, ``prefix``, ``suffix``, ``contains``,
+        ``lt``/``lte``/``gt``/``gte`` (numeric, any value matches).
+        ES's ``fuzzy`` criterion (its analyzed variant is
+        scoring-model-specific) raises — the never-misread discipline.
+        A doc id named by multiple applicable rules keeps its FIRST
+        action in ruleset order (pin-then-exclude conflicts resolve to
+        the earlier rule — the engine's documented deterministic
+        reading of ES's unspecified conflict behavior). Zero applicable
+        pins degrade to a plain (filtered) top_k: ONE engine query
+        either way — criteria evaluation costs no Spark job."""
+        pins: "list[int]" = []
+        excl: "list[int]" = []
+        seen: "set[int]" = set()
+        for rule in ruleset:
+            rtype = rule.get("type")
+            if rtype not in ("pinned", "exclude"):
+                raise ValueError(f"rule type must be pinned|exclude: {rtype}")
+            if not all(
+                self._rule_criterion(c, match_criteria)
+                for c in rule.get("criteria", [])
+            ):
+                continue
+            for i in rule.get("ids", []):
+                i = int(i)
+                if i in seen:
+                    continue
+                seen.add(i)
+                (pins if rtype == "pinned" else excl).append(i)
+        doc_filter = ~F.col("doc_id").isin(excl) if excl else None
+        if pins:
+            return self.pinned(
+                pins, organic, k=k, mode=mode, with_meta=with_meta,
+                doc_filter=doc_filter,
+            )
+        return self.top_k(
+            organic, k=k, mode=mode, with_meta=with_meta,
+            doc_filter=doc_filter,
+        )
+
+    @staticmethod
+    def _rule_criterion(c: dict, match_criteria: dict) -> bool:
+        """One query-rule criterion vs the request metadata. A criterion
+        naming metadata the request didn't send does NOT match (ES)."""
+        ctype = c.get("type")
+        if ctype == "always":
+            return True
+        if ctype == "fuzzy":
+            raise ValueError(
+                "rule_query: the 'fuzzy' criterion type is not supported")
+        meta = c.get("metadata")
+        if meta is None or meta not in match_criteria:
+            return False
+        v = match_criteria[meta]
+        vals = c.get("values", [])
+        if ctype == "exact":
+            return any(v == x for x in vals)
+        if ctype == "prefix":
+            return any(str(v).startswith(str(x)) for x in vals)
+        if ctype == "suffix":
+            return any(str(v).endswith(str(x)) for x in vals)
+        if ctype == "contains":
+            return any(str(x) in str(v) for x in vals)
+        if ctype in ("lt", "lte", "gt", "gte"):
+            import operator as _op
+
+            cmp = {"lt": _op.lt, "lte": _op.le,
+                   "gt": _op.gt, "gte": _op.ge}[ctype]
+            return any(cmp(float(v), float(x)) for x in vals)
+        raise ValueError(f"unknown rule criterion type: {ctype}")
 
     def span_near_query(
         self,

@@ -335,3 +335,63 @@ def test_validate_query(searcher):
     assert searcher.validate_query("???")["valid"] is False
     assert searcher.validate_query("a | b", syntax="simple")["valid"]
     assert searcher.validate_query("x", syntax="nope")["valid"] is False
+
+
+# ---------------------------------------------------------------------------
+# rule query (ES 8.10 query rules)
+
+
+def test_rule_query_pins_and_excludes(searcher):
+    organic = searcher.top_k("w0002", k=10, with_meta=False).toPandas()
+    ids = organic["doc_id"].tolist()
+    pin, drop = int(ids[4]), int(ids[1])
+    ruleset = [
+        {"type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "q", "values": ["w0002"]}],
+         "ids": [pin]},
+        {"type": "exclude",
+         "criteria": [{"type": "contains", "metadata": "q", "values": ["000"]}],
+         "ids": [drop]},
+        {"type": "pinned",  # non-matching rule: criteria miss
+         "criteria": [{"type": "prefix", "metadata": "q", "values": ["zz"]}],
+         "ids": [int(ids[2])]},
+    ]
+    got = searcher.rule_query(
+        ruleset, {"q": "w0002"}, "w0002", k=8, with_meta=False
+    ).toPandas()
+    assert got["doc_id"].iloc[0] == pin           # pinned first
+    rest = [d for d in ids if d not in (pin, drop)]
+    assert got["doc_id"].tolist()[1:] == rest[: len(got) - 1]
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_rule_query_first_action_wins_and_criteria(searcher):
+    organic = searcher.top_k("w0002", k=5, with_meta=False).toPandas()
+    top = int(organic["doc_id"].iloc[0])
+    # same id pinned THEN excluded: the first action (pin) wins
+    ruleset = [
+        {"type": "pinned",
+         "criteria": [{"type": "gte", "metadata": "n", "values": [5]}],
+         "ids": [top]},
+        {"type": "exclude", "criteria": [{"type": "always"}], "ids": [top]},
+    ]
+    got = searcher.rule_query(
+        ruleset, {"n": 7}, "w0002", k=5, with_meta=False).toPandas()
+    assert got["doc_id"].iloc[0] == top
+    # criteria on metadata the request did not send never match
+    got2 = searcher.rule_query(
+        [{"type": "exclude",
+          "criteria": [{"type": "exact", "metadata": "absent", "values": ["x"]}],
+          "ids": [top]}],
+        {"q": "w0002"}, "w0002", k=5, with_meta=False).toPandas()
+    assert got2["doc_id"].tolist() == organic["doc_id"].tolist()
+    # zero applicable rules == plain top_k; fuzzy criterion raises
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fuzzy"):
+        searcher.rule_query(
+            [{"type": "pinned",
+              "criteria": [{"type": "fuzzy", "metadata": "q", "values": ["a"]}],
+              "ids": [1]}],
+            {"q": "a"}, "w0002", k=3)
+    with _pt.raises(ValueError, match="rule type"):
+        searcher.rule_query([{"type": "boost", "ids": [1]}], {}, "w0002")
