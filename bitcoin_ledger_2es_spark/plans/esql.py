@@ -44,10 +44,16 @@ TO_BOOLEAN TO_DATETIME STARTS_WITH ENDS_WITH TRIM LTRIM RTRIM REPLACE
 CEIL FLOOR SQRT CBRT EXP LOG LOG10 POW SIGNUM SIN COS TAN ASIN ACOS
 ATAN ATAN2 HYPOT PI E, multivalue
 MV_COUNT MV_MAX MV_MIN MV_DEDUPE MV_SORT MV_CONCAT MV_SUM MV_AVG
-MV_FIRST MV_LAST (over array columns, null-in-null-out; empty
-multivalues answer null, the ES|QL convention), arg-order-adapted
-LOCATE / DATE_FORMAT / DATE_DIFF / SPLIT (explicit re-emitters in
-_SPECIAL), TO_DEGREES TO_RADIANS BIT_LENGTH BYTE_LENGTH, and
+MV_FIRST MV_LAST MV_APPEND MV_ZIP MV_SLICE MV_MEDIAN (over array
+columns, null-in-null-out; empty multivalues answer null, the ES|QL
+convention; MV_SLICE is 0-based inclusive with negative-from-end
+integer-literal indices), arg-order-adapted
+LOCATE / DATE_FORMAT / DATE_DIFF / SPLIT / DATE_PARSE (format-first)
+/ DATE_EXTRACT (ChronoField-name part literal; DAY_OF_WEEK is ISO
+Monday=1) (explicit re-emitters in _SPECIAL), SHA256,
+``expr::type`` postfix casts (LONG/INTEGER/DOUBLE/KEYWORD/TEXT/
+BOOLEAN/DATETIME — IP/VERSION/UNSIGNED_LONG raise),
+TO_DEGREES TO_RADIANS BIT_LENGTH BYTE_LENGTH, and
 variadic CASE(cond, val, ..., [default]), and BUCKET (three documented
 forms: numeric span, ``1 <unit>`` calendar span via date_trunc, and the
 auto (expr, count, from, to) form at a driver-resolved nice interval).
@@ -78,7 +84,7 @@ _TOKEN = re.compile(
     r'\s*(?:(?P<str>"(?:[^"\\]|\\.)*")'
     r"|(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<id>[A-Za-z_][A-Za-z0-9_]*)"
-    r"|(?P<op>==|!=|<=|>=|[<>+\-*/%(),=])"
+    r"|(?P<op>==|!=|<=|>=|::|[<>+\-*/%(),=])"
     r")"
 )
 
@@ -122,10 +128,20 @@ _FUNCS = {
     "MV_CONCAT": "array_join",  # (array, delimiter) — same order
     "TO_DEGREES": "degrees", "TO_RADIANS": "radians",
     "BIT_LENGTH": "bit_length", "BYTE_LENGTH": "octet_length",
+    "MV_APPEND": "concat",  # (array, array) — null-in-null-out both
 }
 _CASTS = {"TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE", "TO_STRING": "STRING",
           "TO_INTEGER": "INT", "TO_BOOLEAN": "BOOLEAN",
           "TO_DATETIME": "TIMESTAMP"}
+# ES|QL `expr::type` postfix cast type names (8.14) -> Spark SQL types.
+# IP / VERSION / UNSIGNED_LONG / spatial types have no Spark twin and
+# raise (never-misread) — the TO_* conversion set above is the same
+# surface in function form.
+_COLON_TYPES = {
+    "LONG": "BIGINT", "INT": "INT", "INTEGER": "INT", "DOUBLE": "DOUBLE",
+    "KEYWORD": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "BOOL": "BOOLEAN", "BOOLEAN": "BOOLEAN", "DATETIME": "TIMESTAMP",
+}
 _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
          "MEDIAN", "PERCENTILE", "STD_DEV", "VALUES", "WEIGHTED_AVG",
          "TOP"}
@@ -486,6 +502,110 @@ def _sp_mv_last(args):
     return f"try_element_at({_emit(args[0])}, -1)"
 
 
+# ES|QL DATE_EXTRACT takes java.time ChronoField names; the supported
+# subset maps to Spark datetime extractors. DAY_OF_WEEK is ISO
+# (1=Monday..7=Sunday) — Spark's dayofweek() is 1=Sunday, so it lowers
+# to weekday()+1 (weekday: 0=Monday). All results are BIGINT (ES: long).
+_CHRONO_FIELDS = {
+    "YEAR": "year({0})",
+    "MONTH_OF_YEAR": "month({0})",
+    "DAY_OF_MONTH": "day({0})",
+    "DAY_OF_YEAR": "dayofyear({0})",
+    "DAY_OF_WEEK": "(weekday({0}) + 1)",
+    "HOUR_OF_DAY": "hour({0})",
+    "MINUTE_OF_HOUR": "minute({0})",
+    "SECOND_OF_MINUTE": "second({0})",
+    "ALIGNED_WEEK_OF_YEAR": "weekofyear({0})",
+}
+
+
+def _sp_date_extract(args):
+    # ES|QL DATE_EXTRACT(datePart, date): the part is a string literal
+    # ChronoField name (case-insensitive); unknown fields raise.
+    if len(args) != 2:
+        raise ESQLError("DATE_EXTRACT takes (datePart, date)")
+    part = _raw_str(args[0])
+    if part is None or part.upper() not in _CHRONO_FIELDS:
+        raise ESQLError(
+            "DATE_EXTRACT part must be a string literal in "
+            f"{sorted(_CHRONO_FIELDS)}")
+    return ("CAST(" + _CHRONO_FIELDS[part.upper()].format(_emit(args[1]))
+            + " AS BIGINT)")
+
+
+def _sp_date_parse(args):
+    # ES|QL DATE_PARSE([format,] string) — format FIRST (the
+    # DATE_FORMAT convention); Spark to_timestamp(str[, fmt]). The
+    # 1-arg default is ISO8601, which to_timestamp already parses.
+    if len(args) == 1:
+        return f"to_timestamp({_emit(args[0])})"
+    if len(args) == 2:
+        return f"to_timestamp({_emit(args[1])}, {_emit(args[0])})"
+    raise ESQLError("DATE_PARSE takes ([format,] string)")
+
+
+def _sp_mv_slice(args):
+    # ES|QL MV_SLICE(arr, start[, end]): 0-based, BOTH ends inclusive,
+    # negative indices count from the end; end defaults to start. The
+    # indices must be integer literals (the BUCKET-literal convention —
+    # they shape the emitted slice arithmetic). Out-of-range
+    # intersections are empty, and empty results follow the MV
+    # null convention (null, never []).
+    if len(args) not in (2, 3):
+        raise ESQLError("MV_SLICE takes (array, start[, end])")
+    c = _emit(args[0])
+    s = _num_literal(args[1])
+    e = _num_literal(args[2]) if len(args) == 3 else s
+    if s is None or e is None or int(s) != s or int(e) != e:
+        raise ESQLError("MV_SLICE start/end must be integer literals")
+    s, e = int(s), int(e)
+
+    def pos(k: int) -> str:
+        # 1-based position; negatives resolve against size()
+        return str(k + 1) if k >= 0 else f"(size({c}) + {k + 1})"
+
+    ps = f"greatest({pos(s)}, 1)"
+    ln = f"(least({pos(e)}, size({c})) - {ps} + 1)"
+    return (f"CASE WHEN {c} IS NULL OR size({c}) = 0 OR {ln} <= 0 "
+            f"THEN NULL ELSE slice({c}, {ps}, {ln}) END")
+
+
+def _sp_mv_median(args):
+    # ES|QL MV_MEDIAN: median of the multivalue; even counts average
+    # the two middle values (emitted DOUBLE — the engine's documented
+    # numeric reading; ES narrows back to the input's integer type).
+    # Elements are cast to DOUBLE BEFORE the sort (ES is numeric-only
+    # here; sorting the raw array would order string multivalues
+    # lexicographically — "10" < "2" — and pick the wrong middle).
+    # `div` keeps the index arithmetic integral under ANSI (int `/` is
+    # a DOUBLE divide in Spark SQL).
+    if len(args) != 1:
+        raise ESQLError("MV_MEDIAN takes one array argument")
+    c = _emit(args[0])
+    srt = f"array_sort(transform({c}, x -> CAST(x AS DOUBLE)))"
+    lo = f"element_at({srt}, CAST((size({c}) + 1) div 2 AS INT))"
+    hi = f"element_at({srt}, CAST(size({c}) div 2 + 1 AS INT))"
+    return (f"CASE WHEN {c} IS NULL OR size({c}) = 0 THEN NULL "
+            f"ELSE ({lo} + {hi}) / 2.0 END")
+
+
+def _sp_mv_zip(args):
+    # ES|QL MV_ZIP(a, b[, delim]): pairwise string join, delim default
+    # ","; the longer array's tail passes through unjoined — exactly
+    # concat_ws over zip_with's null padding (concat_ws skips nulls).
+    if len(args) not in (2, 3):
+        raise ESQLError("MV_ZIP takes (array, array[, delim])")
+    a, b = _emit(args[0]), _emit(args[1])
+    d = _emit(args[2]) if len(args) == 3 else "','"
+    return f"zip_with({a}, {b}, (x, y) -> concat_ws({d}, x, y))"
+
+
+def _sp_sha256(args):
+    if len(args) != 1:
+        raise ESQLError("SHA256 takes one argument")
+    return f"sha2({_emit(args[0])}, 256)"
+
+
 _SPECIAL = {
     "LOCATE": _sp_locate,
     "DATE_FORMAT": _sp_date_format,
@@ -495,6 +615,12 @@ _SPECIAL = {
     "MV_AVG": _sp_mv_avg,
     "MV_FIRST": _sp_mv_first,
     "MV_LAST": _sp_mv_last,
+    "DATE_EXTRACT": _sp_date_extract,
+    "DATE_PARSE": _sp_date_parse,
+    "MV_SLICE": _sp_mv_slice,
+    "MV_MEDIAN": _sp_mv_median,
+    "MV_ZIP": _sp_mv_zip,
+    "SHA256": _sp_sha256,
 }
 
 
@@ -514,6 +640,39 @@ def _emit(tokens, aggs_ok: bool = False) -> str:
         elif kind == "num":
             out.append(v)
         elif kind == "op":
+            if v == "::":
+                # ES|QL postfix cast: binds to the preceding PRIMARY —
+                # an atom emission (identifier, literal, call) or a
+                # paren group, which we fold by walking back to the
+                # matching standalone "(" entry (call emissions are
+                # single balanced strings, never a bare paren entry)
+                if i + 1 >= len(tokens) or tokens[i + 1][0] != "id":
+                    raise ESQLError(":: needs a type name")
+                tname = tokens[i + 1][1].upper()
+                if tname not in _COLON_TYPES:
+                    raise ESQLError(f"unsupported ::cast type: {tname}")
+                if not out:
+                    raise ESQLError(":: needs a preceding expression")
+                if out[-1] == ")":
+                    depth, k2 = 0, len(out) - 1
+                    while k2 >= 0:
+                        if out[k2] == ")":
+                            depth += 1
+                        elif out[k2] == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k2 -= 1
+                    if k2 < 0 or depth != 0:
+                        raise ESQLError("unbalanced parens before ::")
+                    grouped = " ".join(out[k2:])
+                    out = out[:k2]
+                    out.append(f"CAST({grouped} AS {_COLON_TYPES[tname]})")
+                else:
+                    out[-1] = (
+                        f"CAST({out[-1]} AS {_COLON_TYPES[tname]})")
+                i += 2
+                continue
             out.append("=" if v == "==" else v)
         else:  # identifier
             up = v.upper()

@@ -989,3 +989,101 @@ def test_stats_by_without_aggregates_is_distinct(spark, events):
 def test_inlinestats_without_aggregates_raises(spark, events):
     with pytest.raises(ESQLError, match="at least one aggregate"):
         esql('FROM e | INLINESTATS BY event_type', {"e": events})
+
+
+# ---------------------------------------------------------------------------
+# session-4: `::` postfix casts, DATE_EXTRACT/DATE_PARSE, MV_SLICE /
+# MV_MEDIAN / MV_ZIP / MV_APPEND, SHA256
+
+
+def test_colon_cast_atoms_and_groups(spark, events):
+    got = esql(
+        'FROM events'
+        ' | EVAL cents = ROUND(value * 100)::LONG,'
+        '        half = (value / 2)::LONG,'
+        '        tag = user_id::KEYWORD'
+        ' | WHERE cents > 10000'
+        ' | SORT cents DESC, event_id ASC | LIMIT 5'
+        ' | KEEP event_id, cents, half, tag',
+        {"events": events},
+    ).toPandas()
+    exp = (
+        events.withColumn("cents", F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("half", F.expr("CAST(value / 2 AS BIGINT)"))
+        .withColumn("tag", F.col("user_id").cast("string"))
+        .filter(F.col("cents") > 10000)
+        .orderBy(F.desc("cents"), F.asc("event_id")).limit(5)
+        .select("event_id", "cents", "half", "tag")
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    assert got["tag"].dtype == object
+    # chained casts fold left; ::LONG truncates toward zero (ES TO_LONG)
+    one = esql('ROW x = 3.9::LONG::STRING').toPandas()
+    assert one["x"].iloc[0] == "3"
+    with pytest.raises(ESQLError, match="cast type"):
+        esql('FROM events | EVAL y = value::IP', {"events": events})
+    with pytest.raises(ESQLError, match="type name"):
+        esql('FROM events | EVAL y = value::', {"events": events})
+
+
+def test_date_extract_and_parse(spark, events):
+    got = esql(
+        'FROM events'
+        ' | EVAL yr = DATE_EXTRACT("year", ts),'
+        '        mo = DATE_EXTRACT("month_of_year", ts),'
+        '        dow = DATE_EXTRACT("day_of_week", ts)'
+        ' | STATS n = COUNT(*) BY yr, mo, dow'
+        ' | SORT yr ASC, mo ASC, dow ASC',
+        {"events": events},
+    ).toPandas()
+    exp = (
+        events.select(
+            F.year("ts").cast("long").alias("yr"),
+            F.month("ts").cast("long").alias("mo"),
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+        ).groupBy("yr", "mo", "dow").agg(F.count("*").alias("n"))
+        .orderBy("yr", "mo", "dow").toPandas()
+    )
+    assert got[["yr", "mo", "dow", "n"]].values.tolist() == \
+        exp[["yr", "mo", "dow", "n"]].values.tolist()
+    # ISO day-of-week: Monday = 1 (2024-01-01 was a Monday)
+    row = esql('ROW d = DATE_EXTRACT("day_of_week",'
+               ' DATE_PARSE("yyyy-MM-dd", "2024-01-01"))').toPandas()
+    assert row["d"].iloc[0] == 1
+    with pytest.raises(ESQLError, match="DATE_EXTRACT part"):
+        esql('FROM events | EVAL x = DATE_EXTRACT("era", ts)',
+             {"events": events})
+
+
+def test_mv_slice_median_zip_append(spark):
+    got = esql(
+        'ROW a = MV_SLICE(SPLIT("a,b,c,d,e", ","), 1, 2),'
+        '    t = MV_SLICE(SPLIT("a,b,c", ","), 0),'
+        '    neg = MV_SLICE(SPLIT("a,b,c,d", ","), -2, -1),'
+        '    oob = MV_SLICE(SPLIT("a,b", ","), 5, 9),'
+        '    med_odd = MV_MEDIAN(SPLIT("10,2,9", ",")),'
+        '    zip = MV_ZIP(SPLIT("x,y", ","), SPLIT("1,2,3", ",")),'
+        '    app = MV_APPEND(SPLIT("a", ","), SPLIT("b", ","))',
+    ).toPandas()
+    r = got.iloc[0]
+    assert list(r["a"]) == ["b", "c"]
+    assert list(r["t"]) == ["a"]
+    assert list(r["neg"]) == ["c", "d"]
+    assert r["oob"] is None
+    # numeric (not lexicographic) median: sorted [2, 9, 10] -> 9
+    assert r["med_odd"] == 9.0
+    assert list(r["zip"]) == ["x,1", "y,2", "3"]
+    assert list(r["app"]) == ["a", "b"]
+    # even-count median averages the two middle values
+    ev = esql('ROW m = MV_MEDIAN(SPLIT("4,1,3,2", ","))').toPandas()
+    assert ev["m"].iloc[0] == 2.5
+    with pytest.raises(ESQLError, match="integer literals"):
+        esql('FROM e | EVAL x = MV_SLICE(a, b)', {"e": spark.range(1)})
+
+
+def test_sha256_lowering(spark):
+    import hashlib
+
+    got = esql('ROW h = SHA256("data")').toPandas()
+    assert got["h"].iloc[0] == hashlib.sha256(b"data").hexdigest()
