@@ -671,7 +671,9 @@ def test_mv_dedupe_sort_and_unknown_still_raises(spark):
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
         esql('FROM t | EVAL x = CIDR_MATCH(a, "10.0.0.0/8")', {"t": df})
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
-        esql('FROM t | EVAL x = MV_SLICE(a, 1, 2)', {"t": df})
+        # MV_SLICE landed in session 4 — MV_PERCENTILE is still outside
+        # the documented subset and must keep raising
+        esql('FROM t | EVAL x = MV_PERCENTILE(a, 50)', {"t": df})
 
 
 def test_row_literal_source(spark):
