@@ -387,7 +387,16 @@ def q_window_lag(spark, sf_dir):
     * ``esql_bucket`` — the session-3 ``STATS ... BY b = BUCKET(value,
       25.0), event_type`` surface: floor-arithmetic bucket keys (DOUBLE-
       pinned span) with integer-cents sums; key = et:bucket:count,
-      n = sum_cents — exact on both sides."""
+      n = sum_cents — exact on both sides.
+    * ``esql_cast`` — session-4 ``::LONG`` postfix casts +
+      ``DATE_EXTRACT`` ChronoField literals grouping by extracted
+      year/month (BIGINT both sides); key = et:yr:mo:count,
+      n = sum_cents.
+    * ``esql_mvx`` — session-4 MV_SLICE (head-8) + MV_MEDIAN: the
+      selection edge orders on the RAW f64 median of double-cast f32
+      elements (even count — the middle pair averages two identical
+      f64s on both sides), vec_id ties; emission is the integer slice
+      length."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag = (
         _t(spark, sf_dir, "events")
@@ -492,8 +501,37 @@ def q_window_lag(spark, sf_dir):
         ).alias("key"),
         F.col("sc").alias("n"),
     )
+    ec = esql(
+        'FROM events'
+        ' | EVAL cents = ROUND(value * 100)::LONG,'
+        '        yr = DATE_EXTRACT("year", ts),'
+        '        mo = DATE_EXTRACT("month_of_year", ts)'
+        ' | STATS n_ev = COUNT(*), sc = SUM(cents) BY yr, mo, event_type',
+        {"events": _t(spark, sf_dir, "events")},
+    ).select(
+        F.lit("esql_cast").alias("kind"),
+        F.concat_ws(
+            ":", "event_type", F.col("yr").cast("string"),
+            F.col("mo").cast("string"), F.col("n_ev").cast("string"),
+        ).alias("key"),
+        F.col("sc").alias("n"),
+    )
+    mvx = esql(
+        'FROM embeddings'
+        ' | EVAL hd = MV_SLICE(embedding, 0, 7),'
+        '        n = MV_COUNT(hd)::LONG, md = MV_MEDIAN(hd)'
+        ' | WHERE md > 0'
+        ' | SORT md DESC, vec_id ASC'
+        ' | LIMIT 12',
+        {"embeddings": _t(spark, sf_dir, "embeddings")},
+    ).select(
+        F.lit("esql_mvx").alias("kind"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.col("n"),
+    )
     return (lag.unionByName(seq).unionByName(smp).unionByName(eq)
-            .unionByName(inl).unionByName(mv).unionByName(bk))
+            .unionByName(inl).unionByName(mv).unionByName(bk)
+            .unionByName(ec).unionByName(mvx))
 
 
 SQL_WINDOW_LAG = f"""
@@ -607,6 +645,41 @@ FROM (
          CAST(count(*) AS BIGINT) AS n_ev,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
   FROM events GROUP BY 1, 2
+)
+UNION ALL
+-- esql_cast: ::LONG postfix casts + DATE_EXTRACT ChronoField literals;
+-- the extracted year/month are BIGINT (ES long) on both sides
+SELECT 'esql_cast' AS kind,
+       concat_ws(':', event_type, CAST(yr AS VARCHAR), CAST(mo AS VARCHAR),
+                 CAST(n_ev AS VARCHAR)) AS key,
+       sc AS n
+FROM (
+  SELECT CAST(year(ts) AS BIGINT) AS yr, CAST(month(ts) AS BIGINT) AS mo,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1, 2, 3
+)
+UNION ALL
+-- esql_mvx: MV_SLICE head-8 + MV_MEDIAN selection edge. The engine
+-- casts elements to DOUBLE BEFORE sorting; f32->f64 preserves order,
+-- and the even-count middle pair averages two identical f64s both
+-- sides — the edge orders on the RAW median (never rounded), vec_id
+-- breaks ties, emission is the integer slice length only.
+SELECT 'esql_mvx' AS kind, key, n
+FROM (
+  SELECT CAST(vec_id AS VARCHAR) AS key, CAST(len(hd) AS BIGINT) AS n,
+         (CAST(s[cast((len(hd) + 1) // 2 AS BIGINT)] AS DOUBLE)
+          + CAST(s[cast(len(hd) // 2 + 1 AS BIGINT)] AS DOUBLE)) / 2.0 AS md
+  FROM (
+    SELECT vec_id, hd,
+           list_sort(list_transform(hd, x -> CAST(x AS DOUBLE))) AS s
+    FROM (SELECT vec_id, embedding[1:8] AS hd FROM embeddings)
+  )
+  WHERE (CAST(s[cast((len(hd) + 1) // 2 AS BIGINT)] AS DOUBLE)
+         + CAST(s[cast(len(hd) // 2 + 1 AS BIGINT)] AS DOUBLE)) / 2.0 > 0
+  ORDER BY md DESC, vec_id ASC
+  LIMIT 12
 )
 """
 
