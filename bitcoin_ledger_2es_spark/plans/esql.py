@@ -50,7 +50,8 @@ convention; MV_SLICE is 0-based inclusive with negative-from-end
 integer-literal indices), arg-order-adapted
 LOCATE / DATE_FORMAT / DATE_DIFF / SPLIT / DATE_PARSE (format-first)
 / DATE_EXTRACT (ChronoField-name part literal; DAY_OF_WEEK is ISO
-Monday=1) (explicit re-emitters in _SPECIAL), SHA256,
+Monday=1) (explicit re-emitters in _SPECIAL), SHA256, CIDR_MATCH
+(IPv4 literal blocks -> integer-fold range checks),
 ``expr::type`` postfix casts (LONG/INTEGER/DOUBLE/KEYWORD/TEXT/
 BOOLEAN/DATETIME — IP/VERSION/UNSIGNED_LONG raise),
 TO_DEGREES TO_RADIANS BIT_LENGTH BYTE_LENGTH, and
@@ -108,8 +109,8 @@ _FUNCS = {
     # identical name-compatible semantics AND argument order. Functions
     # with swapped args (LOCATE, DATE_FORMAT, DATE_DIFF), literal-vs-
     # regex drift (SPLIT) or composite lowerings (MV_SUM/AVG/FIRST/
-    # LAST) live in _SPECIAL with explicit re-emitters; anything else
-    # (CIDR_MATCH, ...) raises, per the never-misread discipline.
+    # LAST, CIDR_MATCH) live in _SPECIAL with explicit re-emitters;
+    # anything else raises, per the never-misread discipline.
     "STARTS_WITH": "startswith", "ENDS_WITH": "endswith",
     "TRIM": "trim", "LTRIM": "ltrim", "RTRIM": "rtrim",
     "REPLACE": "regexp_replace",  # ES|QL REPLACE is regex-based too
@@ -606,6 +607,35 @@ def _sp_sha256(args):
     return f"sha2({_emit(args[0])}, 256)"
 
 
+def _sp_cidr_match(args):
+    # ES|QL CIDR_MATCH(ip, "block", ...): true when the IPv4 address
+    # falls in ANY block. The blocks must be string literals (they
+    # resolve to integer bounds at emission via operators.aggs
+    # parse_cidr — the ip_range/ip_prefix machinery); the ip operand is
+    # a dotted-quad STRING column folded big-endian to int64, matching
+    # ES's numeric ip ordering. IPv6 raises.
+    if len(args) < 2:
+        raise ESQLError("CIDR_MATCH takes (ip, block, ...)")
+    from ..operators.aggs import parse_cidr
+
+    ip = _emit(args[0])
+    fold = (f"(CAST(split_part({ip}, '.', 1) AS BIGINT) * 16777216"
+            f" + CAST(split_part({ip}, '.', 2) AS BIGINT) * 65536"
+            f" + CAST(split_part({ip}, '.', 3) AS BIGINT) * 256"
+            f" + CAST(split_part({ip}, '.', 4) AS BIGINT))")
+    checks = []
+    for a in args[1:]:
+        block = _raw_str(a)
+        if block is None or "/" not in block:
+            raise ESQLError(
+                "CIDR_MATCH blocks must be 'a.b.c.d/m' string literals")
+        if ":" in block:
+            raise ESQLError("CIDR_MATCH: IPv6 blocks are not supported")
+        lo, hi = parse_cidr(block)
+        checks.append(f"({fold} >= {lo} AND {fold} < {hi})")
+    return "(" + " OR ".join(checks) + ")"
+
+
 _SPECIAL = {
     "LOCATE": _sp_locate,
     "DATE_FORMAT": _sp_date_format,
@@ -621,6 +651,7 @@ _SPECIAL = {
     "MV_MEDIAN": _sp_mv_median,
     "MV_ZIP": _sp_mv_zip,
     "SHA256": _sp_sha256,
+    "CIDR_MATCH": _sp_cidr_match,
 }
 
 

@@ -19,6 +19,8 @@ the node:
   ``linear``     -> plans.query.linear_fuse (weights + one normalizer)
   ``pinned``     -> BM25Searcher.pinned (8.18; the wrapped retriever
                     must reduce to one organic query string)
+  ``rule``       -> BM25Searcher.rule_query (8.16 query rules; same
+                    organic-reduction rule as ``pinned``)
   ``rescorer``   -> BM25Searcher.rescore_top_k with a caller-supplied
                     ``rescore_fn`` (ES rescore queries are Painless;
                     the engine's script hook is a vectorized callable)
@@ -191,6 +193,21 @@ def retriever_search(
         return out.select(
             "rank", "doc_id",
             F.col("final_score").cast("double").alias("score"))
+
+    if kind == "rule":
+        # ES 8.16 rule retriever — the retriever-tree form of the rule
+        # query: same ruleset/criteria evaluation, organic reduced from
+        # the wrapped retriever (the pinned-wrapper convention).
+        ruleset = spec.get("ruleset")
+        criteria = spec.get("match_criteria")
+        if not isinstance(ruleset, list) or not isinstance(criteria, dict):
+            raise ValueError(
+                "rule retriever needs ruleset=[...] and match_criteria={}")
+        organic = _organic_text(spec["retriever"])
+        return searcher.rule_query(
+            ruleset, criteria, organic, k=k, with_meta=False,
+        ).select("rank", "doc_id", F.col("score").cast("double")
+                 .alias("score"))
 
     if kind == "text_similarity_reranker":
         raise ValueError(

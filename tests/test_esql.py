@@ -1089,3 +1089,22 @@ def test_sha256_lowering(spark):
 
     got = esql('ROW h = SHA256("data")').toPandas()
     assert got["h"].iloc[0] == hashlib.sha256(b"data").hexdigest()
+
+
+def test_cidr_match(spark):
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.64.0.1"), (3, "192.168.1.5"),
+         (4, "172.16.0.9")],
+        "id long, ip string")
+    got = esql(
+        'FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/10", "192.168.0.0/16")'
+        ' | SORT id ASC | KEEP id',
+        {"t": df},
+    ).toPandas()
+    # 10.1.2.3 in 10.0/10; 10.64.0.1 is OUTSIDE /10 (second octet 64);
+    # 192.168.1.5 in 192.168/16; 172.16.0.9 in neither
+    assert got["id"].tolist() == [1, 3]
+    with pytest.raises(ESQLError, match="string literals"):
+        esql('FROM t | WHERE CIDR_MATCH(ip, other)', {"t": df})
+    with pytest.raises(ESQLError, match="IPv6"):
+        esql('FROM t | WHERE CIDR_MATCH(ip, "::1/128")', {"t": df})

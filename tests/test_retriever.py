@@ -148,3 +148,23 @@ def test_retriever_misuse_raises(s, vecs):
             {"retriever": {"standard": {"query": "b"}},
              "normalizer": "none"},
         ]}})
+
+
+def test_rule_node_matches_surface(s):
+    ruleset = [
+        {"type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "q", "values": ["w0001"]}],
+         "ids": [7, 3]},
+        {"type": "exclude", "criteria": [{"type": "always"}], "ids": [5]},
+    ]
+    tree = {"rule": {"ruleset": ruleset, "match_criteria": {"q": "w0001"},
+                     "retriever": {"standard": {"query": "w0001"}}}}
+    got = retriever_search(s, tree, k=6).toPandas()
+    exp = s.rule_query(ruleset, {"q": "w0001"}, "w0001", k=6,
+                       with_meta=False).toPandas()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["doc_id"].tolist()[:2] == [7, 3]
+    assert 5 not in got["doc_id"].tolist()
+    with pytest.raises(ValueError, match="rule retriever needs"):
+        retriever_search(s, {"rule": {"retriever":
+                                      {"standard": {"query": "x"}}}}, k=3)
