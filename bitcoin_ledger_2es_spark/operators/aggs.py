@@ -480,6 +480,7 @@ def significant_text(
     cfg=None,
     size: int = 10,
     min_doc_count: int = 3,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """ES significant_text agg: terms from the FREE TEXT of a query's
     match set (``fg_docs`` — any frame with a doc_id column, e.g.
@@ -490,8 +491,26 @@ def significant_text(
     ANALYZER over text instead of a keyword field. One corpus
     tokenization serves both frequencies (the foreground reuses it via a
     semi join), one term-keyed aggregation each — no re-analysis of the
-    match set, no driver-side text. Returns (term, fg_df, bg_df, jlh),
-    top ``size`` by (jlh desc, term asc)."""
+    match set, no driver-side text. Returns (term, fg_df, bg_df,
+    <heuristic>), top ``size`` by (score desc, term asc).
+
+    ``heuristic`` selects the ES significance scorer, each the STANDARD
+    statistical formula over the 2x2 contingency table a = fg_df,
+    b = n_fg - a, c = bg_df - a, d = n_bg - n_fg - c (ES's
+    background_is_superset=true reading — the foreground is part of the
+    background):
+
+      * ``jlh``: (fgp - bgp) * (fgp / bgp) — the ES default blend of
+        absolute and relative change.
+      * ``chi_square``: N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) —
+        Pearson's chi-squared on the table.
+      * ``mutual_information``: sum over the four cells of
+        p(x,y) * log2(p(x,y) / (p(x) p(y))), empty cells contribute 0.
+      * ``percentage``: a / bg_df — foreground share of the term's
+        documents.
+
+    All are pure column arithmetic over the same two aggregates —
+    switching heuristics never changes the plan."""
     from ..config import DEFAULT
     from ..functions.analyze import tokenize_sql_builtin
 
@@ -517,13 +536,43 @@ def significant_text(
     )
     fgp = F.col("fg_df") / F.lit(float(n_fg))
     bgp = F.col("bg_df") / F.lit(float(n_bg))
+    if heuristic == "jlh":
+        score = (fgp - bgp) * (fgp / bgp)
+    elif heuristic in ("chi_square", "mutual_information"):
+        a = F.col("fg_df").cast("double")
+        b = F.lit(float(n_fg)) - a
+        c = F.col("bg_df").cast("double") - a
+        d = F.lit(float(n_bg - n_fg)) - c
+        n = F.lit(float(n_bg))
+        if heuristic == "chi_square":
+            num = n * (a * d - b * c) * (a * d - b * c)
+            den = (a + b) * (c + d) * (a + c) * (b + d)
+            score = F.when(den > 0, num / den)
+        else:
+            ln2 = 0.6931471805599453
+
+            def _cell(joint, mx, my):
+                p = joint / n
+                return F.when(
+                    joint > 0,
+                    p * (F.log(p / ((mx / n) * (my / n))) / F.lit(ln2)),
+                ).otherwise(F.lit(0.0))
+
+            score = (
+                _cell(a, a + b, a + c) + _cell(b, a + b, b + d)
+                + _cell(c, c + d, a + c) + _cell(d, c + d, b + d)
+            )
+    elif heuristic == "percentage":
+        score = F.col("fg_df").cast("double") / F.col("bg_df").cast("double")
+    else:
+        raise ValueError(f"unknown significance heuristic: {heuristic}")
     return (
         fg.join(bg, "term")
         .filter(F.col("fg_df") >= min_doc_count)
-        .withColumn("jlh", (fgp - bgp) * (fgp / bgp))
-        .orderBy(F.desc("jlh"), F.asc("term"))
+        .withColumn(heuristic, score)
+        .orderBy(F.desc(heuristic), F.asc("term"))
         .limit(size)
-        .select("term", "fg_df", "bg_df", "jlh")
+        .select("term", "fg_df", "bg_df", heuristic)
     )
 
 

@@ -1198,3 +1198,63 @@ def test_bucket_count_ks_test_uniform_vs_spike(spark):
         [(0, 100), (1, 0), (2, 0), (3, 0), (4, 0)], "k long, cnt long")
     assert bucket_count_ks_test(spike, "k", "cnt").collect()[0][
         "statistic"] == pytest.approx(0.8, abs=1e-15)
+
+
+def test_significance_heuristics(spark, searcher, tiny_df):
+    import math
+
+    from bitcoin_ledger_2es_spark.functions.analyze import tokenize_series
+    from bitcoin_ledger_2es_spark.operators.aggs import significant_text
+    from bitcoin_ledger_2es_spark.plans.build import tokenized_documents
+
+    docs, _ = tokenized_documents(tiny_df, CFG)
+    corpus = docs.select("doc_id", "text")
+    fg = searcher.match_docs("w0001", mode="and")
+    pdf = corpus.toPandas()
+    fg_ids = set(r.doc_id for r in fg.select("doc_id").collect())
+    toks = tokenize_series(pdf["text"], CFG)
+    bg_df, fg_df = {}, {}
+    for doc_id, ts in zip(pdf["doc_id"], toks):
+        for t in set(ts):
+            bg_df[t] = bg_df.get(t, 0) + 1
+            if doc_id in fg_ids:
+                fg_df[t] = fg_df.get(t, 0) + 1
+    n_bg, n_fg = len(pdf), len(fg_ids)
+
+    def table(t, f):
+        a = float(f)
+        b = float(n_fg) - a
+        c = float(bg_df[t]) - a
+        d = float(n_bg - n_fg) - c
+        return a, b, c, d
+
+    def chi2(t, f):
+        a, b, c, d = table(t, f)
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        return n_bg * (a * d - b * c) ** 2 / den if den > 0 else None
+
+    def mi(t, f):
+        a, b, c, d = table(t, f)
+        n = float(n_bg)
+        tot = 0.0
+        for joint, mx, my in ((a, a + b, a + c), (b, a + b, b + d),
+                              (c, c + d, a + c), (d, c + d, b + d)):
+            if joint > 0:
+                p = joint / n
+                tot += p * math.log2(p / ((mx / n) * (my / n)))
+        return tot
+
+    for name, fn in (("chi_square", chi2), ("mutual_information", mi),
+                     ("percentage", lambda t, f: f / bg_df[t])):
+        got = significant_text(
+            fg, corpus, cfg=CFG, size=8, min_doc_count=3, heuristic=name,
+        ).toPandas()
+        rows = sorted(
+            ((t, fn(t, f)) for t, f in fg_df.items() if f >= 3),
+            key=lambda r: (-(r[1] if r[1] is not None else float("-inf")), r[0]),
+        )[:8]
+        assert got["term"].tolist() == [r[0] for r in rows], name
+        assert got[name].tolist() == pytest.approx(
+            [r[1] for r in rows], rel=1e-12), name
+    with pytest.raises(ValueError, match="heuristic"):
+        significant_text(fg, corpus, cfg=CFG, heuristic="gnd")
