@@ -669,7 +669,9 @@ def test_mv_dedupe_sort_and_unknown_still_raises(spark):
              {"t": df}).toPandas()
     assert g.loc[0, "d"].tolist() == [1, 2, 3]
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
-        esql('FROM t | EVAL x = CIDR_MATCH(a, "10.0.0.0/8")', {"t": df})
+        # CIDR_MATCH landed in session 4 — IP_PREFIX is still outside
+        # the documented subset and must keep raising
+        esql('FROM t | EVAL x = IP_PREFIX(a, 8, 0)', {"t": df})
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
         # MV_SLICE landed in session 4 — MV_PERCENTILE is still outside
         # the documented subset and must keep raising
