@@ -891,7 +891,8 @@ def test_special_fn_misuse_raises(spark, events):
     with pytest.raises(ESQLError, match="LOCATE takes"):
         esql('FROM e | EVAL p = LOCATE(event_type)', {"e": events})
     with pytest.raises(ESQLError, match="unsupported ES\\|QL function"):
-        esql('FROM e | EVAL x = CIDR_MATCH(event_type, "10.0.0.0/8")',
+        # CIDR_MATCH landed in session 4 — ST_CONTAINS never will here
+        esql('FROM e | EVAL x = ST_CONTAINS(event_type, event_type)',
              {"e": events})
 
 
