@@ -188,3 +188,109 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + chunking (training-data pipeline ops, session 4)
+
+# Redaction patterns: deliberately conservative, documented regexes —
+# the standard pre-training scrub set. Order matters: emails before
+# phones (an email's digits must not half-match the phone pattern
+# after the '@' is gone... it can't: patterns apply to the ORIGINAL
+# text sequentially, each rewriting its own matches only).
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("cc", r"\b(?:\d[ \-]?){13,16}\b", "<CC>"),
+    ("phone", r"(?:\+\d{1,2}[ \-]?)?\(?\d{3}\)?[ \-]\d{3}[ \-]\d{4}\b",
+     "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: "list[str] | None" = None,
+) -> DataFrame:
+    """Training-data PII scrub: rewrite emails / IPv4s / SSN-shaped /
+    credit-card-shaped / phone-shaped spans to typed placeholder tokens
+    and count what was hit. Pure ``regexp_replace`` +
+    ``regexp_count`` column expressions — whole-stage codegen, zero
+    exchanges, linear in bytes scanned (the only shape that survives
+    100 TB). Appends ``<text_col>_redacted`` plus one ``pii_<kind>``
+    count per pattern and ``pii_total``. The patterns are the
+    DOCUMENTED conservative set in :data:`PII_PATTERNS`; ``kinds``
+    selects a subset (unknown names raise). Counting happens on the
+    ORIGINAL text, replacement sequentially — a span matching two
+    patterns is counted by both but rewritten by the first."""
+    sel = PII_PATTERNS if kinds is None else [
+        p for p in PII_PATTERNS if p[0] in set(kinds)]
+    if kinds is not None and len(sel) != len(set(kinds)):
+        known = {p[0] for p in PII_PATTERNS}
+        raise ValueError(
+            f"unknown PII kinds: {sorted(set(kinds) - known)}")
+    out = docs
+    red = F.col(text_col)
+    total = F.lit(0).cast("long")
+    for name, rx, token in sel:
+        cnt = F.regexp_count(F.col(text_col), F.lit(rx)).cast("long")
+        out = out.withColumn(f"pii_{name}", cnt)
+        total = total + F.col(f"pii_{name}")
+        red = F.regexp_replace(red, rx, token)
+    return (out.withColumn("pii_total", total)
+               .withColumn(f"{text_col}_redacted", red))
+
+
+def chunk_text(
+    docs: DataFrame,
+    max_chars: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG/packing-side chunker: split each document into fixed-size
+    character windows with optional overlap, emitting one row per
+    chunk with byte-exact provenance — (id, chunk_idx, chunk_start
+    0-based, chunk). The inverse of concat-chunk packing
+    (operators/batching.py): packing joins small docs, chunking splits
+    large ones; a pipeline typically chunks then packs.
+
+    Lowered as ``posexplode(sequence(...)) + substring`` — per-row
+    codegen, no UDF, no shuffle: a chunker that shuffles is wrong at
+    any scale. Stride = max_chars - overlap; the final chunk may be
+    short (never empty); empty/null texts yield zero rows (explode of
+    an empty sequence). Determinism: chunk boundaries are a pure
+    function of (length, max_chars, overlap) — never of partitioning."""
+    if max_chars <= 0:
+        raise ValueError("max_chars must be positive")
+    if not (0 <= overlap < max_chars):
+        raise ValueError("overlap must satisfy 0 <= overlap < max_chars")
+    stride = max_chars - overlap
+    ln = F.length(F.col(text_col))
+    # number of stride-steps whose window start lies inside the text:
+    # ceil((len - overlap) / stride), at least 1 for non-empty text
+    n = F.greatest(
+        F.ceil((ln - F.lit(overlap)).cast("double") / F.lit(stride))
+        .cast("int"),
+        F.lit(1),
+    )
+    starts = F.when(ln > 0, F.sequence(F.lit(0), n - F.lit(1)))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "__step"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("__step") * F.lit(stride)).alias("chunk_start"),
+            F.substring(
+                F.col(text_col),
+                (F.col("__step") * F.lit(stride) + 1).cast("int"),
+                max_chars,
+            ).alias("chunk"),
+        )
+    )

@@ -499,3 +499,78 @@ def test_ngram_contamination_matches_brute(spark, docs):
     }
     assert got_map == expect
     assert ((got["hit_frac"] > 0) & (got["hit_frac"] <= 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# session-4: PII redaction + chunking
+
+
+def test_redact_pii_counts_and_rewrites(spark):
+    import re
+
+    from bitcoin_ledger_2es_spark.operators.textstats import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail me at a.b+c@example.com or call (415) 555-1234 now"),
+        (2, "server 10.0.0.1 ssn 123-45-6789 card 4111 1111 1111 1111"),
+        (3, "nothing sensitive here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = redact_pii(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "pii_email"] == 1 and got.loc[1, "pii_phone"] == 1
+    assert "<EMAIL>" in got.loc[1, "text_redacted"]
+    assert "<PHONE>" in got.loc[1, "text_redacted"]
+    assert "example.com" not in got.loc[1, "text_redacted"]
+    assert got.loc[2, "pii_ipv4"] == 1 and got.loc[2, "pii_ssn"] == 1
+    assert got.loc[2, "pii_cc"] == 1
+    assert got.loc[2, "text_redacted"] == "server <IP> ssn <SSN> card <CC>"
+    assert got.loc[3, "pii_total"] == 0
+    assert got.loc[3, "text_redacted"] == "nothing sensitive here"
+    # python-re recomputation of the counts on the original text
+    for did, text in rows:
+        if text is None:
+            continue
+        for name, rx, _ in PII_PATTERNS:
+            assert got.loc[did, f"pii_{name}"] == len(re.findall(rx, text)), (
+                did, name)
+    # subset selection + unknown kind raises
+    sub = redact_pii(df, kinds=["email"]).columns
+    assert "pii_email" in sub and "pii_phone" not in sub
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(df, kinds=["email", "nope"])
+
+
+def test_chunk_text_boundaries_and_overlap(spark):
+    from bitcoin_ledger_2es_spark.operators.textstats import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = chunk_text(df, max_chars=4).toPandas()
+    one = got[got.doc_id == 1]
+    assert one["chunk"].tolist() == ["abcd", "efgh", "ij"]
+    assert one["chunk_start"].tolist() == [0, 4, 8]
+    assert one["chunk_idx"].tolist() == [0, 1, 2]
+    # short doc -> one chunk; empty/null -> zero rows
+    assert got[got.doc_id == 2]["chunk"].tolist() == ["xyz"]
+    assert len(got[got.doc_id.isin([3, 4])]) == 0
+    # overlap: stride 2, windows of 4
+    ov = chunk_text(df, max_chars=4, overlap=2).toPandas()
+    o1 = ov[ov.doc_id == 1]
+    assert o1["chunk"].tolist() == ["abcd", "cdef", "efgh", "ghij"]
+    assert o1["chunk_start"].tolist() == [0, 2, 4, 6]
+    # reconstruction invariant: stride-aligned prefixes re-join to the
+    # original text when overlap = 0
+    rejoined = "".join(got[got.doc_id == 1].sort_values("chunk_idx")["chunk"])
+    assert rejoined == "abcdefghij"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_text(df, max_chars=4, overlap=4)
+    # plan shape: generate + project only, no Exchange
+    plan = chunk_text(df, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
