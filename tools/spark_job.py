@@ -31,6 +31,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 # local runs: the repo root provides the package; under spark-submit the
 # --py-files zip does (and this insert is a harmless no-op)
@@ -227,6 +228,28 @@ def cmd_esql(args) -> dict:
     }
 
 
+def cmd_ingest(args) -> dict:
+    """Apply an ES ingest pipeline (a JSON list of processors — the
+    PUT _ingest/pipeline body's `processors` array) to a table and
+    write the transformed frame back out."""
+    from bitcoin_ledger_2es_spark.functions.ingest import apply_pipeline
+
+    spark = _spark()
+    processors = json.loads(Path(args.pipeline).read_text())
+    df = spark.read.format(args.format).load(args.input)
+    t0 = time.time()
+    out = apply_pipeline(df, processors)
+    out.write.mode("overwrite").format(args.format).save(args.output)
+    n = spark.read.format(args.format).load(args.output).count()
+    return {
+        "cmd": "ingest",
+        "sec": round(time.time() - t0, 3),
+        "processors": len(processors),
+        "rows": n,
+        "columns": spark.read.format(args.format).load(args.output).columns,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="spark_job.py", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -313,6 +336,15 @@ def main(argv=None) -> int:
     e.add_argument("--max-rows", type=int, default=100,
                    help="cap on rows collected to the driver")
     e.set_defaults(fn=cmd_esql)
+
+    ig = sub.add_parser(
+        "ingest", help="apply an ES ingest pipeline to a table")
+    ig.add_argument("--pipeline", required=True,
+                    help="path to a JSON file holding the processors array")
+    ig.add_argument("--input", required=True)
+    ig.add_argument("--output", required=True)
+    ig.add_argument("--format", default="parquet")
+    ig.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))
