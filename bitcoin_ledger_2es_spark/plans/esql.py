@@ -850,11 +850,14 @@ def _split_top_and(tokens):
 
 def _match_conjunct(toks):
     """If the conjunct is exactly ``MATCH(field, "query")`` (the ES|QL
-    8.16 full-text function), return (field, query_text); else None."""
+    8.16 full-text function) or ``MATCH_PHRASE(field, "query")`` (9.1),
+    return (fn_upper, field, query_text); else None."""
     if (len(toks) < 4 or toks[0][0] != "id"
-            or toks[0][1].upper() != "MATCH" or toks[1] != ("op", "(")
+            or toks[0][1].upper() not in ("MATCH", "MATCH_PHRASE")
+            or toks[1] != ("op", "(")
             or toks[-1] != ("op", ")")):
         return None
+    fn = toks[0][1].upper()
     depth = 0
     for i, t in enumerate(toks[1:], start=1):  # the call must span it all
         if t == ("op", "("):
@@ -866,8 +869,8 @@ def _match_conjunct(toks):
     args = _split_top(toks[2:-1])
     if (len(args) != 2 or len(args[0]) != 1 or args[0][0][0] != "id"
             or len(args[1]) != 1 or args[1][0][0] != "str"):
-        raise ESQLError('MATCH takes `MATCH(field, "query text")`')
-    return args[0][0][1], args[1][0][1][1:-1]
+        raise ESQLError(f'{fn} takes `{fn}(field, "query text")`')
+    return fn, args[0][0][1], args[1][0][1][1:-1]
 
 
 def _expand_names(rest: str, columns, op: str) -> "list[str]":
@@ -990,9 +993,13 @@ def esql(
     function ``MATCH(text, "query")``: filter context (no scoring, ES
     match semantics — OR of analyzed terms), lowered as a left-semi
     join against the engine's pruned match set (match_docs — one
-    postings scan, never a full-text scan of stored source). MATCH
-    must be a TOP-LEVEL AND conjunct of its WHERE (nesting under
-    OR/NOT would need per-row scoring context — raises); MATCH against
+    postings scan, never a full-text scan of stored source).
+    ``MATCH_PHRASE(text, "a b")`` (ES|QL 9.1) likewise: filter context
+    = semi-join against phrase_query's match set (positional index
+    required; under METADATA _score it contributes the engine's BM25
+    phrase score, tf = phrase freq). Both
+    must be a TOP-LEVEL AND conjunct of their WHERE (nesting under
+    OR/NOT would need per-row scoring context — raises); either against
     a plain table raises. ``enrich`` maps ENRICH policy names to
     (lookup_frame, match_field) — ES enrich indexes are small lookup
     tables by design, so the join BROADCASTS the policy side (left
@@ -1131,34 +1138,54 @@ def _run_stages(df, stages, searcher, with_score, first_where,
             for conj in _split_top_and(_tokenize(rest)):
                 mc = _match_conjunct(conj)
                 if mc is not None:
-                    field, qtext = mc
+                    fn, field, qtext = mc
                     if searcher is None:
                         raise ESQLError(
-                            "MATCH needs a FROM over an index (pass it "
+                            f"{fn} needs a FROM over an index (pass it "
                             "via the `indexes` mapping)")
                     if field != "text":
                         raise ESQLError(
-                            f"MATCH field must be `text` (the indexed "
+                            f"{fn} field must be `text` (the indexed "
                             f"field), got {field!r}")
                     if with_score:
                         if not first_where:
                             raise ESQLError(
-                                "with METADATA _score every MATCH must "
+                                f"with METADATA _score every {fn} must "
                                 "live in the FIRST WHERE stage (the "
                                 "score fold is defined there)")
-                        score_parts.append(
-                            searcher._all_match_scores(qtext, mode="or"))
+                        if fn == "MATCH_PHRASE":
+                            # BM25 phrase score (tf = phrase freq) over
+                            # the FULL match set — phrase_query's k-edge
+                            # pushed past any corpus (the positional
+                            # index must exist; pending tombstones
+                            # raise inside, the phrase-family contract)
+                            score_parts.append(
+                                searcher.phrase_query(
+                                    qtext, k=2_147_483_647,
+                                    with_meta=False,
+                                ).select("doc_id", "score"))
+                        else:
+                            score_parts.append(
+                                searcher._all_match_scores(qtext, mode="or"))
+                    elif fn == "MATCH_PHRASE":
+                        df = df.join(
+                            searcher.phrase_query(
+                                qtext, k=2_147_483_647, with_meta=False,
+                            ).select("doc_id"),
+                            "doc_id", "left_semi",
+                        )
                     else:
                         df = df.join(
                             searcher.match_docs(qtext, mode="or")
                             .select("doc_id"),
                             "doc_id", "left_semi",
                         )
-                elif any(t[0] == "id" and t[1].upper() in ("MATCH", "QSTR")
+                elif any(t[0] == "id" and t[1].upper()
+                         in ("MATCH", "MATCH_PHRASE", "QSTR")
                          for t in conj):
                     raise ESQLError(
-                        "MATCH/QSTR must be a top-level AND conjunct of "
-                        "WHERE (filter context)")
+                        "MATCH/MATCH_PHRASE/QSTR must be a top-level AND "
+                        "conjunct of WHERE (filter context)")
                 else:
                     residual.append(conj)
             if score_parts:

@@ -1111,3 +1111,39 @@ def test_cidr_match(spark):
         esql('FROM t | WHERE CIDR_MATCH(ip, other)', {"t": df})
     with pytest.raises(ESQLError, match="IPv6"):
         esql('FROM t | WHERE CIDR_MATCH(ip, "::1/128")', {"t": df})
+
+
+def test_match_phrase_filter_and_score(spark, tiny_df):
+    from bitcoin_ledger_2es_spark import BM25Searcher, build_index
+    from bitcoin_ledger_2es_spark.config import DEFAULT
+
+    s = BM25Searcher(build_index(
+        tiny_df, DEFAULT.with_(docs_per_shard=512, block_size=32,
+                               store_positions=True)))
+    # find a real bigram to query
+    row = s.ix.docmap.limit(1).collect()
+    txt = tiny_df.limit(1).collect()[0]["text"].split()
+    phrase = f"{txt[0]} {txt[1]}"
+    exp = s.phrase_query(phrase, k=2_147_483_647, with_meta=False).toPandas()
+    # filter context: the semi-join doc set equals phrase_query's
+    got = esql(
+        f'FROM ix | WHERE MATCH_PHRASE(text, "{phrase}")'
+        ' | STATS n = COUNT(*)',
+        indexes={"ix": s},
+    ).toPandas()
+    assert got["n"].iloc[0] == len(exp) > 0
+    # scored: SORT _score DESC, doc_id reproduces phrase_query's ranking
+    sc = esql(
+        f'FROM ix METADATA _score | WHERE MATCH_PHRASE(text, "{phrase}")'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 5 | KEEP doc_id, _score',
+        indexes={"ix": s},
+    ).toPandas()
+    assert sc["doc_id"].tolist() == exp["doc_id"].tolist()[:5]
+    assert sc["_score"].tolist() == exp["score"].tolist()[:5]
+    # misuse: nested under OR raises; plain table raises
+    with pytest.raises(ESQLError, match="top-level AND"):
+        esql(f'FROM ix | WHERE MATCH_PHRASE(text, "{phrase}") OR is_rollup',
+             indexes={"ix": s})
+    with pytest.raises(ESQLError, match="needs a FROM over an index"):
+        esql('FROM t | WHERE MATCH_PHRASE(text, "a b")',
+             {"t": spark.range(1)})
