@@ -850,10 +850,12 @@ def _split_top_and(tokens):
 
 def _match_conjunct(toks):
     """If the conjunct is exactly ``MATCH(field, "query")`` (the ES|QL
-    8.16 full-text function) or ``MATCH_PHRASE(field, "query")`` (9.1),
-    return (fn_upper, field, query_text); else None."""
+    8.16 full-text function), ``MATCH_PHRASE(field, "query")`` (9.1),
+    or ``QSTR("query")`` (8.17 — Lucene query_string syntax, no field
+    argument), return (fn_upper, field_or_None, query_text); else
+    None."""
     if (len(toks) < 4 or toks[0][0] != "id"
-            or toks[0][1].upper() not in ("MATCH", "MATCH_PHRASE")
+            or toks[0][1].upper() not in ("MATCH", "MATCH_PHRASE", "QSTR")
             or toks[1] != ("op", "(")
             or toks[-1] != ("op", ")")):
         return None
@@ -867,6 +869,10 @@ def _match_conjunct(toks):
             if depth == 0 and i != len(toks) - 1:
                 return None
     args = _split_top(toks[2:-1])
+    if fn == "QSTR":
+        if len(args) != 1 or len(args[0]) != 1 or args[0][0][0] != "str":
+            raise ESQLError('QSTR takes `QSTR("query string")`')
+        return fn, None, args[0][0][1][1:-1]
     if (len(args) != 2 or len(args[0]) != 1 or args[0][0][0] != "id"
             or len(args[1]) != 1 or args[1][0][0] != "str"):
         raise ESQLError(f'{fn} takes `{fn}(field, "query text")`')
@@ -1143,7 +1149,7 @@ def _run_stages(df, stages, searcher, with_score, first_where,
                         raise ESQLError(
                             f"{fn} needs a FROM over an index (pass it "
                             "via the `indexes` mapping)")
-                    if field != "text":
+                    if field is not None and field != "text":
                         raise ESQLError(
                             f"{fn} field must be `text` (the indexed "
                             f"field), got {field!r}")
@@ -1164,14 +1170,24 @@ def _run_stages(df, stages, searcher, with_score, first_where,
                                     qtext, k=2_147_483_647,
                                     with_meta=False,
                                 ).select("doc_id", "score"))
+                        elif fn == "QSTR":
+                            # full Lucene classic syntax through the
+                            # engine's query_string parser; its scored
+                            # full match set joins the same fold
+                            score_parts.append(
+                                searcher.query_string(
+                                    qtext, k=2_147_483_647,
+                                    with_meta=False,
+                                ).select("doc_id", "score"))
                         else:
                             score_parts.append(
                                 searcher._all_match_scores(qtext, mode="or"))
-                    elif fn == "MATCH_PHRASE":
+                    elif fn in ("MATCH_PHRASE", "QSTR"):
+                        src = (searcher.phrase_query if fn == "MATCH_PHRASE"
+                               else searcher.query_string)
                         df = df.join(
-                            searcher.phrase_query(
-                                qtext, k=2_147_483_647, with_meta=False,
-                            ).select("doc_id"),
+                            src(qtext, k=2_147_483_647, with_meta=False)
+                            .select("doc_id"),
                             "doc_id", "left_semi",
                         )
                     else:

@@ -1147,3 +1147,25 @@ def test_match_phrase_filter_and_score(spark, tiny_df):
     with pytest.raises(ESQLError, match="needs a FROM over an index"):
         esql('FROM t | WHERE MATCH_PHRASE(text, "a b")',
              {"t": spark.range(1)})
+
+
+def test_qstr_filter_and_score(spark, doc_searcher):
+    s = doc_searcher
+    qs = "w0001 AND NOT w0005"
+    exp = s.query_string(qs, k=2_147_483_647, with_meta=False).toPandas()
+    got = esql(
+        f'FROM ix | WHERE QSTR("{qs}") | STATS n = COUNT(*)',
+        indexes={"ix": s},
+    ).toPandas()
+    assert got["n"].iloc[0] == len(exp) > 0
+    sc = esql(
+        f'FROM ix METADATA _score | WHERE QSTR("{qs}")'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 5 | KEEP doc_id, _score',
+        indexes={"ix": s},
+    ).toPandas()
+    assert sc["doc_id"].tolist() == exp["doc_id"].tolist()[:5]
+    assert sc["_score"].tolist() == exp["score"].tolist()[:5]
+    with pytest.raises(ESQLError, match='QSTR takes'):
+        esql('FROM ix | WHERE QSTR(text, "a")', indexes={"ix": s})
+    with pytest.raises(ESQLError, match="top-level AND"):
+        esql('FROM ix | WHERE QSTR("a") OR is_rollup', indexes={"ix": s})
