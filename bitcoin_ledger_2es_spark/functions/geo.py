@@ -341,3 +341,34 @@ def geo_line_agg(
             F.col("__pts"), lambda p: F.struct(p["lon"], p["lat"])
         ).alias("points"),
     )
+
+
+def geo_grid_filter(
+    lat: Column,
+    lon: Column,
+    geotile: "str | None" = None,
+    geohash: "str | None" = None,
+) -> Column:
+    """ES 8.x ``geo_grid`` query: keep documents whose point falls in
+    ONE named grid cell — the query twin of the geotile_grid /
+    geohash_grid aggs (ES's documented use: drill into a grid bucket).
+    Exactly one of ``geotile`` ('z/x/y') / ``geohash`` (base32 cell)
+    may be given; the filter is key-equality against the SAME key
+    expression the agg uses, so a returned bucket key always selects
+    exactly its bucket's documents (bit-identical floors). A pure
+    boolean column — composes with doc_filter everywhere, pushes into
+    scans like any comparison. (ES also accepts geohex cells — H3
+    needs a library this sandbox lacks; passing both or neither
+    raises.)"""
+    if (geotile is None) == (geohash is None):
+        raise ValueError("geo_grid_filter takes exactly one of "
+                         "geotile=/geohash=")
+    if geotile is not None:
+        parts = geotile.split("/")
+        if len(parts) != 3:
+            raise ValueError(f"geotile key must be 'z/x/y': {geotile!r}")
+        zoom = int(parts[0])
+        return geotile_key(lat, lon, zoom) == F.lit(geotile)
+    if not geohash or any(c not in GEOHASH_BASE32 for c in geohash):
+        raise ValueError(f"invalid geohash cell: {geohash!r}")
+    return geohash_key(lat, lon, len(geohash)) == F.lit(geohash)

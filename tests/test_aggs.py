@@ -1258,3 +1258,39 @@ def test_significance_heuristics(spark, searcher, tiny_df):
             [r[1] for r in rows], rel=1e-12), name
     with pytest.raises(ValueError, match="heuristic"):
         significant_text(fg, corpus, cfg=CFG, heuristic="gnd")
+
+
+def test_geo_grid_filter_selects_exactly_its_bucket(spark):
+    from bitcoin_ledger_2es_spark.functions.geo import (
+        geo_grid_filter,
+        geohash_key,
+        geotile_key,
+    )
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "lat": rng.integers(-80, 81, 300).astype(float),
+        "lon": rng.integers(-179, 180, 300).astype(float),
+    })
+    df = spark.createDataFrame(pdf)
+    # take the largest geotile bucket, then filter back with the query
+    top = (df.groupBy(geotile_key(F.col("lat"), F.col("lon"), 4)
+                      .alias("key"))
+           .count().orderBy(F.desc("count"), F.asc("key")).first())
+    got = df.filter(geo_grid_filter(
+        F.col("lat"), F.col("lon"), geotile=top["key"])).count()
+    assert got == top["count"] > 0
+    # same round-trip for a geohash cell
+    toph = (df.groupBy(geohash_key(F.col("lat"), F.col("lon"), 2)
+                       .alias("key"))
+            .count().orderBy(F.desc("count"), F.asc("key")).first())
+    goth = df.filter(geo_grid_filter(
+        F.col("lat"), F.col("lon"), geohash=toph["key"])).count()
+    assert goth == toph["count"] > 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exactly one"):
+        geo_grid_filter(F.col("lat"), F.col("lon"))
+    with _pt.raises(ValueError, match="z/x/y"):
+        geo_grid_filter(F.col("lat"), F.col("lon"), geotile="3/1")
+    with _pt.raises(ValueError, match="invalid geohash"):
+        geo_grid_filter(F.col("lat"), F.col("lon"), geohash="ab")  # 'a' not in base32
