@@ -1128,6 +1128,80 @@ def _fork_branches(rest: str) -> "list[str]":
     return branches
 
 
+def _fork_head_topk(btext: str):
+    """If a FORK branch is exactly the scored top-k head shape
+
+        WHERE MATCH(text, "q") | SORT _score DESC, doc_id ASC | LIMIT n
+
+    (single plain-MATCH conjunct, the engine's pinned total order, an
+    integer limit, nothing after), return ``(qtext, n)``; else None.
+    This is the shape the fused single-scan FORK lowering handles."""
+    stages = _split_stages(btext)
+    if len(stages) != 3:
+        return None
+    ops = []
+    for st in stages:
+        sm = re.match(r"^([A-Za-z_]+)\s*(.*)$", st, re.S)
+        if not sm:
+            return None
+        ops.append((sm.group(1).upper(), sm.group(2).strip()))
+    if [o for o, _ in ops] != ["WHERE", "SORT", "LIMIT"]:
+        return None
+    conjuncts = _split_top_and(_tokenize(ops[0][1]))
+    if len(conjuncts) != 1:
+        return None
+    mc = _match_conjunct(conjuncts[0])
+    if mc is None or mc[0] != "MATCH" or mc[1] not in (None, "text"):
+        return None
+    if not re.match(r"^_score\s+DESC\s*,\s*doc_id\s+ASC$", ops[1][1], re.I):
+        return None
+    if not re.match(r"^\d+$", ops[2][1]):
+        return None
+    return mc[2], int(ops[2][1])
+
+
+def _fused_fork_topk(df, heads, searcher):
+    """Fused lowering for a FORK whose branches are ALL scored top-k
+    heads (``_fork_head_topk``): ONE pruned postings scan scores every
+    branch (``_all_match_scores_multi`` with shard-local caps at each
+    branch's limit — sound because the branch LIMIT is a per-branch
+    global (score desc, doc_id asc) selection edge, the plain top_k
+    argument), per-branch global top-n via a window over the tiny capped
+    candidate set, then ONE broadcast fetch join onto the base frame.
+    Replaces one postings scan + one docmap join PER BRANCH. Scores are
+    bit-identical to the per-branch path (same shard kernels). Returns
+    None when no branch can match (caller falls back to the generic
+    path, which produces the all-empty union shape)."""
+    multi = searcher._all_match_scores_multi(
+        [(q, "or") for q, _ in heads], per_q_k=[n for _, n in heads]
+    )
+    if multi is None:
+        return None
+    cands, _viable = multi
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    lim = F.element_at(
+        F.array(*[F.lit(int(n)) for _, n in heads]), F.col("q") + 1
+    )
+    sel = (
+        cands.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= lim)
+        .select(
+            "doc_id",
+            F.col("score").alias("_score"),
+            F.concat(F.lit("fork"), (F.col("q") + 1).cast("string"))
+            .alias("_fork"),
+        )
+    )
+    base = df.drop("_score")
+    return base.join(F.broadcast(sel), "doc_id", "inner").select(
+        *base.columns, "_score", "_fork"
+    )
+
+
 def _run_stages(df, stages, searcher, with_score, first_where,
                 enrich, lookups):
     """Apply a list of ES|QL stages to ``df``. Factored out of
@@ -1465,8 +1539,28 @@ def _run_stages(df, stages, searcher, with_score, first_where,
             # conjuncts exactly like a top-level first WHERE.
             if "_fork" in df.columns:
                 raise ESQLError("nested FORK is not supported")
+            branches = _fork_branches(rest)
+            # fused single-scan lowering: when EVERY branch is a scored
+            # top-k head (WHERE MATCH | SORT _score DESC, doc_id ASC |
+            # LIMIT n), one union-of-terms postings scan scores all
+            # branches (shard-local caps at each branch's limit — the
+            # branch LIMIT is a per-branch global selection edge, so the
+            # cap is the plain top_k argument) and one broadcast fetch
+            # join attaches the base frame. Per-branch scans otherwise.
+            fused = None
+            if (with_score and first_where and searcher is not None
+                    and searcher._deletes is None
+                    and searcher._default_filter is None):
+                heads = [_fork_head_topk(b) for b in branches]
+                if all(h is not None for h in heads):
+                    fused = _fused_fork_topk(df, heads, searcher)
+            if fused is not None:
+                df = fused
+                df._fork_branch_cols = [tuple(df.columns)] * len(branches)
+                first_where = False
+                continue
             parts = []
-            for bi, btext in enumerate(_fork_branches(rest), start=1):
+            for bi, btext in enumerate(branches, start=1):
                 bdf = _run_stages(df, _split_stages(btext), searcher,
                                   with_score, first_where, enrich, lookups)
                 if "_fork" in bdf.columns:  # a FORK inside the branch

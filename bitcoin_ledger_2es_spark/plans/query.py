@@ -913,7 +913,8 @@ class BM25Searcher:
         return self._apply_deletes(out)
 
     def _all_match_scores_multi(
-        self, queries: "list[tuple[str, str]]"
+        self, queries: "list[tuple[str, str]]",
+        per_q_k: "list[int] | None" = None,
     ) -> DataFrame | None:
         """Tagged all-match scores for MANY subqueries from ONE pruned
         postings scan: the compound surfaces (dis_max, boosting) used to
@@ -926,8 +927,26 @@ class BM25Searcher:
         Returns ((doc_id, q, score) frame, viable-q set) — the set names
         subqueries that CAN match (in-vocab), decided driver-side so
         callers gate on it without running a job — or None if no
-        subquery can match."""
+        subquery can match.
+
+        ``per_q_k``: optional per-subquery SHARD-LOCAL top-k caps
+        (``per_q_k[qi]``). Sound ONLY when the caller applies its own
+        per-subquery global (score desc, doc_id asc) top-k selection edge
+        downstream (the ES|QL FORK branch-head shape): the global top-k
+        is a subset of the union of shard-local top-k's, exactly the
+        ``top_k`` argument. Callers combining across subqueries WITHOUT a
+        per-subquery edge (dis_max/boosting) must leave it None. Capped
+        mode requires no pending tombstones / alias filter (the post-hoc
+        exclusion below would be unsound after a cap — raises)."""
         ix, cfg = self.ix, self.ix.cfg
+        if per_q_k is not None and (
+            self._deletes is not None or self._default_filter is not None
+        ):
+            raise ValueError(
+                "_all_match_scores_multi(per_q_k=...) cannot serve with "
+                "pending tombstones or a filtered alias: post-cap "
+                "exclusion would under-fill"
+            )
         per_q: list[tuple[int, np.ndarray, object]] = []
         all_tids: set[int] = set()
         for qi, (text, mode) in enumerate(queries):
@@ -943,7 +962,9 @@ class BM25Searcher:
                 for t, (tid, df_) in found.items()
             ]
             fn = _shard_kernel(
-                term_meta, cfg.docs_per_shard, mode, ix.avgdl, cfg.k1,
+                term_meta,
+                cfg.docs_per_shard if per_q_k is None else int(per_q_k[qi]),
+                mode, ix.avgdl, cfg.k1,
                 cfg.b, cfg.docs_per_shard, False, cfg.wand_min_postings,
                 False,
             )
@@ -4472,6 +4493,9 @@ def runtime_search(
     entries are ``(column, ascending)`` over runtime/docmap/source
     columns or ``_score``, always tie-broken by ``doc_id`` asc;
     ``fields`` defaults to all runtime fields (ES ``fields`` retrieval).
+    ``sort`` with ``k=None`` returns the sorted UN-ranked frame (no
+    ``rank`` column): ranking the full match set would need a global
+    single-partition window — rank exists only at a ``k`` selection edge.
 
     Aggregations over runtime fields: call with ``k=None`` and compose
     operators/aggs.py on the returned frame — it carries every matching
@@ -4520,10 +4544,17 @@ def runtime_search(
         c = F.col("score") if col == "_score" else F.col(col)
         keys.append(c.asc() if asc else c.desc())
     keys.append(F.col("doc_id").asc())  # unique total order
+    if k is None:
+        # sort without k: the sorted, UN-ranked frame. Attaching rank here
+        # would run row_number over a global single-partition window on the
+        # full match set — the driver-of-skew anti-pattern this repo avoids
+        # everywhere else. Rank is only meaningful at a selection edge;
+        # callers that want it pass k.
+        return frame.orderBy(*keys).select(
+            "doc_id", "score", "conv_id", "turn_idx", *out_fields
+        )
     win = Window.orderBy(*keys)
-    out = frame.orderBy(*keys)
-    if k is not None:
-        out = out.limit(k)
+    out = frame.orderBy(*keys).limit(k)
     return (
         out.withColumn("rank", F.row_number().over(win))
         .select("rank", "doc_id", "score", "conv_id", "turn_idx", *out_fields)

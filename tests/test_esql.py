@@ -1169,3 +1169,67 @@ def test_qstr_filter_and_score(spark, doc_searcher):
         esql('FROM ix | WHERE QSTR(text, "a")', indexes={"ix": s})
     with pytest.raises(ESQLError, match="top-level AND"):
         esql('FROM ix | WHERE QSTR("a") OR is_rollup', indexes={"ix": s})
+
+
+def test_fork_fused_single_scan_equals_generic(spark, doc_searcher, monkeypatch):
+    """The fused FORK lowering (one union-of-terms scan for sibling scored
+    top-k branch heads) must (a) engage for the head shape, (b) produce
+    rows identical to the per-branch generic path, and (c) run ONE shard
+    kernel where the generic path runs one per branch."""
+    import bitcoin_ledger_2es_spark.plans.esql as esql_mod
+
+    q = (
+        'FROM ix METADATA _score'
+        ' | FORK (WHERE MATCH(text, "w0001") | SORT _score DESC, doc_id ASC'
+        ' | LIMIT 8)'
+        ' (WHERE MATCH(text, "w0005") | SORT _score DESC, doc_id ASC'
+        ' | LIMIT 8)'
+        ' | FUSE | SORT _score DESC, doc_id ASC | LIMIT 5'
+        ' | KEEP doc_id, _score'
+    )
+    called = {}
+    orig = esql_mod._fused_fork_topk
+
+    def spy(df, heads, searcher):
+        called["heads"] = heads
+        return orig(df, heads, searcher)
+
+    monkeypatch.setattr(esql_mod, "_fused_fork_topk", spy)
+    fused_df = esql(q, indexes={"ix": doc_searcher})
+    # one kernel pass in the PRE-execution plan (the generic path has one
+    # per branch; post-execution AQE strings inline cached subtrees and
+    # over-count, so pin the initial physical plan)
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") + plan.count("MapInPandas") == 1
+    fused = fused_df.toPandas()
+    assert called["heads"] == [("w0001", 8), ("w0005", 8)]
+
+    monkeypatch.setattr(esql_mod, "_fork_head_topk", lambda b: None)
+    gen_df = esql(q, indexes={"ix": doc_searcher})
+    gplan = gen_df._jdf.queryExecution().executedPlan().toString()
+    assert gplan.count("FlatMapGroupsInPandas") + gplan.count("MapInPandas") == 2
+    gen = gen_df.toPandas()
+    assert fused["doc_id"].tolist() == gen["doc_id"].tolist()
+    assert fused["_score"].tolist() == gen["_score"].tolist()
+
+
+def test_fork_fused_falls_back_on_non_head_branches(spark, doc_searcher,
+                                                    monkeypatch):
+    """A branch that is not the scored top-k head shape (extra stage,
+    different sort, residual conjunct) must keep the generic per-branch
+    lowering — fused never engages."""
+    import bitcoin_ledger_2es_spark.plans.esql as esql_mod
+
+    def boom(df, heads, searcher):  # pragma: no cover
+        raise AssertionError("fused path must not engage")
+
+    monkeypatch.setattr(esql_mod, "_fused_fork_topk", boom)
+    got = esql(
+        'FROM ix METADATA _score'
+        ' | FORK (WHERE MATCH(text, "w0001") AND NOT is_rollup'
+        ' | SORT _score DESC, doc_id ASC | LIMIT 4)'
+        ' (WHERE MATCH(text, "w0005") | SORT doc_id ASC | LIMIT 4)'
+        ' | STATS n = COUNT(*) BY _fork | SORT _fork ASC',
+        indexes={"ix": doc_searcher},
+    ).toPandas()
+    assert got["n"].tolist() and len(got) <= 2
