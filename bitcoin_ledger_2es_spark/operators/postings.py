@@ -334,7 +334,20 @@ def finalize_blocks(
 ) -> DataFrame:
     """Join term stats onto blocks, compute safe per-block max scores."""
     k1, b = cfg.k1, cfg.b
-    joined = raw_blocks.join(dictionary.select("term", "term_id", "df"), "term").select(
+    # BROADCAST the dictionary side: without the hint the planner can't
+    # estimate the prefix-sum output and picks a sort-merge join, which
+    # shuffles AND sorts the entire block payload (doc_id_deltas/tfs/dls/
+    # poss binaries — the whole inverted corpus) by term string just to
+    # attach (term_id, df). The dictionary is vocabulary-sized — orders of
+    # magnitude below the postings; at extreme vocab (>~10^8 terms,
+    # approaching Spark's 8 GB/512M-row broadcast cap) export
+    # SPARK_GRAFT_NO_BCAST_DICT=1 to fall back to the shuffled join.
+    dict_side = dictionary.select("term", "term_id", "df")
+    import os as _os
+
+    if not _os.environ.get("SPARK_GRAFT_NO_BCAST_DICT"):
+        dict_side = F.broadcast(dict_side)
+    joined = raw_blocks.join(dict_side, "term").select(
         "shard_id", "term_id", "block_id", "first_doc_id", "last_doc_id",
         "n_docs", "doc_id_deltas", "tfs", "dls", "poss", "df",
     )
@@ -345,10 +358,20 @@ def finalize_blocks(
             if pdf.empty:
                 continue
             idfs = idf(pdf["df"].to_numpy(np.float64), n_docs)
-            maxs = np.empty(len(pdf), dtype=np.float32)
-            for i, (tfbuf, dlbuf) in enumerate(zip(pdf["tfs"], pdf["dls"])):
-                sc = contrib(decode_tfs(tfbuf), decode_tfs(dlbuf), idfs[i], avgdl, k1, b)
-                maxs[i] = block_upper_bound(sc)
+            # batch-vectorized block maxima: decode ALL blocks' tf/dl
+            # streams in one varint pass over the concatenated buffers
+            # (the per-block python loop costs ~10 us/block in numpy call
+            # overhead alone), score every posting with its block's idf
+            # repeated elementwise — bit-identical to the per-block
+            # scalar-idf product — and segment-max with reduceat. The
+            # +1-ulp rounding is the same nextafter, elementwise.
+            npb = pdf["n_docs"].to_numpy(np.int64)
+            tf_all = decode_tfs(b"".join(pdf["tfs"]))
+            dl_all = decode_tfs(b"".join(pdf["dls"]))
+            sc = contrib(tf_all, dl_all, np.repeat(idfs, npb), avgdl, k1, b)
+            starts = np.concatenate(([0], np.cumsum(npb)[:-1]))
+            m32 = np.maximum.reduceat(sc, starts).astype(np.float32)
+            maxs = np.nextafter(m32, np.float32(np.inf), dtype=np.float32)
             pdf = pdf.drop(columns=["df"])
             pdf["block_max_score"] = maxs
             yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)

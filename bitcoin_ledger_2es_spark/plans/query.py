@@ -1203,12 +1203,20 @@ class BM25Searcher:
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         top = top.withColumn("rank", F.row_number().over(w))
         if not with_meta:
-            return top.select("rank", "doc_id", "score").orderBy("rank")
+            # the global window already collapsed to ONE sorted partition;
+            # sortWithinPartitions keeps the rank order without the range-
+            # exchange (whose boundary-sampling pass re-executes the input)
+            return top.select("rank", "doc_id", "score").sortWithinPartitions("rank")
         return (
             self.ix.docmap.select("doc_id", "conv_id", "turn_idx", "is_rollup")
             .join(F.broadcast(top), "doc_id", "inner")
             .select("rank", "doc_id", "score", "conv_id", "turn_idx", "is_rollup")
-            .orderBy("rank")
+            # k rows: one single-partition exchange + in-partition sort.
+            # orderBy here would range-partition, whose boundary sampling
+            # re-executes the docmap join (measured: two extra full docmap
+            # scan jobs per query)
+            .repartition(1)
+            .sortWithinPartitions("rank")
         )
 
     def dis_max(
