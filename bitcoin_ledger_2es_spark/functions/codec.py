@@ -37,17 +37,27 @@ def encode_varints(values: np.ndarray) -> bytes:
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_varints` -> uint64 array."""
+    """Inverse of :func:`encode_varints` -> uint64 array.
+
+    Like the encoder, loops over *byte positions* (<= 10 for uint64),
+    never over values: position j ORs byte ``starts+j`` of every value
+    that has one. (The previous per-byte ``np.add.at`` scatter +
+    searchsorted cost ~4x this on the query kernels' decode-bound
+    profile.)"""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
     ends = np.flatnonzero(is_end)
     starts = np.concatenate(([0], ends[:-1] + 1))
-    gid = np.searchsorted(ends, np.arange(b.size))
-    shift = ((np.arange(b.size) - starts[gid]) * 7).astype(np.uint64)
-    vals = np.zeros(ends.size, dtype=np.uint64)
-    np.add.at(vals, gid, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
+    # mask+widen only the gathered bytes, never the whole stream (a full
+    # uint64 expansion would write 8x the stream size per decode)
+    vals = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    extra = ends - starts  # continuation bytes beyond the first
+    max_extra = int(extra.max()) if extra.size else 0
+    for j in range(1, max_extra + 1):
+        m = extra >= j
+        vals[m] |= (b[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
     return vals
 
 

@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.bm25 import contrib
-from ..functions.codec import decode_doc_gaps, decode_tfs
+from ..functions.codec import decode_doc_gaps, decode_tfs, decode_varints
 
 _INF = np.int64(2**62)
 _UB_SLACK = 1.0 + 1e-6
@@ -242,19 +242,52 @@ def score_shard_conjunction(
 
 
 def _decode_term_blocks(blocks: pd.DataFrame, shard_base: int):
-    """Decode one term's blocks -> (local_docs, tfs, dls) numpy arrays."""
-    docs_parts, tf_parts, dl_parts = [], [], []
-    for r in blocks.itertuples(index=False):
-        docs_parts.append(decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)))
-        tf_parts.append(decode_tfs(r.tfs))
-        dl_parts.append(decode_tfs(r.dls))
-    if not docs_parts:
+    """Decode one term's blocks -> (local_docs, tfs, dls) numpy arrays.
+
+    Batch-vectorized across the term's blocks: each varint stream is
+    decoded in ONE pass over the concatenated block buffers (varints are
+    self-delimiting, so concatenated streams decode to the concatenated
+    values; the per-block python loop paid ~30 numpy-call overheads per
+    128-posting block). doc_ids come back from the gap streams via an
+    exact segmented integer cumsum seeded with each block's absolute
+    first_doc_id."""
+    nb = len(blocks)
+    if nb == 0:
         return None
-    return (
-        np.concatenate(docs_parts) - shard_base,
-        np.concatenate(tf_parts),
-        np.concatenate(dl_parts),
-    )
+    npb = blocks["n_docs"].to_numpy(np.int64)
+    n_post = int(npb.sum())
+    firsts = blocks["first_doc_id"].to_numpy(np.int64)
+    gaps = decode_varints(b"".join(blocks["doc_id_deltas"])).astype(np.int64)
+    tfs = decode_tfs(b"".join(blocks["tfs"]))
+    dls = decode_tfs(b"".join(blocks["dls"]))
+    starts = np.concatenate(([0], np.cumsum(npb)[:-1]))
+    is_start = np.zeros(n_post, dtype=bool)
+    is_start[starts] = True
+    vals = np.empty(n_post, dtype=np.int64)
+    vals[~is_start] = gaps
+    vals[is_start] = firsts
+    cs = np.cumsum(vals)
+    # cancel the running carry at each block start so every block's
+    # cumsum restarts from its absolute first_doc_id (exact in int64)
+    docs = cs - np.repeat(cs[starts] - firsts, npb)
+    return docs - shard_base, tfs, dls
+
+
+def decode_term_contrib(
+    blocks: pd.DataFrame, shard_base: int, t_idf: float,
+    avgdl: float, k1: float, b: float,
+):
+    """Decode one term's blocks and compute its UNWEIGHTED per-posting
+    f64 BM25 contribution once: (local_docs, contrib). The inline scorer
+    computes ``weight * contrib(tfs, dls, idf, ...)``; callers multiply
+    the same weight onto this shared base — elementwise-identical f64.
+    Lets the msearch batch kernel share one decode+score per term across
+    every query that uses it."""
+    dec = _decode_term_blocks(blocks, shard_base)
+    if dec is None:
+        return None
+    docs, tfs, dls = dec
+    return docs, contrib(tfs, dls, t_idf, avgdl, k1, b)
 
 
 def score_shard_bool(
@@ -502,16 +535,20 @@ def score_shard_exact(
     scores = np.zeros(span, dtype=np.float64)
     seen = np.zeros(span, dtype=np.int32)
     for term_id, t_idf, weight, blocks in sorted(term_meta, key=lambda m: m[0]):
-        docs_parts, tf_parts, dl_parts = [], [], []
-        for r in blocks.itertuples(index=False):
-            docs_parts.append(decode_doc_gaps(r.doc_id_deltas, int(r.first_doc_id), int(r.n_docs)))
-            tf_parts.append(decode_tfs(r.tfs))
-            dl_parts.append(decode_tfs(r.dls))
-        if not docs_parts:
+        if isinstance(blocks, tuple):
+            # pre-decoded (docs, base_contrib) from decode_term_contrib —
+            # the msearch batch kernel decodes and scores each term ONCE
+            # per shard and shares it across every query using the term.
+            # weight * base is the identical elementwise f64 product the
+            # inline path computes (c = weight * contrib(...)).
+            docs, base = blocks
+            scores[docs] += weight * base
+            seen[docs] += 1
             continue
-        docs = np.concatenate(docs_parts) - shard_base
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
+        dec = _decode_term_blocks(blocks, shard_base)
+        if dec is None:
+            continue
+        docs, tfs, dls = dec
         c = weight * contrib(tfs, dls, t_idf, avgdl, k1, b)
         scores[docs] += c
         seen[docs] += 1

@@ -34,6 +34,7 @@ from ..functions.codec import decode_doc_gaps, decode_positions, decode_tfs
 from ..operators.wand import (
     _TermList,
     _decode_term_blocks,
+    decode_term_contrib,
     score_shard_bmw,
     score_shard_bool,
     score_shard_conjunction,
@@ -4027,6 +4028,18 @@ class BM25Searcher:
                 )
             base = int(left["shard_id"].iloc[0]) * dps
             by_tid = {tid: g for tid, g in left.groupby("term_id")}
+            # per-shard decode+score memo: a term shared by several
+            # queries is decoded and contrib-scored ONCE; each query
+            # multiplies its own weight onto the shared f64 base
+            # (elementwise-identical to the inline path)
+            dec_memo: dict = {}
+
+            def decoded(tid, t_idf):
+                if tid not in dec_memo:
+                    dec_memo[tid] = decode_term_contrib(
+                        by_tid[tid], base, t_idf, avgdl, k1, b)
+                return dec_memo[tid]
+
             outs = []
             for qid, k, mode, metas in per_query:
                 present = [m for m in metas if m[0] in by_tid]
@@ -4048,7 +4061,10 @@ class BM25Searcher:
                         else score_shard_bmw(lists, k, avgdl, k1, b)
                     )
                 else:
-                    blocks = [(tid, t_idf, w, by_tid[tid]) for tid, t_idf, w in present]
+                    blocks = [
+                        (tid, t_idf, w, d) for tid, t_idf, w in present
+                        if (d := decoded(tid, t_idf)) is not None
+                    ]
                     res = score_shard_exact(blocks, base, dps, None, k, mode, avgdl, k1, b)
                 res.insert(0, "query_id", np.int64(qid))
                 outs.append(res)
