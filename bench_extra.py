@@ -79,6 +79,28 @@ def main() -> None:
         for name in ("stats_agg", "join_revenue", "bm25_topk", "window_lag"):
             ops[name] = (lambda nm=name: QUERIES[nm](spark, SF_DIR).collect())
 
+        # per-kind timing for the union gate entries (VERDICT r05 #7):
+        # a literal filter on the `kind` tag constant-folds away the other
+        # union branches, so each timing runs only that kind's subtree
+        from pyspark.sql import functions as _F
+
+        def _kinds_of(qname):
+            return sorted(
+                r["kind"] for r in QUERIES[qname](spark, SF_DIR)
+                .select("kind").distinct().collect()
+            )
+
+        def add_per_kind(qname):
+            for kind in _kinds_of(qname):
+                ops[f"{qname}:{kind}"] = (
+                    lambda qn=qname, kd=kind: QUERIES[qn](spark, SF_DIR)
+                    .filter(_F.col("kind") == kd).collect()
+                )
+
+        if os.environ.get("BENCH_EXTRA_PER_KIND"):
+            for qname in ("window_lag",):
+                add_per_kind(qname)
+
     pick = sys.argv[1:] or list(ops)
     out = {}
     for name in pick:

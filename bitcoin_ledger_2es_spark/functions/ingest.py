@@ -208,8 +208,13 @@ def _apply_one(df: DataFrame, kind: str, body: dict) -> DataFrame:
             raise IngestError("date: exactly one format is supported")
         tgt = body.get("target_field", "@timestamp")
         fmt = fmts[0]
-        col = (F.to_timestamp(F.col(field)) if fmt == "ISO8601"
-               else F.to_timestamp(F.col(field), fmt))
+        # try_to_timestamp, not to_timestamp: under this repo's ANSI mode
+        # a plain to_timestamp throws on any malformed string and kills
+        # the whole job, contradicting the module's totality contract;
+        # null-on-bad-value matches the `convert` processor's try_cast
+        # reading (ADVICE r05)
+        col = (F.try_to_timestamp(F.col(field)) if fmt == "ISO8601"
+               else F.try_to_timestamp(F.col(field), F.lit(fmt)))
         return _guard(df, body, tgt, col)
 
     if kind == "script":

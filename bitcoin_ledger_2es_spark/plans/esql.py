@@ -536,12 +536,15 @@ def _sp_date_extract(args):
 
 def _sp_date_parse(args):
     # ES|QL DATE_PARSE([format,] string) — format FIRST (the
-    # DATE_FORMAT convention); Spark to_timestamp(str[, fmt]). The
+    # DATE_FORMAT convention); Spark try_to_timestamp(str[, fmt]). The
     # 1-arg default is ISO8601, which to_timestamp already parses.
+    # try_ variant: ES|QL DATE_PARSE returns null (with a warning) on an
+    # unparseable row; ANSI to_timestamp would abort the whole query on
+    # one bad string (ADVICE r05).
     if len(args) == 1:
-        return f"to_timestamp({_emit(args[0])})"
+        return f"try_to_timestamp({_emit(args[0])})"
     if len(args) == 2:
-        return f"to_timestamp({_emit(args[1])}, {_emit(args[0])})"
+        return f"try_to_timestamp({_emit(args[1])}, {_emit(args[0])})"
     raise ESQLError("DATE_PARSE takes ([format,] string)")
 
 
@@ -619,10 +622,13 @@ def _sp_cidr_match(args):
     from ..operators.aggs import parse_cidr
 
     ip = _emit(args[0])
-    fold = (f"(CAST(split_part({ip}, '.', 1) AS BIGINT) * 16777216"
-            f" + CAST(split_part({ip}, '.', 2) AS BIGINT) * 65536"
-            f" + CAST(split_part({ip}, '.', 3) AS BIGINT) * 256"
-            f" + CAST(split_part({ip}, '.', 4) AS BIGINT))")
+    # try_cast in the octet fold: a malformed value (empty string,
+    # hostname, IPv6 in the data) yields NULL -> false in filter context,
+    # never an ANSI cast abort of the whole query (ADVICE r05)
+    fold = (f"(TRY_CAST(split_part({ip}, '.', 1) AS BIGINT) * 16777216"
+            f" + TRY_CAST(split_part({ip}, '.', 2) AS BIGINT) * 65536"
+            f" + TRY_CAST(split_part({ip}, '.', 3) AS BIGINT) * 256"
+            f" + TRY_CAST(split_part({ip}, '.', 4) AS BIGINT))")
     checks = []
     for a in args[1:]:
         block = _raw_str(a)

@@ -3266,7 +3266,13 @@ class BM25Searcher:
 
             cmp = {"lt": _op.lt, "lte": _op.le,
                    "gt": _op.gt, "gte": _op.ge}[ctype]
-            return any(cmp(float(v), float(x)) for x in vals)
+            # a non-numeric metadata/rule value is criterion-not-matched
+            # (the ES type-mismatch reading), never a failed request
+            # (ADVICE r05)
+            try:
+                return any(cmp(float(v), float(x)) for x in vals)
+            except (TypeError, ValueError):
+                return False
         raise ValueError(f"unknown rule criterion type: {ctype}")
 
     def span_near_query(
