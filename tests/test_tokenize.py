@@ -114,3 +114,50 @@ def test_doc_len_and_empty_turns(tiny_pdf):
     lens = toks.str.len()
     assert (lens == tiny_pdf["text"].str.split().str.len().fillna(0)).all()
     assert (lens == 0).sum() > 0  # ~2% empty turns exist
+
+
+def test_spimi_lut_tokenizer_equals_regex_split():
+    """The SPIMI kernel's byte-LUT + whitespace-split fast path must
+    produce the exact kept-token streams of the RE2 separator split for
+    the pinned [a-z0-9_]+ analyzer — including multi-byte UTF-8 (every
+    byte of which is a separator byte), ASCII-folding lowercases like
+    the Kelvin sign, empties, and whitespace-only strings."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bitcoin_ledger_2es_spark.operators.postings import _TOKEN_LUT
+
+    texts = [
+        "Hello, World_42!",
+        "",
+        "   ",
+        "a\tb\nc\r\nd",
+        "héllo wörld",            # accents: separator bytes mid-token
+        "Knife",              # KELVIN SIGN lowercases to ascii 'k'
+        "emoji 🎉 split",
+        "__under__score__",
+        "ALL CAPS 123",
+        "日本語テスト mixed ascii",
+        "trailing space ",
+        " leading",
+        "a" * 5000 + " tail",
+    ]
+    arr = pa.array(texts, type=pa.large_string())
+    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    ref = pc.split_pattern_regex(low, r"[^a-z0-9_]+")
+
+    assert low.offset == 0
+    bufs = low.buffers()
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=len(bufs[2]))
+    cleaned = _TOKEN_LUT[data]
+    low2 = pa.LargeStringArray.from_buffers(
+        len(low), bufs[1], pa.py_buffer(cleaned.tobytes()), bufs[0]
+    )
+    fast = pc.ascii_split_whitespace(low2)
+
+    kept_ref = [[t for t in row.as_py() if t] for row in ref]
+    kept_fast = [[t for t in row.as_py() if t] for row in fast]
+    assert kept_ref == kept_fast
