@@ -522,6 +522,7 @@ def score_shard_exact(
     k1: float,
     b: float,
     after: tuple[float, int] | None = None,
+    ordered: bool = True,
 ) -> pd.DataFrame:
     """Vectorized exact scorer over a dense per-shard array.
 
@@ -531,6 +532,13 @@ def score_shard_exact(
     (non-scoring filter context, B4/B6).
     ``after``: ES search_after cursor (score_f32, doc_id) — hits at or
     before it in (score desc, doc_id asc) rank order are masked out.
+    ``ordered=False`` skips the (score desc, doc_id asc) output sort WHEN
+    no cap applies (``cand.size <= k``): callers that re-sort or
+    re-aggregate downstream (the global TakeOrdered of top_k, the
+    per-query rank window of msearch, every compound/all-match fold) pay
+    a full-match-set lexsort per shard for nothing. Emission is then
+    doc_id-ascending (flatnonzero order) — still deterministic. The
+    capped branch always sorts (the cap IS a rank selection).
     """
     scores = np.zeros(span, dtype=np.float64)
     seen = np.zeros(span, dtype=np.int32)
@@ -570,6 +578,13 @@ def score_shard_exact(
         kth = np.partition(-s32, k - 1)[k - 1]
         sup = np.flatnonzero(-s32 <= kth)
         order = sup[np.lexsort((cand[sup], -s32[sup].astype(np.float64)))][:k]
+    elif not ordered:
+        return pd.DataFrame(
+            {
+                "doc_id": (cand + shard_base).astype(np.int64),
+                "score": s32,
+            }
+        )
     else:
         order = np.lexsort((cand, -s32.astype(np.float64)))[:k]
     return pd.DataFrame(

@@ -113,8 +113,13 @@ def _shard_kernel(term_meta, k, mode, avgdl, k1, b, dps, use_wand, wand_min, has
             for tid, t_idf, w in tm
             if tid in present
         ]
+        # ordered=False: every consumer of this kernel applies its own
+        # deterministic selection (global TakeOrdered, rank window, or an
+        # order-free / sorted-fold aggregation), so the shard-local output
+        # sort is wasted work whenever the per-shard cap doesn't bite
+        # (notably the all-match surfaces, where k = docs_per_shard)
         return score_shard_exact(blocks, base, dps, allowed, k, mode, avgdl, k1, b,
-                                 after=after)
+                                 after=after, ordered=False)
 
     if has_filter:
         def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:  # cogroup
@@ -4071,7 +4076,8 @@ class BM25Searcher:
                         (tid, t_idf, w, d) for tid, t_idf, w in present
                         if (d := decoded(tid, t_idf)) is not None
                     ]
-                    res = score_shard_exact(blocks, base, dps, None, k, mode, avgdl, k1, b)
+                    res = score_shard_exact(blocks, base, dps, None, k, mode,
+                                            avgdl, k1, b, ordered=False)
                 res.insert(0, "query_id", np.int64(qid))
                 outs.append(res)
             if not outs:
