@@ -1163,7 +1163,14 @@ def _fork_head_topk(btext: str):
         return None
     if not re.match(r"^\d+$", ops[2][1]):
         return None
-    return mc[2], int(ops[2][1])
+    n = int(ops[2][1])
+    # cap: the fused path runs a per-branch window over ~n_shards * n
+    # capped candidates; a huge LIMIT would turn that into a near-full
+    # match-set sort in <= n_branches partitions — the generic per-branch
+    # TakeOrdered handles that shape better
+    if n > 10_000:
+        return None
+    return mc[2], n
 
 
 def _fused_fork_topk(df, heads, searcher):
